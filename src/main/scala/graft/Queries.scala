@@ -1,0 +1,624 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DateTimeKit, Hashing, Holidays}
+import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.sources.Tables
+import graft.windows.TrailingFeatures
+
+/** The named query inventory: one entry per operator from SURVEY.md §2
+  * plus the large-scale data-pipeline operators (dedup / similarity /
+  * text analysis).
+  *
+  * Each query is a (SparkSession, sfDir) => DataFrame paired with
+  * equivalent ANSI SQL for the DuckDB oracle. Portability rules used
+  * throughout so the hash compare is exact:
+  *  - computed integral columns are cast to long on the Spark side
+  *    (DuckDB integer expressions are BIGINT);
+  *  - DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
+  *  - double outputs that involve multi-row accumulation are round()ed;
+  *  - hashing is md5-based (identical in both engines, see
+  *    [[graft.functions.Hashing]]);
+  *  - every result has a total ORDER BY on a unique key set.
+  */
+object Queries {
+
+  case class QDef(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
+
+  /** DuckDB rendering of Hashing.h60. */
+  private def h60sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB rendering of TextOps.tokens. */
+  private def toksSql(e: String): String =
+    s"regexp_split_to_array(trim($e), '\\s+')"
+
+  /** DuckDB rendering of TextOps.wordShingles (n-gram word shingles). */
+  private def shinglesSql(toks: String, n: Int): String =
+    s"list_transform(range(1, len($toks) - ${n - 2}), i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))"
+
+  // =====================================================================
+  // §2.2 Projection / filter / cleaning
+  // =====================================================================
+
+  /** P1/S2: projection (column pruning pushes to the parquet scan). */
+  val qScanProject = QDef(
+    (s, d) => t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P4/P5/P6: boolean-mask filter with comparison + membership predicates
+    * (pushed to the scan as PushedFilters).
+    */
+  val qFilterPredicates = QDef(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+            WHERE l_quantity > 45 AND l_returnflag IN ('A', 'R')
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** P7: deduplication (dropDuplicates ≡ SELECT DISTINCT). */
+  val qDistinctRows = QDef(
+    (s, d) => t(s, d, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority"),
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+            ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** P10: per-column null-count profile in one aggregate pass. */
+  val qNullProfile = QDef(
+    (s, d) => Relational.nullProfile(t(s, d, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")),
+    Some("""SELECT
+              CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey_nulls,
+              CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+              CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_nulls,
+              CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate_nulls
+            FROM lineitem"""))
+
+  /** P13/O5: top-k with deterministic tie-break. */
+  val qTopK = QDef(
+    (s, d) => t(s, d, "events")
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+      .select("event_id", "value"),
+    Some("""SELECT event_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100"""))
+
+  /** P14/M6: deterministic temporal 80/20 split (row_number vs count). */
+  val qTemporalSplit = QDef(
+    (s, d) => Relational.temporalSplitFlag(
+        t(s, d, "events"), Seq("ts", "event_id"), 0.8)
+      .groupBy("is_train").agg(count(lit(1)).as("cnt"))
+      .orderBy("is_train"),
+    Some("""WITH r AS (
+              SELECT event_id,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events)
+            SELECT CASE WHEN rn <= ceiling(n * 0.8) THEN 1 ELSE 0 END AS is_train,
+                   count(*) AS cnt
+            FROM r GROUP BY 1 ORDER BY 1"""))
+
+  // =====================================================================
+  // §2.3 Joins
+  // =====================================================================
+
+  /** J1: multi-table equi-join + aggregate (broadcast-eligible dims). */
+  val qJoinMultikey = QDef(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_orders,
+                   min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** J2: deliberate fan-out join on a coarser key (hour only, not
+    * hour+type) — each event matches every per-type hourly summary row of
+    * its hour, reproducing the reference's traffic×weather row
+    * multiplication (SegmentedModeling.py:220-223).
+    */
+  val qFanoutJoin = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val hourly = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type").as("ht"))
+        .agg(count(lit(1)).as("c"))
+      Relational.fanOutJoin(ev, hourly, Seq("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), sum("c").as("sum_c"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_id, event_type, date_trunc('hour', ts) AS h FROM events),
+            hourly AS (
+              SELECT date_trunc('hour', ts) AS h, event_type AS ht, count(*) AS c
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS sum_c
+            FROM e JOIN hourly USING (h)
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** J4: holiday-calendar membership via generated broadcast dimension. */
+  val qHolidayJoin = QDef(
+    (s, d) => Holidays.withIsHoliday(t(s, d, "events"), "ts", 2024, 2024)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("is_holiday"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day"),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CASE WHEN strftime(ts, '%Y-%m-%d') IN ('2024-01-01', '2024-01-15')
+                        THEN 1 ELSE 0 END AS is_holiday,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY 1"""))
+
+  // =====================================================================
+  // §2.4 Aggregations & grouped transforms
+  // =====================================================================
+
+  /** A1: n-ary union-all then aggregate. */
+  val qUnionAll = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      Relational.unionAll(Seq(
+          li.filter(col("l_quantity") < 5).select("l_returnflag"),
+          li.filter(col("l_quantity") > 48).select("l_returnflag")))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS cnt FROM (
+              SELECT l_returnflag FROM lineitem WHERE l_quantity < 5
+              UNION ALL
+              SELECT l_returnflag FROM lineitem WHERE l_quantity > 48)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A3: grouped lags (1 and 24 rows back) — null at group starts, never
+    * leaking across groups.
+    */
+  val qWindowLag = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      ev.select(col("event_id"), col("user_id"), col("value"),
+          TrailingFeatures.groupedLag(col("value"), 1, Seq("user_id"), Seq("ts", "event_id")).as("value_lag_1"),
+          TrailingFeatures.groupedLag(col("value"), 24, Seq("user_id"), Seq("ts", "event_id")).as("value_lag_24"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_1,
+                   lag(value, 24) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_24
+            FROM events ORDER BY event_id"""))
+
+  /** A4: trailing-EXCLUSIVE rolling means ([t−w, t−1]; null at first row
+    * of each group) — the reference's rolling(w).mean().shift(1).
+    */
+  val qWindowTrailingMean = QDef(
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        TrailingFeatures.trailingMean(col("value"), 3, Seq("user_id"), Seq("ts", "event_id")).as("value_roll_3"),
+        TrailingFeatures.trailingMean(col("value"), 24, Seq("user_id"), Seq("ts", "event_id")).as("value_roll_24"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value,
+                   avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS value_roll_3,
+                   avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS value_roll_24
+            FROM events ORDER BY event_id"""))
+
+  /** A6: distinct values of a column. */
+  val qDistinctValues = QDef(
+    (s, d) => t(s, d, "events").select("event_type").distinct().orderBy("event_type"),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+
+  /** A7: Pearson correlation (rounded — accumulation-order tolerance). */
+  val qCorr = QDef(
+    (s, d) => t(s, d, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      avg(col("l_quantity")).as("avg_qty"),
+      count(lit(1)).as("n")),
+    Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   avg(l_quantity) AS avg_qty, count(*) AS n
+            FROM lineitem"""))
+
+  /** A8/A9/A10: regression metrics (R², MSE, MAE, RMSE, zero-masked MAPE)
+    * as single-pass aggregate expressions, against a synthetic prediction.
+    */
+  val qRegressionMetrics = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("pred", col("value") * 0.9 + 1.0)
+      import graft.metrics.Metrics
+      val (y, p) = (col("value"), col("pred"))
+      ev.agg(
+        round(Metrics.r2(y, p), 6).as("r2"),
+        round(Metrics.mse(y, p), 6).as("mse"),
+        round(Metrics.mae(y, p), 6).as("mae"),
+        round(Metrics.rmse(y, p), 6).as("rmse"),
+        round(Metrics.mapeNonzero(y, p), 6).as("mape_nonzero"))
+    },
+    Some("""WITH t AS (SELECT value, value * 0.9 + 1.0 AS pred FROM events)
+            SELECT round(1.0 - sum((value - pred) * (value - pred))
+                         / (sum(value * value) - sum(value) * sum(value) / count(value)), 6) AS r2,
+                   round(avg((value - pred) * (value - pred)), 6) AS mse,
+                   round(avg(abs(value - pred)), 6) AS mae,
+                   round(sqrt(avg((value - pred) * (value - pred))), 6) AS rmse,
+                   round(avg(CASE WHEN value > 0 THEN abs((value - pred) / value) END), 6) AS mape_nonzero
+            FROM t"""))
+
+  // =====================================================================
+  // §2.6 Scalar functions
+  // =====================================================================
+
+  /** F4–F8/F12: the datetime kit — component extraction with the pandas
+    * weekday convention (Mon=0), weekend + rush-hour flags, formatted day.
+    */
+  val qDatetimeKit = QDef(
+    (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("dd"),
+        hour(col("ts")).cast("long").as("hh"),
+        quarter(col("ts")).cast("long").as("q"),
+        DateTimeKit.weekdayMon0(col("ts")).cast("long").as("weekday"),
+        DateTimeKit.isWeekend(col("ts")).cast("long").as("is_weekend"),
+        DateTimeKit.rushHour(hour(col("ts"))).cast("long").as("rush_hour"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   year(ts) AS yr, month(ts) AS m, day(ts) AS dd, hour(ts) AS hh,
+                   quarter(ts) AS q,
+                   isodow(ts) - 1 AS weekday,
+                   CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END AS is_weekend,
+                   CASE WHEN (hour(ts) BETWEEN 7 AND 9) OR (hour(ts) BETWEEN 16 AND 18)
+                        THEN 1 ELSE 0 END AS rush_hour,
+                   strftime(ts, '%Y-%m-%d') AS day_str
+            FROM events ORDER BY event_id"""))
+
+  /** F9: cyclical sin/cos encodings (hour/weekday/month). */
+  val qCyclical = QDef(
+    (s, d) => {
+      val ts = col("ts")
+      val feats = DateTimeKit.cyclicalFeatures(ts)
+      t(s, d, "events")
+        .select(col("event_id") +: feats.map { case (n, c) => round(c, 4).as(n) }: _*)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+                   round(sin(2 * pi() * hour(ts) / 24), 4) AS hour_sin,
+                   round(cos(2 * pi() * hour(ts) / 24), 4) AS hour_cos,
+                   round(sin(2 * pi() * (isodow(ts) - 1) / 7), 4) AS wd_sin,
+                   round(cos(2 * pi() * (isodow(ts) - 1) / 7), 4) AS wd_cos,
+                   round(sin(2 * pi() * month(ts) / 12), 4) AS month_sin,
+                   round(cos(2 * pi() * month(ts) / 12), 4) AS month_cos
+            FROM events ORDER BY event_id"""))
+
+  /** F10: log1p target transform + expm1 inverse. */
+  val qLogTransforms = QDef(
+    (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        round(log1p(col("value")), 6).as("value_log1p"),
+        round(expm1(log1p(col("value"))), 6).as("value_roundtrip"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   round(ln(1 + value), 6) AS value_log1p,
+                   round(exp(ln(1 + value)) - 1, 6) AS value_roundtrip
+            FROM events ORDER BY event_id"""))
+
+  /** F11/F13/F18: conditional select + flags + threshold bucket chain. */
+  val qConditionalBuckets = QDef(
+    (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        DateTimeKit.thresholdBuckets(col("value"),
+          Seq(20.0 -> "red", 10.0 -> "orange", 5.0 -> "yellow"), "green").as("bucket"),
+        when(col("event_type") === "error", lit(1)).otherwise(lit(0)).cast("long").as("is_error"),
+        col("event_type").isin("click", "view").cast("int").cast("long").as("is_interaction"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   CASE WHEN value > 20 THEN 'red' WHEN value > 10 THEN 'orange'
+                        WHEN value > 5 THEN 'yellow' ELSE 'green' END AS bucket,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+                   CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS is_interaction
+            FROM events ORDER BY event_id"""))
+
+  // =====================================================================
+  // Text analysis (training-data pipeline operators)
+  // =====================================================================
+
+  /** Token counting: whitespace + BPE-ish pre-tokenizer regex. */
+  val qTextTokenCounts = QDef(
+    (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+                   CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe
+            FROM documents ORDER BY doc_id"""))
+
+  /** Quality-score feature block. */
+  val qTextQuality = QDef(
+    (s, d) => {
+      val feats = TextOps.qualityFeatures(col("text"))
+      val cols = col("doc_id") +: feats.map {
+        case (n, c) if n == "n_tokens" => c.cast("long").as(n)
+        case (n, c) => round(c, 6).as(n)
+      }
+      t(s, d, "documents").select(cols: _*).orderBy("doc_id")
+    },
+    Some {
+      val stopList = TextOps.langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+          f AS (SELECT doc_id,
+                  len(toks) AS n_toks,
+                  length(text) AS n_chars,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+                  len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha
+                FROM t)
+          SELECT doc_id,
+                 CAST(n_toks AS BIGINT) AS n_tokens,
+                 round(CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks, 6) AS mean_word_len,
+                 round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                 round(CAST(n_stop AS DOUBLE) / n_toks, 6) AS stopword_ratio,
+                 round(CAST(n_alpha AS DOUBLE) / n_toks, 6) AS alpha_ratio,
+                 round((least(CAST(n_toks AS DOUBLE) / 50.0, 1.0)
+                        + least(CAST(n_stop AS DOUBLE) / n_toks * 5.0, 1.0)
+                        + CAST(n_alpha AS DOUBLE) / n_toks
+                        + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0))) / 4.0, 6) AS quality_score
+          FROM f ORDER BY doc_id"""
+    })
+
+  /** Language ID: marker-word argmax with first-wins tie-break. */
+  val qTextLangId = QDef(
+    (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some {
+      val hits = TextOps.langMarkers.map { case (l, ms) =>
+        val arr = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$l"
+      }.mkString(",\n                  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'")
+        .mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+          sc AS (SELECT doc_id, lang,
+                  $hits
+                 FROM t),
+          b AS (SELECT *, $best AS best FROM sc)
+          SELECT doc_id, lang,
+                 CASE $cases
+                 ELSE 'und' END AS lang_pred
+          FROM b ORDER BY doc_id"""
+    })
+
+  /** Bag-of-words content fingerprint (order/repetition-invariant). */
+  val qTextFingerprint = QDef(
+    (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.bagFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id"),
+    Some {
+      val norm = "trim(lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')))"
+      val toks = s"list_filter(regexp_split_to_array($norm, '\\s+'), x -> x <> '')"
+      val joined = s"array_to_string(list_sort(list_distinct($toks)), ' ')"
+      s"""SELECT doc_id, ${h60sql(joined)} AS fingerprint
+          FROM documents ORDER BY doc_id"""
+    })
+
+  // =====================================================================
+  // Deduplication
+  // =====================================================================
+
+  /** Exact dedup: lowest-id survivor per distinct text. */
+  val qDedupExact = QDef(
+    (s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id"),
+    Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"""))
+
+  private val MinhashK = 12
+  private val MinhashN = 3
+  private val RowsPerBand = 2
+
+  private def minhashSigSql: String = {
+    val toks = toksSql("text")
+    val sh = shinglesSql("toks", MinhashN)
+    val mins = Hashing.minhashParams(MinhashK).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, x -> ($a * ((${h60sql("x")}) % ${Hashing.MinhashPrime}) + $b) % ${Hashing.MinhashPrime})) AS mh_$i"
+    }.mkString(",\n                 ")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        s AS (SELECT doc_id, $sh AS sh FROM t)
+        SELECT doc_id,
+                 $mins
+        FROM s"""
+  }
+
+  /** MinHash signatures (k=12 permutations over word 3-gram shingles),
+    * computed per-row with higher-order functions — map-only, no shuffle.
+    */
+  val qMinhashSignatures = QDef(
+    (s, d) => Dedup.withMinhash(
+        t(s, d, "documents").select("doc_id", "text"), "text", "doc_id",
+        MinhashN, MinhashK)
+      .drop("text").orderBy("doc_id"),
+    Some(s"""$minhashSigSql ORDER BY doc_id"""))
+
+  /** MinHash-LSH candidate pairs: equi-join on (band, band_hash). */
+  val qLshCandidatePairs = QDef(
+    (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
+      }.mkString("\n              UNION ALL ")
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+          WHERE a.doc_id < b.doc_id
+          ORDER BY id_a, id_b"""
+    })
+
+  private val SimhashBits = 60
+
+  /** SimHash signatures (60-bit, ±1 bit votes over token hashes). */
+  val qSimhash = QDef(
+    (s, d) => t(s, d, "documents").select(
+        col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
+      .orderBy("doc_id"),
+    Some {
+      val votes = (0 until SimhashBits).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n                 ")
+      val sig = (0 until SimhashBits).map(j =>
+        s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+              SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+          h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+          votes AS (SELECT doc_id,
+                 $votes
+              FROM h GROUP BY doc_id)
+          SELECT doc_id, $sig AS simhash FROM votes ORDER BY doc_id"""
+    })
+
+  /** n-gram Jaccard near-dup pairs via shingle inverted-index join. */
+  val qNgramJaccardPairs = QDef(
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 2, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b"),
+    Some {
+      val toks = toksSql("text")
+      val sh = shinglesSql("toks", 2)
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          s AS (SELECT doc_id, list_distinct($sh) AS sh FROM t),
+          sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+          inv AS (SELECT doc_id, ${h60sql("unnest(sh)")} AS sh_h FROM s),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM inv a JOIN inv b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+          ORDER BY id_a, id_b"""
+    })
+
+  // =====================================================================
+  // Similarity search over embeddings
+  // =====================================================================
+
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Brute-force exact cosine top-k (k=5) for query vectors vec_id < 10. */
+  val qCosineTopK = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             s AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+                   FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             r AS (SELECT query_id, neighbor_id, cosine,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM s)
+             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Embedding near-duplicate pairs (cosine above threshold). */
+  val qEmbeddingNearDup = QDef(
+    (s, d) => Similarity.cosineNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b"),
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          ${cosineSql("a.ev", "b.ev")} AS cosine
+                   FROM v a JOIN v b ON a.vec_id < b.vec_id)
+             SELECT id_a, id_b, round(cosine, 6) AS cosine
+             FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  val all: Seq[(String, QDef)] = Seq(
+    "q_scan_project" -> qScanProject,
+    "q_filter_predicates" -> qFilterPredicates,
+    "q_distinct_rows" -> qDistinctRows,
+    "q_null_profile" -> qNullProfile,
+    "q_topk" -> qTopK,
+    "q_temporal_split" -> qTemporalSplit,
+    "q_join_multikey" -> qJoinMultikey,
+    "q_fanout_join" -> qFanoutJoin,
+    "q_holiday_join" -> qHolidayJoin,
+    "q_union_all" -> qUnionAll,
+    "q_window_lag" -> qWindowLag,
+    "q_window_trailing_mean" -> qWindowTrailingMean,
+    "q_distinct_values" -> qDistinctValues,
+    "q_corr" -> qCorr,
+    "q_regression_metrics" -> qRegressionMetrics,
+    "q_datetime_kit" -> qDatetimeKit,
+    "q_cyclical" -> qCyclical,
+    "q_log_transforms" -> qLogTransforms,
+    "q_conditional_buckets" -> qConditionalBuckets,
+    "q_text_token_counts" -> qTextTokenCounts,
+    "q_text_quality" -> qTextQuality,
+    "q_text_langid" -> qTextLangId,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_dedup_exact" -> qDedupExact,
+    "q_minhash_signatures" -> qMinhashSignatures,
+    "q_lsh_candidate_pairs" -> qLshCandidatePairs,
+    "q_simhash" -> qSimhash,
+    "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
+    "q_cosine_topk" -> qCosineTopK,
+    "q_embedding_neardup" -> qEmbeddingNearDup)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, QDef(_, Some(sql))) => n -> sql }.toMap
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash-aggregate on a 60-bit content hash, not on the
+  *    full text: the shuffle moves 8-byte keys, not documents.
+  *  - MinHash signatures are computed per-row with higher-order functions
+  *    (map-only, codegen'd); only the k·8-byte signature is shuffled.
+  *  - LSH banding turns near-dup detection into an equi-join on
+  *    (band, band_hash) — a plain shuffle join Catalyst can plan, instead
+  *    of the quadratic all-pairs compare.
+  *  - n-gram Jaccard joins on shingle hash and counts co-occurrences;
+  *    a frequency cap on hot shingles bounds the worst-case join fan-out
+  *    (stop-shingle removal — the standard skew guard).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per distinct `textCol`.
+    * groupBy-min on h60(text) (partial aggregation, 8-byte shuffle keys),
+    * then a semi-join back to recover surviving rows. The h60 collision
+    * probability at 2^60 is negligible for corpus dedup; use
+    * `sha2(text, 256)` where cryptographic certainty matters.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .groupBy(Hashing.h60(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature columns `mh_0 … mh_{k-1}` from a shingle-array
+    * column. Pure per-row expressions: min over the shingle array of each
+    * permuted 60-bit hash — no explode, no shuffle.
+    */
+  def minhashCols(shingles: Column, k: Int): Seq[(String, Column)] =
+    Hashing.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"mh_$i" -> array_min(transform(shingles, s => Hashing.permute(Hashing.h60(s), a, b)))
+    }
+
+  /** Attach minhash signature columns to `df` over word `n`-gram shingles
+    * of `textCol`.
+    */
+  def withMinhash(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 12): DataFrame = {
+    val sh = TextOps.wordShingles(col(textCol), n)
+    minhashCols(sh, k).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
+
+  /** LSH banding: hash each band of `rowsPerBand` consecutive signature
+    * values to a bucket id. Documents sharing any (band, bucket) are
+    * candidate near-duplicates. Returns (doc, band, band_hash) rows.
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        Hashing.h60(concat_ws("_", parts: _*)).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from MinHash LSH: distinct (idA < idB)
+    * pairs sharing at least one band bucket. The join is a plain equi-join
+    * on (band, band_hash) — shuffle keys only.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, idCol, n, k)
+    val buckets = lshBuckets(sig, idCol, k, rowsPerBand)
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash: 60-bit locality-sensitive signature. For each bit j, sum
+    * ±1 votes of every token's hash bit j; signature bit j is 1 when the
+    * vote is positive. Computed with a single per-row fold over the token
+    * array into a 60-long vote vector — map-only, no shuffle.
+    */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    val hashes = transform(TextOps.tokens(text), t => Hashing.h60(t))
+    (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity pairs ≥ `threshold`, via the
+    * shingle-inverted-index join:
+    * explode distinct shingle hashes → equi-join on shingle → count
+    * co-occurrences → |A∩B| / (|A|+|B|−|A∩B|).
+    * `maxShingleFreq` drops shingles appearing in more than that many
+    * documents (stop-shingles) — the skew guard that keeps the join
+    * fan-out linear at corpus scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val shingled = df.select(
+      col(idCol),
+      array_distinct(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    val sizes = shingled.select(col(idCol), size(col("sh")).as("n_sh"))
+    var inv = shingled
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .select(col(idCol), Hashing.h60(col("shingle")).as("sh_h"))
+    maxShingleFreq.foreach { cap =>
+      val hot = inv.groupBy("sh_h").count().filter(col("count") > cap).select("sh_h")
+      inv = inv.join(hot, Seq("sh_h"), "left_anti")
+    }
+    val a = inv.select(col(idCol).as("id_a"), col("sh_h"))
+    val b = inv.select(col(idCol).as("id_b"), col("sh_h"))
+    val inter = a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val sa = sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

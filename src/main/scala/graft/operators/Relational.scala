@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2 P1–P14, §2.3 J1–J2, §2.4
+  * A1/A5/A6, §2.5 O1–O3) as composable `DataFrame => DataFrame` stages.
+  *
+  * Everything here is declarative DataFrame API: Catalyst supplies
+  * projection pushdown, predicate pushdown, and join planning that the
+  * reference hand-rolled with `usecols` / chunking / category dtypes
+  * (SURVEY.md §4).
+  */
+object Relational {
+
+  /** P10: per-column null-count profile in ONE aggregate pass (reference
+    * `df[cols].isnull().sum()`, backend/random_forest.py:164-166). Output:
+    * one row, one column per input col, named `<col>_nulls`.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      sum(col(cols.head).isNull.cast("long")).as(s"${cols.head}_nulls"),
+      cols.tail.map(c => sum(col(c).isNull.cast("long")).as(s"${c}_nulls")): _*)
+
+  /** P11: safe numeric cast — invalid strings become null, matching
+    * `pd.to_numeric(errors="coerce")`
+    * (scripts/convert_traffic_csv_to_geojson_point.py:12).
+    */
+  def safeNumeric(c: Column): Column = c.cast("double")
+
+  /** P14/M6: deterministic temporal 80/20 split. The reference sorts by
+    * time then slices positionally (`iloc[:int(len*0.8)]`,
+    * SegmentedModeling.py:62-64). Spark-native: `row_number` over a
+    * deterministic (tie-broken) ordering vs the total count — one window
+    * pass, no collect.
+    *
+    * Scale note: `row_number` over an un-partitioned window funnels all
+    * rows through one task. That is inherent to the operator's *global
+    * positional* semantics (same as sorting 100 TB to one sequence); for
+    * scale-out, callers should prefer [[temporalSplitAt]] with an explicit
+    * timestamp cutoff, which is a pushed-down filter with no global window.
+    */
+  def temporalSplitFlag(df: DataFrame, orderCols: Seq[String],
+      trainFrac: Double = 0.8): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val n = df.count()
+    val cut = math.ceil(n * trainFrac).toLong
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("is_train", (col("__rn") <= cut).cast("int"))
+      .drop("__rn")
+  }
+
+  /** Scale-friendly temporal split: cutoff = the `trainFrac` quantile of
+    * the order column (computed with a single approxQuantile pass), split
+    * by comparison — pushes down to the scan, no global window.
+    */
+  def temporalSplitAt(df: DataFrame, tsCol: String, cutoff: Column): (DataFrame, DataFrame) =
+    (df.filter(col(tsCol) <= cutoff), df.filter(col(tsCol) > cutoff))
+
+  /** A1: n-ary union by name (reference `pd.concat(frames)`,
+    * backend/weather_merge.py:23).
+    */
+  def unionAll(frames: Seq[DataFrame]): DataFrame = frames.reduce(_.unionByName(_))
+
+  /** A5: oversample — replicate each row `k`× (reference
+    * `pd.concat([evt_df]*5).sample(frac=1)`, SegmentedModeling.py:80-87).
+    * Multiset parity; the pandas shuffle order is RNG-dependent and
+    * meaningless in a distributed setting (SURVEY.md §7 risk 2).
+    * `explode(array_repeat)` replicates without a shuffle.
+    */
+  def oversample(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("__rep", explode(array_repeat(lit(1), k))).drop("__rep")
+
+  /** J2-style deliberate fan-out join: join on a coarser key than the
+    * natural one so each left row matches several right rows (the
+    * reference's 4-key traffic×weather join, SegmentedModeling.py:220-223,
+    * multiplies rows ×~10 — intentional; SURVEY.md §7 risk 4).
+    * Kept as an explicitly-named operator so nobody "fixes" it.
+    */
+  def fanOutJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "inner")
+
+  /** Broadcast-dimension left join with fallback (J3: the reference's
+    * coordinate-map dict hit-or-fallback, point_to_linestring.py:43-51).
+    * `fallback` supplies values for unmatched rows via coalesce.
+    */
+  def lookupJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      mapped: Seq[(String, Column)]): DataFrame = {
+    val joined = fact.join(broadcast(dim), keys, "left")
+    mapped.foldLeft(joined) { case (d, (name, fallbackCol)) =>
+      d.withColumn(name, coalesce(col(name), fallbackCol))
+    }
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, language ID, quality scoring, token counting,
+  * fingerprinting.
+  *
+  * Design rule: every operator is a per-row Catalyst expression tree
+  * (split/transform/filter/aggregate higher-order functions) — no UDFs, no
+  * explode unless an operator genuinely needs cross-row grouping. At
+  * 100 TB that means text featurization is a map-only stage that pipelines
+  * with the scan, and stays inside whole-stage codegen.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing whitespace
+    * doesn't create empty tokens (matches DuckDB
+    * `regexp_split_to_array(trim(x), '\s+')`).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens. (`sequence` would generate a
+    * DESCENDING range if size-n+1 < 1 — hence the guard.)
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alternating word/punctuation pieces, the classic
+    * `\w+|[^\w\s]` pre-tokenizer regex (a cheap proxy for byte-pair
+    * vocab size used to budget training corpora).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\w]+|[^\\w\\s]"), lit(0)))
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — language ID at corpus scale is a
+    * counting problem, not a model problem.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  /** Count of tokens that appear in `markers`. */
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val markerArr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(markerArr, t)))
+  }
+
+  /** Language-ID: argmax over per-language marker-hit counts, ties broken
+    * by language order (first wins); "und" when no marker hits at all.
+    * Pure expression; one map-only pass.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (l, ms) => (l, markerHits(toks, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-score feature block (length / punctuation / stopword /
+    * alpha-token ratios + mean word length). Returns (name, column) pairs.
+    * The composite `quality_score` follows the usual heuristic-filter
+    * recipe (Gopher-style rules): each component clipped to [0,1] and
+    * averaged.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val nPunct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val stopArr = array(langMarkers.flatMap(_._2).map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nAlpha = size(filter(toks, t => t.rlike("^[A-Za-z]+$")))
+    val meanWordLen = (nChars - (nToks - 1)).cast("double") / nToks
+    val stopRatio = nStop.cast("double") / nToks
+    val alphaRatio = nAlpha.cast("double") / nToks
+    val punctRatio = nPunct.cast("double") / nChars
+    val lenScore = least(nToks.cast("double") / 50.0, lit(1.0))
+    val quality = (lenScore + least(stopRatio * 5.0, lit(1.0)) + alphaRatio +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0)))) / 4.0
+    Seq(
+      "n_tokens" -> nToks,
+      "mean_word_len" -> meanWordLen,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "alpha_ratio" -> alphaRatio,
+      "quality_score" -> quality)
+  }
+
+  /** Content fingerprint: 60-bit hash of the sorted distinct normalized
+    * token multiset — invariant to word order and repetition, the standard
+    * "bag fingerprint" for clustering near-identical documents.
+    * Normalization: lowercase, strip non-alphanumerics.
+    */
+  def bagFingerprint(text: Column): Column = {
+    val norm = lower(regexp_replace(text, "[^A-Za-z0-9 ]", " "))
+    val toks = filter(split(trim(norm), "\\s+"), t => t =!= "")
+    Hashing.h60(concat_ws(" ", array_sort(array_distinct(toks))))
+  }
+
+  /** Rolling (polynomial) hash over the whole document's characters —
+    * h = Σ c_i·B^(n−1−i) mod P, computed as a left fold h = h·B + c_i.
+    * Expressed with the `aggregate` higher-order function over the
+    * document's characters; per-row, no shuffle. (Not ANSI-SQL
+    * expressible — covered by unit tests rather than the DuckDB oracle.)
+    */
+  def rollingHash(text: Column, base: Long = 257L, mod: Long = 1000000007L): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * base + c) % mod)
+}

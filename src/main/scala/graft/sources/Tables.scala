@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders and source/sink helpers (SURVEY.md §2.1, S1–S14).
+  *
+  * The reference reads CSV eagerly with pandas (`pd.read_csv`,
+  * reference backend/raw_merge.py:8-9) with manual projection pushdown
+  * (`usecols`, SegmentedModeling.py:198-205) and manual chunking
+  * (`chunksize=200_000`, SegmentedModeling.py:199-211). On Spark all of
+  * that is subsumed by the partitioned, column-pruned, predicate-pushed
+  * scan that Catalyst plans from a declarative `spark.read` — we only fix
+  * explicit schemas (the reference relies on inference) and expose the
+  * same option surface.
+  */
+object Tables {
+
+  /** Names of the driver-generated TPC-H-ish test tables (TESTDATA.md). */
+  val testTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan of one test table: `dir/<name>.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** The events table carries a nanosecond-precision parquet timestamp,
+    * which Spark's TimestampType (microseconds) rejects by default. Read
+    * nanos as long and convert (floor) to a microsecond timestamp — the
+    * session conf is set here so any session (including the driver's) can
+    * call this without special setup.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  // ----------------------------------------------------------------------
+  // Domain schemas (reference inputs, reconstructed in FIXTURES.md §B1-B2).
+  // Fixed StructTypes replace pandas' per-read inference.
+  // ----------------------------------------------------------------------
+
+  /** NYC DOT traffic counts CSV schema (reference
+    * scripts/convert_traffic_csv_to_geojson_point.py:37-47).
+    */
+  val trafficSchema: StructType = StructType(Seq(
+    StructField("RequestID", LongType),
+    StructField("Boro", StringType),
+    StructField("Yr", IntegerType),
+    StructField("M", IntegerType),
+    StructField("D", IntegerType),
+    StructField("HH", IntegerType),
+    StructField("MM", IntegerType),
+    StructField("Vol", StringType), // mixed-type in raw file; coerced via safeNumeric (P11)
+    StructField("SegmentID", LongType),
+    StructField("WktGeom", StringType),
+    StructField("street", StringType),
+    StructField("fromSt", StringType),
+    StructField("toSt", StringType),
+    StructField("Direction", StringType)))
+
+  /** Open-Meteo hourly weather CSV schema (reference
+    * scripts/enrich_weather.py:145-166).
+    */
+  val weatherSchema: StructType = StructType(Seq(
+    StructField("date", TimestampType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("borough", StringType),
+    StructField("temperature_2m", DoubleType),
+    StructField("precipitation", DoubleType),
+    StructField("cloud_cover_low", DoubleType),
+    StructField("snow_depth", DoubleType),
+    StructField("visibility", DoubleType),
+    StructField("weather_code", DoubleType),
+    StructField("freezing_level_height", DoubleType),
+    StructField("rain", DoubleType),
+    StructField("showers", DoubleType),
+    StructField("snowfall", DoubleType),
+    StructField("uv_index", DoubleType)))
+
+  /** S1/S3/S5: header CSV scan with fixed schema; `path` may be a glob
+    * (reference sorts `glob.glob` results, backend/random_forest.py:116 —
+    * irrelevant after the union, SURVEY.md O4).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S1 variant with schema inference for parity with pandas'
+    * dynamic-typed read (only for ad-hoc exploration; engine paths use
+    * fixed schemas).
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S9: whole-document (multiLine) JSON scan — e.g. a GeoJSON
+    * FeatureCollection — exploded to one row per feature (reference
+    * main.py:175-181 `json.load` + feature loop).
+    */
+  def geojsonFeatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("feature"))
+      .select(col("feature.*"))
+
+  /** S7: header CSV sink. */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** S8: idempotent sink — skip when target exists (reference
+    * `os.path.exists` guard, backend/raw_merge.py:47-52). `SaveMode.Ignore`
+    * is the Spark-native equivalent of the guard.
+    */
+  def writeCsvIfAbsent(df: DataFrame, path: String): Unit =
+    writeCsv(df, path, SaveMode.Ignore)
+
+  /** S10: GeoJSON sink. A single top-level envelope object wrapping
+    * millions of features does not fit Spark's line-oriented JSON writer
+    * (SURVEY.md §7 risk 6): features are written as JSONL parts, and the
+    * envelope is assembled at the consumer boundary. `featureJson` must be
+    * a single string column holding one serialized Feature per row.
+    */
+  def writeGeoJsonLines(features: DataFrame, path: String): Unit =
+    features.write.mode(SaveMode.Overwrite).text(path)
+}

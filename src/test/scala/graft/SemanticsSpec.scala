@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DateTimeKit, Holidays}
+import graft.operators.{Dedup, Relational, TextOps}
+import graft.windows.TrailingFeatures
+
+/** Golden-semantics unit fixtures from FIXTURES.md ("Golden semantics
+  * cases to encode as unit fixtures") — each asserts the *reference*
+  * behavior documented in SURVEY.md §2 against tiny in-line data.
+  */
+class SemanticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("trailing rolling mean is exclusive [t-w, t-1], null at group start") {
+    // FIXTURES.md golden case 1 (reference HistGradientBoostingRegressor.py:74-87)
+    val df = Seq.tabulate(8)(i => ("b1", i, (i + 1).toDouble))
+      .toDF("g", "t", "v")
+    val got = df.select($"t",
+      TrailingFeatures.trailingMean($"v", 3, Seq("g"), Seq("t")).as("roll"))
+      .orderBy("t").collect()
+    assert(got(0).isNullAt(1)) // first row: empty frame -> null
+    assert(got(1).getDouble(1) == 1.0) // mean(v0)
+    assert(got(2).getDouble(1) == 1.5) // mean(v0,v1)
+    assert(got(3).getDouble(1) == 2.0) // mean(v0,v1,v2)
+    assert(got(7).getDouble(1) == 6.0) // mean(v4,v5,v6) = (5+6+7)/3
+  }
+
+  test("grouped lag never leaks across group boundary") {
+    // FIXTURES.md golden case 2 (reference SegmentedModeling.py:238-239)
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0), ("b", 2, 40.0))
+      .toDF("g", "t", "v")
+    val got = df.select($"g", $"t",
+      TrailingFeatures.groupedLag($"v", 1, Seq("g"), Seq("t")).as("l"))
+      .orderBy("g", "t").collect()
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) == 10.0)
+    assert(got(2).isNullAt(2) && got(3).getDouble(2) == 30.0)
+  }
+
+  test("weekday convention: 2024-01-01 (Monday) -> 0, Sunday -> 6") {
+    // FIXTURES.md golden case 4 (pandas dayofweek, Mon=0)
+    val df = Seq("2024-01-01", "2024-01-07").toDF("d")
+      .select(DateTimeKit.weekdayMon0(to_timestamp($"d")).as("wd"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 6))
+  }
+
+  test("rush-hour bucket boundaries") {
+    // FIXTURES.md golden case 5 (reference backend/random_forest.py:153)
+    val hours = Seq(6, 7, 9, 10, 15, 16, 18, 19)
+    val got = hours.toDF("h")
+      .select(DateTimeKit.rushHour($"h").as("r")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 1, 0, 0, 1, 1, 0))
+  }
+
+  test("log1p/expm1 inverse identity incl. zero") {
+    // FIXTURES.md golden case 7
+    val got = Seq(0.0, 1.0, 123.456).toDF("v")
+      .select(expm1(log1p($"v")).as("rt")).collect().map(_.getDouble(0))
+    assert(got.zip(Seq(0.0, 1.0, 123.456)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("holiday flags: 2023-07-04 true, 2023-07-05 false; NY-only under subdiv") {
+    // FIXTURES.md golden case 8
+    val fed2023 = Holidays.federal(2023).map(_._1.toString).toSet
+    assert(fed2023.contains("2023-07-04"))
+    assert(!fed2023.contains("2023-07-05"))
+    val ny2023 = Holidays.nyState(2023).map(_._1.toString).toSet
+    assert(ny2023.contains("2023-02-12")) // Lincoln's Birthday (NY)
+    assert(ny2023.contains("2023-11-07")) // Election Day 2023
+    assert(!fed2023.contains("2023-11-07"))
+    // Observed shift: 2022-12-25 was a Sunday -> observed Mon 26th emitted too
+    val fed2022 = Holidays.federal(2022).map(_._1.toString).toSet
+    assert(fed2022.contains("2022-12-26"))
+  }
+
+  test("fan-out join multiplies rows on the coarser key (J2 vs J1)") {
+    // FIXTURES.md golden case 3
+    val traffic = Seq((1, 10, "bx"), (1, 10, "bk")).toDF("yr", "hh", "boro")
+    val weather = Seq((1, 10, "bx", 50.0), (1, 10, "bk", 55.0)).toDF("yr", "hh", "boro", "temp")
+    val j1 = traffic.join(weather, Seq("yr", "hh", "boro")).count() // 5-key analog
+    val j2 = Relational.fanOutJoin(traffic, weather, Seq("yr", "hh")).count()
+    assert(j1 == 2 && j2 == 4)
+  }
+
+  test("temporal split is deterministic and 80/20 by ceil") {
+    val df = Seq.tabulate(10)(i => (i, i.toDouble)).toDF("t", "v")
+    val split = Relational.temporalSplitFlag(df, Seq("t"), 0.8)
+    val train = split.filter($"is_train" === 1).count()
+    assert(train == 8 && split.count() == 10)
+  }
+
+  test("oversample replicates each row k times") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Relational.oversample(df, 5).count() == 15)
+    assert(Relational.oversample(df, 5).groupBy("x").count()
+      .collect().forall(_.getLong(1) == 5))
+  }
+
+  test("word shingles: n-grams, short docs give empty array") {
+    val got = Seq("w1 w2 w3 w4", "w1 w2").toDF("t")
+      .select(TextOps.wordShingles($"t", 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) == Seq("w1 w2 w3", "w2 w3 w4"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("exact dedup keeps lowest id per text") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "text")
+    val got = Dedup.exact(df, "text", "id").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("simhash: identical texts equal, token-permuted texts equal votes") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha", "zeta eta theta")
+      .toDF("t").withColumn("h", Dedup.simhash($"t"))
+    val hs = df.collect().map(_.getLong(1))
+    assert(hs(0) == hs(1))
+    assert(hs(0) == hs(2)) // bag-of-words: order-invariant
+    assert(hs(0) != hs(3))
+  }
+
+  test("rolling hash matches hand-computed polynomial fold") {
+    val got = Seq("ab").toDF("t")
+      .select(TextOps.rollingHash($"t", 257L, 1000000007L)).collect()(0).getLong(0)
+    assert(got == (97L * 257 + 98) % 1000000007L)
+  }
+
+  test("null profile counts per column") {
+    val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None))
+      .toDF("a", "b")
+    val r = Relational.nullProfile(df, Seq("a", "b")).collect()(0)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+  }
+}
