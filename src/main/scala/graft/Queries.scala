@@ -343,6 +343,77 @@ object Queries {
             FROM events ORDER BY event_id"""))
 
   // =====================================================================
+  // §2.8 ML (MLlib) — the solver-exact slice is oracle-checked
+  // =====================================================================
+
+  /** M1: OLS coefficients. MLlib's normal-equations solver is exact OLS,
+    * so slope/intercept/R² match DuckDB's regr_* aggregates to ~1e-12
+    * relative — one of the few ML ops where value-level oracle parity is
+    * achievable (SURVEY.md §7 risk 2).
+    */
+  val qOlsCoeffs = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("double").as("x"), col("l_extendedprice").as("y"))
+      val model = graft.ml.Models.ols(Seq("x"), "y").fit(li)
+      val lr = model.stages.last
+        .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+      import s.implicits._
+      Seq((lr.coefficients(0), lr.intercept, lr.summary.r2, li.count()))
+        .toDF("slope", "intercept", "r2", "n")
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n"))
+    },
+    Some("""SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   count(*) AS n
+            FROM lineitem"""))
+
+  /** F15/F14: one-hot encoding (drop_first, stable value-derived names)
+    * + interaction features — pure codegen'd column arithmetic.
+    */
+  val qOnehotInteractions = QDef(
+    (s, d) => {
+      val base = t(s, d, "events")
+        .withColumn("is_weekend", DateTimeKit.isWeekend(col("ts")).cast("int"))
+        .withColumn("hh", hour(col("ts")))
+      val oh = graft.ml.Featurize.oneHot(base, "event_type",
+        Seq("click", "error", "purchase", "signup", "view"), "et")
+      graft.ml.Featurize.withInteractions(oh,
+          Seq("value" -> "is_weekend", "hh" -> "et_error"))
+        .select(col("event_id"),
+          col("et_error").cast("long").as("et_error"),
+          col("et_purchase").cast("long").as("et_purchase"),
+          col("et_signup").cast("long").as("et_signup"),
+          col("et_view").cast("long").as("et_view"),
+          round(col("value_x_is_weekend"), 6).as("value_x_is_weekend"),
+          col("hh_x_et_error").cast("long").as("hh_x_et_error"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS et_error,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS et_purchase,
+                   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS et_signup,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS et_view,
+                   round(value * (CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END), 6) AS value_x_is_weekend,
+                   hour(ts) * (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS hh_x_et_error
+            FROM events ORDER BY event_id"""))
+
+  /** A5: oversampling — replicate the minority class ×5 (multiset parity;
+    * the reference's shuffle order is RNG noise, SURVEY.md §7 risk 2).
+    */
+  val qOversample = QDef(
+    (s, d) => Relational.oversample(
+        t(s, d, "events").filter(col("event_type") === "error"), 5)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) * 5 AS BIGINT) AS cnt
+            FROM events WHERE event_type = 'error'
+            GROUP BY event_type ORDER BY event_type"""))
+
+  // =====================================================================
   // Text analysis (training-data pipeline operators)
   // =====================================================================
 
@@ -600,6 +671,9 @@ object Queries {
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
     "q_regression_metrics" -> qRegressionMetrics,
+    "q_ols_coeffs" -> qOlsCoeffs,
+    "q_onehot_interactions" -> qOnehotInteractions,
+    "q_oversample" -> qOversample,
     "q_datetime_kit" -> qDatetimeKit,
     "q_cyclical" -> qCyclical,
     "q_log_transforms" -> qLogTransforms,

@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, Transformer}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+import graft.operators.Relational
+
+/** M4: the reference's SegmentedModel (SegmentedModeling.py:18-108) — a
+  * two-model dispatcher: an "event" model for holiday/heavy-snow rows and
+  * a "normal" model for everything else; prediction routes per-row on the
+  * event mask.
+  *
+  * Spark-first design: a custom MLlib [[Transformer]] holding two fitted
+  * [[PipelineModel]]s. `transform` runs both models (each a narrow
+  * map-stage over the same scan — Catalyst reuses the exchange) and
+  * selects per-row with `when(mask, event).otherwise(normal)`. No
+  * row-level branching UDF, no driver loop; the dispatch is one codegen'd
+  * conditional.
+  *
+  * The two inner pipelines are built with disjoint features/prediction
+  * column names so the second transform composes over the first's output.
+  */
+class SegmentedModel(
+    override val uid: String,
+    val normalModel: PipelineModel,
+    val eventModel: PipelineModel,
+    val maskCol: String,
+    val predictionCol: String = "prediction",
+    /** When set, predictions are expm1-inverted (the reference trains on
+      * log1p(Vol) and inverts at predict time, SegmentedModeling.py:108).
+      */
+    val expm1Inverse: Boolean = false)
+  extends Transformer {
+
+  def this(normalModel: PipelineModel, eventModel: PipelineModel, maskCol: String) =
+    this(Identifiable.randomUID("segmented"), normalModel, eventModel, maskCol)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val withNormal = normalModel.transform(ds)
+    val withBoth = eventModel.transform(withNormal)
+    val raw = when(SegmentedModel.truthy(col(maskCol)),
+        col(SegmentedModel.eventPredCol))
+      .otherwise(col(SegmentedModel.normalPredCol))
+    val pred = if (expm1Inverse) expm1(raw) else raw
+    withBoth.withColumn(predictionCol, pred)
+      .drop(SegmentedModel.normalPredCol, SegmentedModel.eventPredCol,
+        SegmentedModel.normalFeaturesCol, SegmentedModel.eventFeaturesCol)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(predictionCol, DoubleType))
+
+  override def copy(extra: ParamMap): SegmentedModel =
+    new SegmentedModel(uid, normalModel, eventModel, maskCol, predictionCol, expm1Inverse)
+}
+
+object SegmentedModel {
+  /** Mask truthiness for boolean OR 0/1 integer mask columns. */
+  private[ml] def truthy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(c.cast("boolean"), lit(false))
+
+  val normalPredCol = "__pred_normal"
+  val eventPredCol = "__pred_event"
+  val normalFeaturesCol = "__features_normal"
+  val eventFeaturesCol = "__features_event"
+
+  /** Fit the two-segment model the way the reference does
+    * (SegmentedModeling.py:66-90): partition train rows on the event
+    * mask; when events are rarer than `minEventFrac` of the train set,
+    * oversample them ×`oversampleK` (A5 — multiset parity, the pandas
+    * shuffle order is RNG noise); fit one GBT per segment.
+    *
+    * `buildPipeline(featuresCol, predictionCol)` constructs each inner
+    * pipeline so both use private column names and compose cleanly.
+    */
+  def fit(train: DataFrame, maskCol: String,
+      buildPipeline: (String, String) => Pipeline,
+      minEventFrac: Double = 0.10, oversampleK: Int = 5,
+      predictionCol: String = "prediction",
+      expm1Inverse: Boolean = false): SegmentedModel = {
+    val isEvent = truthy(col(maskCol))
+    val normalDf = train.filter(!isEvent)
+    val eventDf = train.filter(isEvent)
+    val counts = train.groupBy(isEvent.as("e")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nEvent = counts.getOrElse(true, 0L)
+    val nTotal = counts.values.sum
+    val eventTrain =
+      if (nTotal > 0 && nEvent.toDouble / nTotal < minEventFrac && nEvent > 0)
+        Relational.oversample(eventDf, oversampleK)
+      else eventDf
+    val normal = buildPipeline(normalFeaturesCol, normalPredCol).fit(normalDf)
+    val event = buildPipeline(eventFeaturesCol, eventPredCol)
+      .fit(if (nEvent > 0) eventTrain else normalDf)
+    new SegmentedModel(Identifiable.randomUID("segmented"), normal, event,
+      maskCol, predictionCol, expm1Inverse)
+  }
+}
