@@ -343,6 +343,160 @@ object Queries {
             FROM events ORDER BY event_id"""))
 
   // =====================================================================
+  // §2.6 geo: F16 CRS, F1/F2 WKT, F19/F20, §2.3 J3/J5/J6
+  // =====================================================================
+
+  /** Synthetic EPSG:2263-range point derived from an integer key — the
+    * same arithmetic is embedded in the oracle SQL, so WKT text, parsed
+    * coordinates, and reprojection all verify end-to-end.
+    */
+  private def synthXY(key: Column): (Column, Column) =
+    (lit(913175L) + (key * 7919L) % 154000L,
+      lit(120000L) + (key * 104729L) % 154000L)
+  private def synthXYSql(key: String): (String, String) =
+    (s"(913175 + ($key * 7919) % 154000)", s"(120000 + ($key * 104729) % 154000)")
+
+  /** F1/F2 + F16: WKT "POINT (x y)" parse then EPSG:2263→4326 inverse
+    * Lambert Conformal Conic — pure Column math, codegen'd, no UDF. The
+    * DuckDB oracle runs the identical unrolled formula (same constants,
+    * same fixed-depth latitude iteration).
+    */
+  val qWktReproject = QDef(
+    (s, d) => {
+      val (x, y) = synthXY(col("c_custkey"))
+      val wkt = concat(lit("POINT ("), x, lit(" "), y, lit(")"))
+      import graft.geo.{Crs, GeoOps}
+      t(s, d, "customer")
+        .select(col("c_custkey"), wkt.as("wkt"))
+        .select(col("c_custkey"),
+          GeoOps.wktPointX(col("wkt")).as("x_ft"),
+          GeoOps.wktPointY(col("wkt")).as("y_ft"))
+        .select(col("c_custkey"),
+          round(graft.geo.Crs.lon2263(col("x_ft"), col("y_ft")), 6).as("lon"),
+          round(graft.geo.Crs.lat2263(col("x_ft"), col("y_ft")), 6).as("lat"))
+        .orderBy("c_custkey")
+    },
+    Some {
+      val (xs, ys) = synthXYSql("c_custkey")
+      val wkt = s"'POINT (' || $xs || ' ' || $ys || ')'"
+      val xf = s"CAST(regexp_extract(wkt, 'POINT \\(([-0-9.Ee+]+) ([-0-9.Ee+]+)\\)', 1) AS DOUBLE)"
+      val yf = s"CAST(regexp_extract(wkt, 'POINT \\(([-0-9.Ee+]+) ([-0-9.Ee+]+)\\)', 2) AS DOUBLE)"
+      val (lonSql, latSql) = graft.geo.Crs.inverseSql(graft.geo.Crs.Epsg2263, "x_ft", "y_ft")
+      s"""WITH w AS (SELECT c_custkey, $wkt AS wkt FROM customer),
+          p AS (SELECT c_custkey, $xf AS x_ft, $yf AS y_ft FROM w)
+          SELECT c_custkey, round($lonSql, 6) AS lon, round($latSql, 6) AS lat
+          FROM p ORDER BY c_custkey"""
+    })
+
+  /** F19: GeoJSON Point-Feature assembly via to_json(struct(...)) —
+    * byte-identical serialization checked against DuckDB's json_object.
+    */
+  val qGeojsonFeatures = QDef(
+    (s, d) => {
+      val (x, y) = synthXY(col("c_custkey"))
+      import graft.geo.{Crs, GeoOps}
+      t(s, d, "customer")
+        .select(col("c_custkey"), x.cast("double").as("x_ft"), y.cast("double").as("y_ft"))
+        .select(col("c_custkey"),
+          GeoOps.pointFeature(
+            round(Crs.lon2263(col("x_ft"), col("y_ft")), 6),
+            round(Crs.lat2263(col("x_ft"), col("y_ft")), 6),
+            struct(col("c_custkey").as("custkey"))).as("feature"))
+        .orderBy("c_custkey")
+    },
+    Some {
+      val (xs, ys) = synthXYSql("c_custkey")
+      val (lonSql, latSql) = graft.geo.Crs.inverseSql(graft.geo.Crs.Epsg2263, "x_ft", "y_ft")
+      s"""WITH p AS (SELECT c_custkey, CAST($xs AS DOUBLE) AS x_ft, CAST($ys AS DOUBLE) AS y_ft FROM customer)
+          SELECT c_custkey,
+                 CAST(json_object('type', 'Feature',
+                   'geometry', json_object('type', 'Point',
+                     'coordinates', [round($lonSql, 6), round($latSql, 6)]),
+                   'properties', json_object('custkey', c_custkey)) AS VARCHAR) AS feature
+          FROM p ORDER BY c_custkey"""
+    })
+
+  /** F20: stringified-tuple key parse (regexp, never eval). */
+  val qTupleKeyParse = QDef(
+    (s, d) => {
+      import graft.geo.GeoOps
+      val key = concat(lit("('"), col("n_name"), lit("', '"), col("n_regionkey"),
+        lit("', '"), col("n_nationkey"), lit("')"))
+      t(s, d, "nation")
+        .select(col("n_nationkey"), key.as("k"))
+        .select(col("n_nationkey"),
+          GeoOps.tupleKeyPart(col("k"), 1).as("part_a"),
+          GeoOps.tupleKeyPart(col("k"), 3).as("part_c"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH k AS (SELECT n_nationkey,
+                   '(''' || n_name || ''', ''' || n_regionkey || ''', ''' || n_nationkey || ''')' AS k
+                 FROM nation)
+            SELECT n_nationkey,
+                   regexp_extract(k, '\(''([^'']*)'',\s*''([^'']*)'',\s*''([^'']*)''\)', 1) AS part_a,
+                   regexp_extract(k, '\(''([^'']*)'',\s*''([^'']*)'',\s*''([^'']*)''\)', 3) AS part_c
+            FROM k ORDER BY n_nationkey"""))
+
+  /** J5: exact nearest-neighbor join via grid bucketing + 3×3 neighborhood
+    * + guarded brute-force residual; the oracle brute-forces all pairs.
+    */
+  val qNearestNeighbor = QDef(
+    (s, d) => {
+      val (cx, cy) = synthXY(col("c_custkey"))
+      val (sx, sy) = (lit(913175L) + (col("s_suppkey") * 6151L) % 154000L,
+        lit(120000L) + (col("s_suppkey") * 9973L) % 154000L)
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), cx.cast("double").as("x"), cy.cast("double").as("y"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey"), sx.cast("double").as("x"), sy.cast("double").as("y"))
+      graft.geo.SpatialJoin.nearest(cust, "c_custkey", supp, "s_suppkey",
+          "x", "y", cellSize = 20000.0)
+        .select(col("c_custkey"), col("nearest_id"), col("dist_sq").cast("long").as("dist_sq"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey,
+                   CAST(913175 + (c_custkey * 7919) % 154000 AS DOUBLE) AS x,
+                   CAST(120000 + (c_custkey * 104729) % 154000 AS DOUBLE) AS y FROM customer),
+                 s AS (SELECT s_suppkey,
+                   CAST(913175 + (s_suppkey * 6151) % 154000 AS DOUBLE) AS x,
+                   CAST(120000 + (s_suppkey * 9973) % 154000 AS DOUBLE) AS y FROM supplier),
+                 p AS (SELECT c_custkey, s_suppkey,
+                   (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dsq
+                   FROM c CROSS JOIN s),
+                 r AS (SELECT c_custkey, s_suppkey, dsq,
+                   row_number() OVER (PARTITION BY c_custkey ORDER BY dsq, s_suppkey) AS rn
+                   FROM p)
+            SELECT c_custkey, s_suppkey AS nearest_id, CAST(dsq AS BIGINT) AS dist_sq
+            FROM r WHERE rn = 1 ORDER BY c_custkey"""))
+
+  /** J3: broadcast-dimension lookup join with fallback for misses. */
+  val qLookupJoin = QDef(
+    (s, d) => {
+      val dim = t(s, d, "nation").filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      Relational.lookupJoin(t(s, d, "customer"), dim, Seq("c_nationkey"),
+          Seq("n_name" -> lit("UNKNOWN")))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT coalesce(n.n_name, 'UNKNOWN') AS n_name, count(*) AS cnt
+            FROM customer c
+            LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 13) n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** J6: point-in-time exact-key lookup (single-row filter + project). */
+  val qPointLookup = QDef(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val k = o.agg(min("o_orderkey")).head().getLong(0)
+      o.filter(col("o_orderkey") === k)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""))
+
+  // =====================================================================
   // §2.8 ML (MLlib) — the solver-exact slice is oracle-checked
   // =====================================================================
 
@@ -671,6 +825,12 @@ object Queries {
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
     "q_regression_metrics" -> qRegressionMetrics,
+    "q_wkt_reproject" -> qWktReproject,
+    "q_geojson_features" -> qGeojsonFeatures,
+    "q_tuple_key_parse" -> qTupleKeyParse,
+    "q_nearest_neighbor" -> qNearestNeighbor,
+    "q_lookup_join" -> qLookupJoin,
+    "q_point_lookup" -> qPointLookup,
     "q_ols_coeffs" -> qOlsCoeffs,
     "q_onehot_interactions" -> qOnehotInteractions,
     "q_oversample" -> qOversample,

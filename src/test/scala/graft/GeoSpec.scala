@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.{Crs, GeoOps, Lcc2sp, SpatialJoin}
+
+/** §2.6 F16 CRS math, F1/F2 WKT parse, F20 tuple keys, §2.3 J5 nearest-
+  * neighbor join.
+  */
+class GeoSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("F16: LCC 2SP forward matches the published EPSG Guidance Note 7-2 worked example") {
+    // NAD27 / Texas South Central (Clarke 1866): the worked example in the
+    // public EPSG guidance — φ=28°30'N, λ=96°W → E=2963503.91 ftUS,
+    // N=254759.80 ftUS.
+    val tx = Lcc2sp(
+      a = 6378206.4, invf = 294.9786982139006,
+      phi1Deg = 28.0 + 23.0 / 60.0, phi2Deg = 30.0 + 17.0 / 60.0,
+      phiFDeg = 27.0 + 50.0 / 60.0, lamFDeg = -99.0,
+      falseEastingM = 2000000.0 * Crs.FtUs, falseNorthingM = 0.0)
+    val (e, n) = tx.forward(-96.0, 28.5)
+    assert(math.abs(e / Crs.FtUs - 2963503.91) < 0.05, s"E=${e / Crs.FtUs}")
+    assert(math.abs(n / Crs.FtUs - 254759.80) < 0.05, s"N=${n / Crs.FtUs}")
+    // and the inverse recovers the geographic point
+    val (lon, lat) = tx.inverse(e, n)
+    assert(math.abs(lon - -96.0) < 1e-9 && math.abs(lat - 28.5) < 1e-9)
+  }
+
+  test("F16: EPSG:2263 inverse lands NYC points in the NYC bbox") {
+    val (lon, lat) = Crs.Epsg2263.inverse(990000 * Crs.FtUs, 200000 * Crs.FtUs)
+    assert(lat > 40.6 && lat < 40.85, s"lat=$lat")
+    assert(lon > -74.1 && lon < -73.9, s"lon=$lon")
+  }
+
+  test("F16: forward∘inverse roundtrip identity across the NYC range") {
+    for (lon <- Seq(-74.25, -74.0, -73.7); lat <- Seq(40.5, 40.75, 40.95)) {
+      val (e, n) = Crs.Epsg2263.forward(lon, lat)
+      val (lon2, lat2) = Crs.Epsg2263.inverse(e, n)
+      assert(math.abs(lon - lon2) < 1e-10 && math.abs(lat - lat2) < 1e-10,
+        s"roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("F16: Column-expression inverse agrees with the Scala reference impl") {
+    val pts = Seq((913175.0, 120000.0), (990000.0, 200000.0), (1067000.0, 272000.0))
+    val got = pts.toDF("x", "y")
+      .select(Crs.lon2263($"x", $"y").as("lon"), Crs.lat2263($"x", $"y").as("lat"))
+      .collect()
+    pts.zip(got).foreach { case ((x, y), row) =>
+      val (lon, lat) = Crs.Epsg2263.inverse(x * Crs.FtUs, y * Crs.FtUs)
+      assert(math.abs(row.getDouble(0) - lon) < 1e-12)
+      assert(math.abs(row.getDouble(1) - lat) < 1e-12)
+    }
+  }
+
+  test("F1/F2: WKT point parse extracts coordinates; malformed -> null") {
+    val df = Seq("POINT (997572.4 184240.1)", "POINT (-73.9 40.7)", "garbage", "POINT ()")
+      .toDF("wkt")
+      .select(GeoOps.wktPointX($"wkt").as("x"), GeoOps.wktPointY($"wkt").as("y"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 997572.4 && rows(0).getDouble(1) == 184240.1)
+    assert(rows(1).getDouble(0) == -73.9 && rows(1).getDouble(1) == 40.7)
+    assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
+  }
+
+  test("F20: stringified tuple key parses into 3 parts without eval") {
+    val df = Seq("('BROADWAY', 'W 43 ST', 'W 44 ST')").toDF("k").select(
+      GeoOps.tupleKeyPart($"k", 1).as("a"),
+      GeoOps.tupleKeyPart($"k", 2).as("b"),
+      GeoOps.tupleKeyPart($"k", 3).as("c"))
+    val r = df.head()
+    assert(r.getString(0) == "BROADWAY" && r.getString(1) == "W 43 ST" && r.getString(2) == "W 44 ST")
+  }
+
+  test("J5: grid nearest-neighbor matches brute force, incl. fallback rows") {
+    // Deterministic scattered points; one isolated left point exercises
+    // the out-of-neighborhood brute-force fallback.
+    val rng = new scala.util.Random(42)
+    val rightPts = (1 to 30).map(i => (i.toLong, rng.nextDouble() * 1000, rng.nextDouble() * 1000))
+    val leftPts = (1 to 200).map(i => (i.toLong, rng.nextDouble() * 1000, rng.nextDouble() * 1000)) :+
+      (999L, 50000.0, 50000.0) // far outside every right cell neighborhood
+    val left = leftPts.toDF("id", "x", "y")
+    val right = rightPts.toDF("id", "x", "y")
+
+    val got = SpatialJoin.nearest(left, "id", right, "id", "x", "y", cellSize = 100.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(got.size == leftPts.size)
+    leftPts.foreach { case (lid, lx, ly) =>
+      val (bid, bd) = rightPts.map { case (rid, rx, ry) =>
+        (rid, (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
+      }.minBy { case (rid, d) => (d, rid) }
+      assert(got(lid)._1 == bid, s"left $lid: got ${got(lid)}, want ($bid,$bd)")
+      assert(math.abs(got(lid)._2 - bd) < 1e-6)
+    }
+  }
+
+  test("J5: equidistant tie breaks to the lower right id") {
+    val left = Seq((1L, 0.0, 0.0)).toDF("id", "x", "y")
+    val right = Seq((7L, 10.0, 0.0), (3L, -10.0, 0.0)).toDF("id", "x", "y")
+    val r = SpatialJoin.nearest(left, "id", right, "id", "x", "y", 50.0).head()
+    assert(r.getLong(1) == 3L)
+  }
+}
