@@ -343,6 +343,25 @@ object Queries {
             FROM events ORDER BY event_id"""))
 
   // =====================================================================
+  // §2.7 streaming: batch-equivalent windowed aggregation
+  // =====================================================================
+
+  /** T3: a real Structured Streaming query (file source → watermark →
+    * windowed agg → AvailableNow → memory sink) whose result is checked
+    * against the batch oracle — streaming/batch semantic parity is the
+    * correctness claim.
+    */
+  val qStreamHourlyAgg = QDef(
+    (s, d) => graft.streaming.Streams
+      .hourlyAggAvailableNow(s, d, "q_stream_hourly")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // =====================================================================
   // §2.6 geo: F16 CRS, F1/F2 WKT, F19/F20, §2.3 J3/J5/J6
   // =====================================================================
 
@@ -825,6 +844,7 @@ object Queries {
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
     "q_regression_metrics" -> qRegressionMetrics,
+    "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_wkt_reproject" -> qWktReproject,
     "q_geojson_features" -> qGeojsonFeatures,
     "q_tuple_key_parse" -> qTupleKeyParse,

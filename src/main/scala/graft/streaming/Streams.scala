@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice (SURVEY.md §2.7 T1-T3).
+  *
+  * The reference has no stream processor — its incremental patterns are a
+  * chunked CSV loop (T1), a checkpointed REST-ingestion script with
+  * per-response CSV appends (T2, scripts/enrich_weather.py:170-183), and
+  * precomputed trailing features served point-in-time (T3,
+  * main.py:278-310). Spark-first mappings:
+  *
+  *  - T1/T2 → file-source `readStream` + `foreachBatch` with a
+  *    checkpointLocation: exactly-once incremental append without the
+  *    hand-rolled progress log.
+  *  - T3 → either windowed aggregation with a watermark, or
+  *    `flatMapGroupsWithState` keeping a per-key trailing buffer — the
+  *    online twin of the batch window in [[graft.windows.TrailingFeatures]].
+  *
+  * State scale: per-key state is O(window width) doubles; keys partition
+  * across executors by hash — 100 M keys at w=24 is ~20 GB cluster-wide,
+  * well within state-store territory (RocksDB-backed in production confs).
+  */
+object Streams {
+
+  /** events.parquet schema under `nanosAsLong` (the test tables carry
+    * TIMESTAMP(NANOS), which Spark reads as long when the legacy conf is
+    * set — see [[graft.sources.Tables.events]]).
+    */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source, micro-batched). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsNanosSchema)
+      .option("pathGlobFilter", "events.parquet") // the table is a single file; the stream source needs a directory
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** T3 (windowed): hourly per-type aggregate over a stream, with a
+    * 1-hour watermark bounding state. Complete output mode so a single
+    * AvailableNow pass over historical files yields the full result
+    * (batch-equivalent semantics — oracle-checked in q_stream_hourly_agg).
+    */
+  def hourlyAggAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "stream_hourly"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** T2: checkpointed incremental ingestion — every new source file is
+    * appended to `destDir` exactly once; re-running with the same
+    * checkpoint is a no-op (the reference's requests-cache + progress-log
+    * idempotence, enrich_weather.py:21-23,170-183).
+    */
+  def ingestAvailableNow(spark: SparkSession, srcGlob: String,
+      schema: StructType, destDir: String, checkpointDir: String,
+      format: String = "parquet"): Unit = {
+    val q = spark.readStream.schema(schema).format(format).load(srcGlob)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(destDir): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // -- T3 (stateful): per-key trailing features online ---------------------
+
+  case class Ev(k: String, t: Long, v: Double)
+  case class EvOut(k: String, t: Long, v: Double,
+    lag1: Option[Double], roll3: Option[Double])
+  case class TrailState(recent: List[Double])
+
+  /** Online lag-1 + trailing-exclusive 3-mean per key — the streaming twin
+    * of TrailingFeatures (batch window A3/A4): at each row, features are
+    * computed from the state BEFORE appending the row (frame [t-3, t-1]).
+    * Rows within a micro-batch are folded in (t, v) order for determinism.
+    */
+  def trailingOnline(ds: Dataset[Ev]): Dataset[EvOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[Ev], state: GroupState[TrailState]) => {
+          var recent = state.getOption.map(_.recent).getOrElse(Nil) // newest first
+          val out = rows.toSeq.sortBy(e => (e.t, e.v)).map { e =>
+            val lag1 = recent.headOption
+            val w = recent.take(3)
+            val roll3 = if (w.isEmpty) None else Some(w.sum / w.size)
+            recent = (e.v :: recent).take(24)
+            EvOut(key, e.t, e.v, lag1, roll3)
+          }
+          state.update(TrailState(recent))
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, EvOut}
+import graft.windows.TrailingFeatures
+
+/** §2.7 streaming semantics: batch-equivalence of the windowed aggregate,
+  * exactly-once checkpointed ingestion, and online-vs-batch parity of the
+  * stateful trailing features.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("T3 windowed: streaming hourly aggregate equals the batch plan") {
+    val streamed = Streams.hourlyAggAvailableNow(spark, dir, "t3_hourly")
+      .orderBy("hour", "event_type").collect()
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .orderBy("hour", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("T2 foreachBatch ingestion is exactly-once across restarts") {
+    val src = Files.createTempDirectory("graft-src").toString
+    val dest = Files.createTempDirectory("graft-dest").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+
+    (1L to 5L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    Streams.ingestAvailableNow(spark, src, schema, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 5)
+
+    // restart with no new files: nothing re-ingested
+    Streams.ingestAvailableNow(spark, src, schema, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 5)
+
+    // a new file arrives: only it is appended
+    (6L to 8L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    Streams.ingestAvailableNow(spark, src, schema, dest, ckpt)
+    assert(spark.read.parquet(dest).count() == 8)
+    assert(spark.read.parquet(dest).agg(sum("id")).head().getLong(0) == 36)
+  }
+
+  test("T3 stateful: online trailing features match the batch window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = Streams.trailingOnline(input.toDS())
+    val q = out.writeStream.format("memory").queryName("t3_trailing")
+      .outputMode(OutputMode.Append()).start()
+
+    // two micro-batches per key — state must carry across batches
+    input.addData(Ev("a", 1, 10.0), Ev("a", 2, 20.0), Ev("b", 1, 5.0))
+    q.processAllAvailable()
+    input.addData(Ev("a", 3, 30.0), Ev("a", 4, 40.0), Ev("b", 2, 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val online = spark.table("t3_trailing").as[EvOut].collect()
+      .map(e => (e.k, e.t) -> (e.lag1, e.roll3)).toMap
+
+    val batch = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+        ("b", 1L, 5.0), ("b", 2L, 7.0)).toDF("k", "t", "v")
+      .select(col("k"), col("t"),
+        TrailingFeatures.groupedLag(col("v"), 1, Seq("k"), Seq("t")).as("lag1"),
+        TrailingFeatures.trailingMean(col("v"), 3, Seq("k"), Seq("t")).as("roll3"))
+      .collect()
+
+    assert(online.size == 6)
+    batch.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val lag1 = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val roll3 = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(online(key)._1 == lag1, s"$key lag1")
+      assert(online(key)._2.map(x => math.round(x * 1e9)) == roll3.map(x => math.round(x * 1e9)), s"$key roll3")
+    }
+  }
+
+  test("watermark drops late rows beyond the threshold in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:55:00"), 2.0))
+    q.processAllAvailable()
+    // advance event time far past the 10:00 window + watermark -> closes it
+    input.addData((ts("2024-01-01 12:30:00"), 3.0))
+    q.processAllAvailable()
+    // this row is >10 min late relative to the max event time: dropped
+    input.addData((ts("2024-01-01 10:10:00"), 4.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 14:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_test")
+      .select(col("w.start").cast("string"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L) // late row 4.0 NOT counted
+  }
+}
