@@ -343,6 +343,136 @@ object Queries {
             FROM events ORDER BY event_id"""))
 
   // =====================================================================
+  // Multimodal (binary payload + typed metadata; stubbed decode)
+  // =====================================================================
+
+  /** Binary-payload decode plumbing: text→bytes as the stand-in payload,
+    * typed-Dataset mapPartitions batch decode (STUB byte-fold — see
+    * [[graft.operators.Multimodal]]), feature schema out. The byte-exact
+    * oracle works because the fixture text is pure ASCII.
+    */
+  val qMultimodalDecode = QDef(
+    (s, d) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .asMedia(t(s, d, "documents"), "doc_id", "text")
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.decodeFeatures(media, frameStride = 16)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          col("head_hex"), col("frame_sum"), col("n_sampled").cast("long").as("n_sampled"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS byte_sum,
+                   lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex,
+                   CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1, 16),
+                        i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS frame_sum,
+                   CAST(len(range(1, length(text) + 1, 16)) AS BIGINT) AS n_sampled
+            FROM documents ORDER BY doc_id"""))
+
+  // =====================================================================
+  // Spark-free extras exposed for the harness: semi/anti, rollup,
+  // multi-agg, decimal rounding, distinct counting
+  // =====================================================================
+
+  /** Left-semi / left-anti joins (absent from the reference; free from
+    * Spark — SURVEY.md §2.3 note).
+    */
+  val qSemiAntiJoin = QDef(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey").as("o_orderkey"))
+      val semi = o.join(big, Seq("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).select(lit("semi").as("kind"), col("cnt"))
+      val anti = o.join(big, Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).select(lit("anti").as("kind"), col("cnt"))
+      semi.unionByName(anti).orderBy("kind")
+    },
+    Some("""WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 49)
+            SELECT 'semi' AS kind, count(*) AS cnt FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+            UNION ALL
+            SELECT 'anti' AS kind, count(*) AS cnt FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
+            ORDER BY kind"""))
+
+  /** Rollup (hierarchical grouping sets) with subtotal rows surfaced via
+    * coalesce so both engines order identically.
+    */
+  val qRollup = QDef(
+    (s, d) => t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority"),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  /** Multi-function grouped aggregate (sum/avg/min/max/count/stddev). */
+  val qMultiAgg = QDef(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+                   count(*) AS n,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** F17: decimal rounding — `round(x, 2)` (half-away, both engines) and
+    * a DECIMAL(18,2) quantize cast. The reference's ROUND_05UP mode has
+    * no SQL twin; documented deviation (SURVEY.md §1.2).
+    */
+  val qRoundDecimal = QDef(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 0.0137, 2).as("r2"),
+        col("l_extendedprice").cast("decimal(18,2)").as("q2"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * 0.0137, 2) AS r2,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS q2
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Exact distinct counting per group (the oracle-checkable half of
+    * cardinality estimation).
+    */
+  val qCountDistinct = QDef(
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** HLL approximate distinct: engine-specific sketches → no value-level
+    * oracle (rows-only check); the unit spec bounds the error vs exact.
+    */
+  val qApproxDistinct = QDef(
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy("event_type"),
+    None)
+
+  // =====================================================================
   // §2.7 streaming: batch-equivalent windowed aggregation
   // =====================================================================
 
@@ -844,6 +974,13 @@ object Queries {
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
     "q_regression_metrics" -> qRegressionMetrics,
+    "q_multimodal_decode" -> qMultimodalDecode,
+    "q_semi_anti_join" -> qSemiAntiJoin,
+    "q_rollup" -> qRollup,
+    "q_multi_agg" -> qMultiAgg,
+    "q_round_decimal" -> qRoundDecimal,
+    "q_count_distinct" -> qCountDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_wkt_reproject" -> qWktReproject,
     "q_geojson_features" -> qGeojsonFeatures,
