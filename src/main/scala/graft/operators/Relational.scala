@@ -27,7 +27,7 @@ object Relational {
     * `pd.to_numeric(errors="coerce")`
     * (scripts/convert_traffic_csv_to_geojson_point.py:12).
     */
-  def safeNumeric(c: Column): Column = c.cast("double")
+  def safeNumeric(c: Column): Column = c.try_cast("double")
 
   /** P14/M6: deterministic temporal 80/20 split. The reference sorts by
     * time then slices positionally (`iloc[:int(len*0.8)]`,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Models
+import graft.pipelines.{DomainFixtures, GeoPipeline, ServingPipeline, TrainingPipeline}
+
+/** E1/E2/E3 end-to-end pipeline compositions over the synthetic domain
+  * fixtures (FIXTURES.md §B) — the reference's three entry points.
+  */
+class PipelinesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val nHours = 24 * 30 // one synthetic month
+
+  test("E1 feature table: fan-out join multiplies rows; features populated") {
+    val traffic = DomainFixtures.traffic(spark, nHours)
+    val weather = DomainFixtures.weather(spark, nHours)
+    val feat = TrainingPipeline.featureTable(traffic, weather)
+    val n = feat.count()
+    assert(n > 0)
+    // fan-out: each traffic row matches 10 weather points (2/borough × 5)
+    val tRows = traffic.dropDuplicates()
+      .filter(col("Vol").try_cast("double").isNotNull).count()
+    assert(n > tRows * 5, s"fanout missing: feat=$n traffic=$tRows")
+    // event stripe present (heavy-snow window in the fixture)
+    assert(feat.filter(col("is_event") === 1).count() > 0)
+    // no nulls in any feature column after dropna
+    TrainingPipeline.featureCols.foreach { c =>
+      assert(feat.filter(col(c).isNull).count() == 0, s"nulls in $c")
+    }
+  }
+
+  test("E1 run: segmented GBT trains and beats the trivial predictor") {
+    val traffic = DomainFixtures.traffic(spark, nHours)
+    val weather = DomainFixtures.weather(spark, nHours)
+    val res = TrainingPipeline.run(spark, traffic, weather, gbtIter = 10)
+    // synthetic Vol is arithmetic (id*37 % 400): not truly learnable to
+    // high R2, but the pipeline must produce finite metrics and a model
+    // that predicts positive volumes after expm1
+    assert(!res.r2.isNaN && !res.mae.isNaN && !res.mape.isNaN)
+    assert(res.mae > 0)
+  }
+
+  test("E2 serving: registry dispatch + single-row predict") {
+    val df = (0 until 500).map { i =>
+      val r = ServingPipeline.PredictRequest(
+        math.sin(i), math.cos(i), math.sin(i / 7.0), math.cos(i / 7.0),
+        math.sin(i / 12.0), math.cos(i / 12.0),
+        (i % 50).toDouble, (i % 30).toDouble, (i % 20).toDouble)
+      (r, math.log1p(2.0 * (i % 50) + (i % 30) + 1.0))
+    }.toDF("req", "label").select(col("req.*"), col("label"))
+    val cols = Seq("hour_sin", "hour_cos", "wd_sin", "wd_cos", "month_sin",
+      "month_cos", "vol_lag_1", "vol_roll_3", "vol_roll_24")
+    val model = Models.ols(cols, "label").fit(df)
+    val reg = ServingPipeline.registry("linear" -> model)
+
+    val pred = ServingPipeline.predict(spark, reg, "linear",
+      ServingPipeline.PredictRequest(0.5, 0.5, 0.1, 0.9, 0.2, 0.8, 25.0, 15.0, 10.0),
+      expm1Inverse = true)
+    assert(pred > 0 && !pred.isNaN)
+    assertThrows[NoSuchElementException] {
+      ServingPipeline.predict(spark, reg, "nope",
+        ServingPipeline.PredictRequest(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    }
+  }
+
+  test("E3 build + filter: WKT→lon/lat→Feature JSON; filter is case-insensitive, year-scoped") {
+    val traffic = DomainFixtures.traffic(spark, nHours)
+    val feats = GeoPipeline.buildFeatures(traffic).cache()
+    try {
+      // coordinates land in the NYC bbox
+      val bad = feats.filter(col("lat") < 40.4 || col("lat") > 41.1 ||
+        col("lon") < -74.5 || col("lon") > -73.4).count()
+      assert(bad == 0)
+      // feature JSON is well-formed GeoJSON
+      val f = feats.select("feature").head().getString(0)
+      assert(f.startsWith("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""))
+      assert(f.contains(""""properties":{"RequestID":"""))
+      // filter: case-insensitive borough + year
+      val manhattan = GeoPipeline.filterFeatures(feats, "mAnHaTtAn", 2024).count()
+      assert(manhattan > 0)
+      assert(GeoPipeline.filterFeatures(feats, "manhattan", 1999).count() == 0)
+      assert(GeoPipeline.filterFeatures(feats, "atlantis", 2024).count() == 0)
+    } finally { feats.unpersist(); () }
+  }
+
+  test("E3 volume colors match the reference thresholds") {
+    val got = Seq(25.0, 15.0, 7.0, 2.0).toDF("v")
+      .select(GeoPipeline.volumeColor(col("v")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("red", "orange", "yellow", "green"))
+  }
+}
