@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** §2.1 source/sink operators + P9 null fill + LSH ANN recall. */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  test("S1/S5/S7: CSV sink then glob scan roundtrips (fixed schema, header)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Tables.writeCsv(df.coalesce(1), s"$dir/part1")
+    Tables.writeCsv(Seq((3L, "c", 3.5)).toDF("id", "name", "v").coalesce(1), s"$dir/part2")
+    val back = Tables.csv(spark, s"$dir/part*", schema) // S5 glob
+    assert(back.count() == 3)
+    assert(back.agg(sum("id")).head().getLong(0) == 6L)
+    assert(back.schema == schema) // S3: type-at-scan from fixed schema
+  }
+
+  test("S8: idempotent sink skips existing target (SaveMode.Ignore)") {
+    val dir = Files.createTempDirectory("graft-ign").toString + "/out"
+    Tables.writeCsvIfAbsent(Seq((1L, "x", 0.0)).toDF("id", "name", "v").coalesce(1), dir)
+    // second write with different data must be a no-op
+    Tables.writeCsvIfAbsent(Seq((99L, "y", 9.9), (98L, "z", 8.8))
+      .toDF("id", "name", "v").coalesce(1), dir)
+    val back = Tables.csv(spark, dir, schema)
+    assert(back.count() == 1 && back.head().getLong(0) == 1L)
+  }
+
+  test("S9: multiLine GeoJSON scan explodes features[]") {
+    val dir = Files.createTempDirectory("graft-gj").toString
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[-73.98,40.75]},
+       "properties":{"RequestID":1,"Borough":"Manhattan"}},
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[-73.95,40.65]},
+       "properties":{"RequestID":2,"Borough":"Brooklyn"}}]}"""
+    Files.writeString(java.nio.file.Path.of(dir, "fc.json"), gj)
+    val feats = Tables.geojsonFeatures(spark, s"$dir/fc.json")
+    assert(feats.count() == 2)
+    val r = feats.select(col("properties.Borough"),
+      col("geometry.coordinates").getItem(0)).orderBy(col("properties.RequestID")).head()
+    assert(r.getString(0) == "Manhattan" && math.abs(r.getDouble(1) - -73.98) < 1e-9)
+  }
+
+  test("S10: GeoJSON JSONL sink writes one feature per line") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val feats = Seq((1L, -73.98, 40.75), (2L, -73.95, 40.65)).toDF("id", "lon", "lat")
+      .select(graft.geo.GeoOps.pointFeature(col("lon"), col("lat"),
+        struct(col("id").as("RequestID"))).as("feature"))
+    Tables.writeGeoJsonLines(feats.coalesce(1), dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length == 2)
+    assert(lines.forall(l => l.startsWith("""{"type":"Feature"""") && !l.contains("\n")))
+  }
+
+  test("P9: null fill per column") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (null, "b")).toDF("a", "b")
+    val filled = df.na.fill(Map("a" -> 0L, "b" -> ""))
+    val rows = filled.orderBy(col("a")).collect()
+    assert(rows(0).getLong(0) == 0L && rows(0).getString(1) == "b")
+    assert(rows(1).getLong(0) == 1L && rows(1).getString(1) == "")
+  }
+
+  test("LSH ANN recall vs brute-force top-k on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        nPlanes = 4, dim = 64, nTables = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall — LSH candidates should overlap brute top-k")
+    // candidate generation must prune the corpus (it's approximate, not all-pairs)
+    assert(lsh.nonEmpty)
+  }
+}
