@@ -887,15 +887,19 @@ object Queries {
           SELECT doc_id, $sig AS simhash FROM votes ORDER BY doc_id"""
     })
 
-  /** n-gram Jaccard near-dup pairs via shingle inverted-index join. */
+  /** n-gram Jaccard near-dup pairs via shingle inverted index. n=3: word
+    * trigrams — discriminative even over a small vocabulary (2-grams on
+    * the fixture's ~30-word vocab are stop-shingles with df in the
+    * hundreds, blowing the candidate set up 26× for no signal).
+    */
   val qNgramJaccardPairs = QDef(
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 2, threshold = 0.05)
+        n = 3, threshold = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b"),
     Some {
       val toks = toksSql("text")
-      val sh = shinglesSql("toks", 2)
+      val sh = shinglesSql("toks", 3)
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
           s AS (SELECT doc_id, list_distinct($sh) AS sh FROM t),
           sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),

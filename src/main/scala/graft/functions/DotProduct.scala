@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd dot product of two `array<double>` columns.
+  *
+  * The generic alternative (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * goes through interpreted higher-order-function machinery — per-element
+  * closure dispatch and intermediate array allocation — which dominates
+  * the embedding-similarity operators (millions of 64-dim pairs). This
+  * expression compiles to a tight primitive loop inside whole-stage
+  * codegen: no allocation, no virtual calls.
+  *
+  * Accumulation is left-to-right, exactly like the sequential fold and
+  * DuckDB's `list_dot_product`, so results are bit-identical to the
+  * generic path and the oracle. Null elements are not supported (embedding
+  * arrays are dense by construction); a null array yields null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's custom expressions. */
+object GraftFunctions {
+
+  /** Idempotently register `graft_dot` in the session's function registry
+    * (the supported path for wiring a custom Catalyst Expression into the
+    * Column API without touching Spark internals).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+
+  /** Codegen'd dot product (requires [[register]] on the session). */
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -45,13 +45,33 @@ object Dedup {
       s"mh_$i" -> array_min(transform(shingles, s => Hashing.permute(Hashing.h60(s), a, b)))
     }
 
+  /** Minhash columns over a PRE-HASHED (mod-p-reduced) shingle array —
+    * md5 runs once per shingle, each permutation is then two integer ops.
+    * `(a·(h mod p) + b) mod p` with h already reduced ≡
+    * [[Hashing.permute]] on the raw hash, so results are identical to
+    * [[minhashCols]].
+    */
+  private def minhashColsHashed(hashes: Column, k: Int): Seq[(String, Column)] =
+    Hashing.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"mh_$i" -> array_min(transform(hashes,
+        h => (lit(a) * h + lit(b)) % Hashing.MinhashPrime))
+    }
+
   /** Attach minhash signature columns to `df` over word `n`-gram shingles
-    * of `textCol`.
+    * of `textCol`. The tokenize→shingle→md5 pipeline (the expensive,
+    * interpreted higher-order part) is materialized into one intermediate
+    * column so it runs ONCE, not once per permutation.
     */
   def withMinhash(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 12): DataFrame = {
-    val sh = TextOps.wordShingles(col(textCol), n)
-    minhashCols(sh, k).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    val hashed = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__shh",
+        transform(TextOps.wordShinglesFromTokens(col("__toks"), n),
+          s => Hashing.h60(s) % Hashing.MinhashPrime))
+    minhashColsHashed(col("__shh"), k)
+      .foldLeft(hashed) { case (d, (name, c)) => d.withColumn(name, c) }
+      .drop("__toks", "__shh")
   }
 
   /** LSH banding: hash each band of `rowsPerBand` consecutive signature
@@ -77,11 +97,18 @@ object Dedup {
       n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
     val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, idCol, n, k)
     val buckets = lshBuckets(sig, idCol, k, rowsPerBand)
-    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Pair generation WITHOUT a self-join: a self-join would re-run the
+    // whole signature pipeline on both sides (no exchange reuse across
+    // differently-aliased branches). One groupBy materializes each bucket
+    // once; pairs come from a per-bucket double-explode — O(Σ bucket²)
+    // generated rows, the same as the join's output, at half the compute.
+    buckets.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("p", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("p") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
   }
 
   /** SimHash: 60-bit locality-sensitive signature. For each bit j, sum
@@ -109,9 +136,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val shingled = df.select(
-      col(idCol),
-      array_distinct(TextOps.wordShingles(col(textCol), n)).as("sh"))
+    val shingled = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol),
+        array_distinct(TextOps.wordShinglesFromTokens(col("__toks"), n)).as("sh"))
     val sizes = shingled.select(col(idCol), size(col("sh")).as("n_sh"))
     var inv = shingled
       .select(col(idCol), explode(col("sh")).as("shingle"))
@@ -120,9 +148,18 @@ object Dedup {
       val hot = inv.groupBy("sh_h").count().filter(col("count") > cap).select("sh_h")
       inv = inv.join(hot, Seq("sh_h"), "left_anti")
     }
-    val a = inv.select(col(idCol).as("id_a"), col("sh_h"))
-    val b = inv.select(col(idCol).as("id_b"), col("sh_h"))
-    val inter = a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
+    // Intersection counting without the inverted-index self-join (which
+    // would tokenize+hash both sides): one groupBy builds each posting
+    // list once (sorted, so positional pairing gives id_a < id_b);
+    // ordered pairs come from posexplode + slice — pure codegen
+    // generators, no per-element lambda. Row count equals the join's
+    // surviving half.
+    val inter = inv.groupBy("sh_h")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("p", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("p") + lit(2), size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val sb = sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b"))

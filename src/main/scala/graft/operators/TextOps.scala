@@ -23,17 +23,35 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles as space-joined strings; empty array when the
-    * document has fewer than n tokens. (`sequence` would generate a
-    * DESCENDING range if size-n+1 < 1 — hence the guard.)
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array
+    * column; empty array when the document has fewer than n tokens.
+    * (`sequence` would generate a DESCENDING range if size-n+1 < 1 —
+    * hence the guard.)
+    *
+    * `toks` must be a plain column reference (e.g. from
+    * `withColumn("toks", tokens(text))`), not an inline expression: the
+    * lambda body re-evaluates its subtree per element, so an embedded
+    * regex `split` would run O(tokens²) per document — measured 10×+ on
+    * the shingling-heavy dedup operators.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
+    // n shifted slices zipped, lambda only concats struct fields: the
+    // slices evaluate ONCE per row. The naive form (slice(toks, i, n)
+    // inside the lambda) re-slices per element — measured 5× slower on
+    // the dedup operators at sf0.1.
+    val zs = arrays_zip((1 to n).map(i =>
+      slice(toks, lit(i), size(toks) - lit(n - 1))): _*)
     when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))
+      transform(zs, s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*))
     ).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles straight from text — convenience form for
+    * one-shot use; hot paths should materialize [[tokens]] first and call
+    * [[wordShinglesFromTokens]] (see its scaladoc).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
