@@ -515,14 +515,14 @@ object Queries {
       val (x, y) = synthXY(col("c_custkey"))
       val wkt = concat(lit("POINT ("), x, lit(" "), y, lit(")"))
       import graft.geo.{Crs, GeoOps}
-      t(s, d, "customer")
+      val parsed = t(s, d, "customer")
         .select(col("c_custkey"), wkt.as("wkt"))
         .select(col("c_custkey"),
           GeoOps.wktPointX(col("wkt")).as("x_ft"),
           GeoOps.wktPointY(col("wkt")).as("y_ft"))
+      graft.geo.Crs.withLonLat(parsed, col("x_ft"), col("y_ft"))
         .select(col("c_custkey"),
-          round(graft.geo.Crs.lon2263(col("x_ft"), col("y_ft")), 6).as("lon"),
-          round(graft.geo.Crs.lat2263(col("x_ft"), col("y_ft")), 6).as("lat"))
+          round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
         .orderBy("c_custkey")
     },
     Some {
@@ -544,12 +544,11 @@ object Queries {
     (s, d) => {
       val (x, y) = synthXY(col("c_custkey"))
       import graft.geo.{Crs, GeoOps}
-      t(s, d, "customer")
+      val pts = t(s, d, "customer")
         .select(col("c_custkey"), x.cast("double").as("x_ft"), y.cast("double").as("y_ft"))
+      Crs.withLonLat(pts, col("x_ft"), col("y_ft"))
         .select(col("c_custkey"),
-          GeoOps.pointFeature(
-            round(Crs.lon2263(col("x_ft"), col("y_ft")), 6),
-            round(Crs.lat2263(col("x_ft"), col("y_ft")), 6),
+          GeoOps.pointFeature(round(col("lon"), 6), round(col("lat"), 6),
             struct(col("c_custkey").as("custkey"))).as("feature"))
         .orderBy("c_custkey")
     },

@@ -25,12 +25,13 @@ object GeoPipeline {
   def buildFeatures(traffic: DataFrame): DataFrame = {
     val x = GeoOps.wktPointX(col("WktGeom"))
     val y = GeoOps.wktPointY(col("WktGeom"))
-    traffic
+    val base = traffic
       .withColumn("vol", graft.operators.Relational.safeNumeric(col("Vol")))
       .withColumn("ts", make_timestamp(
         col("Yr"), col("M"), col("D"), col("HH"), lit(0), lit(0)))
-      .withColumn("lon", round(Crs.lon2263(x, y), 6))
-      .withColumn("lat", round(Crs.lat2263(x, y), 6))
+    Crs.withLonLat(base, x, y)
+      .withColumn("lon", round(col("lon"), 6))
+      .withColumn("lat", round(col("lat"), 6))
       .filter(col("lon").isNotNull && col("lat").isNotNull)
       .withColumn("feature", GeoOps.pointFeature(col("lon"), col("lat"),
         struct(col("RequestID").as("RequestID"),
