@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DateTimeKit, GraftFunctions, Hashing}
+import graft.operators.{Relational, TextOps}
+import graft.windows.TrailingFeatures
+
+/** Property-style checks (SURVEY.md §5c): algebraic invariants of the
+  * scalar kit verified over seeded random inputs against plain-Scala
+  * reference computations.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("cyclical encodings are bounded and satisfy sin²+cos²=1") {
+    val ts = (1 to 300).map(_ => new java.sql.Timestamp(
+      1577836800000L + (rng.nextDouble() * 4 * 365.25 * 86400000L).toLong))
+    val feats = DateTimeKit.cyclicalFeatures(col("t"))
+    val df = ts.toDF("t").select(feats.map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect()
+    rows.foreach { r =>
+      (0 until r.length).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-12))
+      Seq(0, 2, 4).foreach { i => // (sin,cos) pairs
+        val s2c2 = r.getDouble(i) * r.getDouble(i) + r.getDouble(i + 1) * r.getDouble(i + 1)
+        assert(math.abs(s2c2 - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("expm1(log1p(x)) == x for non-negative volumes") {
+    val xs = (1 to 500).map(_ => rng.nextDouble() * 1e6)
+    val got = xs.toDF("x").select(expm1(log1p(col("x"))).as("y")).collect().map(_.getDouble(0))
+    xs.zip(got).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, x))
+    }
+  }
+
+  test("temporal split flag: exactly ceil(n*frac) train rows for random n/frac") {
+    for (_ <- 1 to 8) {
+      val n = 1 + rng.nextInt(400)
+      val frac = 0.1 + rng.nextDouble() * 0.8
+      val df = (1 to n).map(i => (i, i * 2)).toDF("t", "v")
+      val train = Relational.temporalSplitFlag(df, Seq("t"), frac)
+        .filter(col("is_train") === 1).count()
+      assert(train == math.ceil(n * frac).toLong, s"n=$n frac=$frac")
+    }
+  }
+
+  test("trailing mean equals hand-computed [t-w, t-1] mean on random series") {
+    val vals = (1 to 200).map(i => (i, rng.nextDouble() * 100))
+    val got = vals.toDF("t", "v")
+      .select(col("t"), TrailingFeatures.trailingMean(col("v"), 5, Seq(), Seq("t")).as("m"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    vals.foreach { case (t, _) =>
+      val window = vals.filter { case (u, _) => u >= t - 5 && u <= t - 1 }.map(_._2)
+      val want = if (window.isEmpty) None else Some(window.sum / window.size)
+      (got(t), want) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"t=$t")
+        case (a, b) => assert(a == b, s"t=$t")
+      }
+    }
+  }
+
+  test("h60 is stable across partitionings and matches a local md5 computation") {
+    val words = (1 to 100).map(_ => rng.alphanumeric.take(1 + rng.nextInt(20)).mkString)
+    def local(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    for (parts <- Seq(1, 7)) {
+      val got = words.toDF("w").repartition(parts)
+        .select(col("w"), Hashing.h60(col("w")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      words.foreach(w => assert(got(w) == local(w), s"w=$w"))
+    }
+  }
+
+  test("word shingle count == max(0, tokens - n + 1)") {
+    val texts = (1 to 100).map { _ =>
+      val n = rng.nextInt(8)
+      (1 to n).map(_ => rng.alphanumeric.take(3).mkString).mkString(" ")
+    }
+    for (n <- Seq(2, 3)) {
+      val got = texts.toDF("t")
+        .withColumn("__toks", TextOps.tokens(col("t")))
+        .select(size(TextOps.wordShinglesFromTokens(col("__toks"), n)).as("c"))
+        .collect().map(_.getInt(0))
+      texts.zip(got).foreach { case (t, c) =>
+        val toks = t.trim.split("\\s+").count(_.nonEmpty)
+        // split("") yields one empty token, matching DuckDB's behavior
+        val effToks = if (t.trim.isEmpty) 1 else toks
+        assert(c == math.max(0, effToks - n + 1), s"'$t' n=$n got=$c")
+      }
+    }
+  }
+
+  test("codegen dot product equals local sequential fold") {
+    GraftFunctions.register(spark)
+    val vecs = (1 to 50).map(_ => (Array.fill(17)(rng.nextDouble() * 2 - 1),
+      Array.fill(17)(rng.nextDouble() * 2 - 1)))
+    val got = vecs.toDF("a", "b")
+      .select(GraftFunctions.dotFast(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0))
+    vecs.zip(got).foreach { case ((a, b), d) =>
+      var s = 0.0
+      for (i <- a.indices) s += a(i) * b(i)
+      assert(d == s) // bit-identical: same accumulation order
+    }
+  }
+
+  test("oversample multiplies every row's multiplicity by exactly k") {
+    for (k <- Seq(1, 3, 5)) {
+      val df = (1 to 50).map(i => (i % 7, i)).toDF("g", "v")
+      val got = Relational.oversample(df, k).count()
+      assert(got == 50L * k)
+    }
+  }
+}
