@@ -944,6 +944,21 @@ object Queries {
              SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF approximate top-k (KMeans coarse quantizer + cell probing).
+    * Approximate by construction → rows-only check; the unit spec proves
+    * recall ≥ bound and exactness at nProbe == nCells.
+    */
+  val qAnnIvf = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Embedding near-duplicate pairs (cosine above threshold). */
   val qEmbeddingNearDup = QDef(
     (s, d) => Similarity.cosineNearDupPairs(
@@ -1008,6 +1023,7 @@ object Queries {
     "q_simhash" -> qSimhash,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_cosine_topk" -> qCosineTopK,
+    "q_ann_ivf" -> qAnnIvf,
     "q_embedding_neardup" -> qEmbeddingNearDup)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

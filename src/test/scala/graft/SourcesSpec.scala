@@ -89,4 +89,24 @@ class SourcesSpec extends AnyFunSuite {
     // candidate generation must prune the corpus (it's approximate, not all-pairs)
     assert(lsh.nonEmpty)
   }
+
+  test("IVF ANN recall vs brute-force, and exactness at nProbe == nCells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCells = 8, nProbe = 3)
+    val ivfSet = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall=$recall")
+    // probing every cell must recover the exact result
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nProbe == nCells must equal brute force")
+  }
 }
