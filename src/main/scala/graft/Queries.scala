@@ -241,6 +241,34 @@ object Queries {
                    avg(l_quantity) AS avg_qty, count(*) AS n
             FROM lineitem"""))
 
+  /** A7 (matrix form): full Pearson correlation matrix via
+    * `ml.stat.Correlation` on an assembled vector — one distributed pass
+    * for all pairs (vs one `corr` agg per pair); the k×k matrix itself is
+    * driver-side by construction. Emitted as (col_a, col_b, corr) pairs.
+    */
+  val qCorrMatrix = QDef(
+    (s, d) => {
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.stat.Correlation
+      val cols0 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val vec = t(s, d, "lineitem")
+        .select(array_to_vector(array(cols0.map(col): _*)).as("features"))
+      val m = Correlation.corr(vec, "features").head()
+        .getAs[org.apache.spark.ml.linalg.Matrix](0)
+      import s.implicits._
+      (for { i <- cols0.indices; j <- cols0.indices if i < j }
+        yield (cols0(i), cols0(j), BigDecimal(m(i, j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("col_a", "col_b", "corr")
+        .orderBy("col_a", "col_b")
+    },
+    Some {
+      val cols0 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (for { i <- cols0.indices; j <- cols0.indices if i < j }
+        yield s"SELECT '${cols0(i)}' AS col_a, '${cols0(j)}' AS col_b, round(corr(${cols0(i)}, ${cols0(j)}), 6) AS corr FROM lineitem")
+        .mkString("", "\n            UNION ALL ", "\n            ORDER BY col_a, col_b")
+    })
+
   /** A8/A9/A10: regression metrics (R², MSE, MAE, RMSE, zero-masked MAPE)
     * as single-pass aggregate expressions, against a synthetic prediction.
     */
@@ -475,6 +503,23 @@ object Queries {
   // =====================================================================
   // §2.7 streaming: batch-equivalent windowed aggregation
   // =====================================================================
+
+  /** T3 (stateful): flatMapGroupsWithState trailing features run as a
+    * real stream over the historical table; row-identical to the batch
+    * window functions on an in-order feed — the oracle IS the batch SQL.
+    */
+  val qStreamStatefulTrailing = QDef(
+    (s, d) => graft.streaming.Streams
+      .statefulTrailingAvailableNow(s, d, "q_stream_stateful")
+      .select(col("id").as("event_id"), col("k").cast("long").as("user_id"),
+        col("v").as("value"), col("lag1").as("value_lag_1"),
+        col("roll3").as("value_roll_3"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_1,
+                   avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS value_roll_3
+            FROM events ORDER BY event_id"""))
 
   /** T3: a real Structured Streaming query (file source → watermark →
     * windowed agg → AvailableNow → memory sink) whose result is checked
@@ -991,6 +1036,7 @@ object Queries {
     "q_window_trailing_mean" -> qWindowTrailingMean,
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
+    "q_corr_matrix" -> qCorrMatrix,
     "q_regression_metrics" -> qRegressionMetrics,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_semi_anti_join" -> qSemiAntiJoin,
@@ -1000,6 +1046,7 @@ object Queries {
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
+    "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,
     "q_geojson_features" -> qGeojsonFeatures,
     "q_tuple_key_parse" -> qTupleKeyParse,

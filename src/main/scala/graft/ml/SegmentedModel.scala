@@ -59,6 +59,36 @@ class SegmentedModel(
 }
 
 object SegmentedModel {
+
+  /** S14 for M4: persist as two MLlib pipeline artifacts + a tiny JSON
+    * metadata file (the reference's joblib dump of its SegmentedModel,
+    * save_models.py:50). Hadoop FS API, so any supported filesystem works.
+    */
+  def save(model: SegmentedModel, path: String): Unit = {
+    model.normalModel.write.overwrite().save(s"$path/normal")
+    model.eventModel.write.overwrite().save(s"$path/event")
+    val meta = s"""{"maskCol":"${model.maskCol}","predictionCol":"${model.predictionCol}","expm1Inverse":${model.expm1Inverse}}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/segmented_metadata.json")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(path: String): SegmentedModel = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segmented_metadata.json")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val meta = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    def str(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(meta).get.group(1)
+    val expm1 = """"expm1Inverse":(true|false)""".r
+      .findFirstMatchIn(meta).get.group(1).toBoolean
+    new SegmentedModel(Identifiable.randomUID("segmented"),
+      PipelineModel.load(s"$path/normal"), PipelineModel.load(s"$path/event"),
+      str("maskCol"), str("predictionCol"), expm1)
+  }
+
   /** Mask truthiness for boolean OR 0/1 integer mask columns. */
   private[ml] def truthy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(c.cast("boolean"), lit(false))

@@ -88,15 +88,21 @@ object Streams {
 
   // -- T3 (stateful): per-key trailing features online ---------------------
 
-  case class Ev(k: String, t: Long, v: Double)
-  case class EvOut(k: String, t: Long, v: Double,
+  case class Ev(k: String, t: Long, v: Double, id: Long = 0L)
+  case class EvOut(k: String, t: Long, v: Double, id: Long,
     lag1: Option[Double], roll3: Option[Double])
   case class TrailState(recent: List[Double])
 
   /** Online lag-1 + trailing-exclusive 3-mean per key — the streaming twin
     * of TrailingFeatures (batch window A3/A4): at each row, features are
     * computed from the state BEFORE appending the row (frame [t-3, t-1]).
-    * Rows within a micro-batch are folded in (t, v) order for determinism.
+    * Rows within a micro-batch are folded in (t, id) order — the same
+    * deterministic tie-break as the batch window, so on an in-order feed
+    * the two are row-identical (oracle-checked by
+    * q_stream_stateful_trailing).
+    *
+    * The rolling mean is summed oldest→newest to match the batch
+    * accumulation order bit-for-bit.
     */
   def trailingOnline(ds: Dataset[Ev]): Dataset[EvOut] = {
     import ds.sparkSession.implicits._
@@ -104,15 +110,35 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: String, rows: Iterator[Ev], state: GroupState[TrailState]) => {
           var recent = state.getOption.map(_.recent).getOrElse(Nil) // newest first
-          val out = rows.toSeq.sortBy(e => (e.t, e.v)).map { e =>
+          val out = rows.toSeq.sortBy(e => (e.t, e.id)).map { e =>
             val lag1 = recent.headOption
-            val w = recent.take(3)
+            val w = recent.take(3).reverse // oldest-first accumulation
             val roll3 = if (w.isEmpty) None else Some(w.sum / w.size)
             recent = (e.v :: recent).take(24)
-            EvOut(key, e.t, e.v, lag1, roll3)
+            EvOut(key, e.t, e.v, e.id, lag1, roll3)
           }
           state.update(TrailState(recent))
           out.iterator
         })
+  }
+
+  /** q_stream_stateful_trailing: run [[trailingOnline]] over the events
+    * table as a real stream (AvailableNow → memory sink) and return the
+    * per-event features; on this in-order historical feed the result is
+    * row-identical to the batch window functions (the oracle).
+    */
+  def statefulTrailingAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "stream_stateful"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id").cast("string").as("k"),
+        unix_micros(col("ts")).as("t"), col("value").as("v"),
+        col("event_id").as("id"))
+      .as[Ev]
+    val q = trailingOnline(ev).writeStream.format("memory")
+      .queryName(queryName).outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 }

@@ -130,6 +130,19 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(orig - re) < 1e-6)
   }
 
+  test("M4+S14: SegmentedModel save/load roundtrip predicts identically") {
+    val seg = SegmentedModel.fit(fixture, "is_event",
+      (f, p) => Models.ols(Seq("x1", "x2"), "y", featuresCol = f, predictionCol = p),
+      expm1Inverse = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    SegmentedModel.save(seg, dir)
+    val loaded = SegmentedModel.load(dir)
+    assert(loaded.maskCol == "is_event" && !loaded.expm1Inverse)
+    val a = seg.transform(fixture).agg(sum("prediction")).head().getDouble(0)
+    val b = loaded.transform(fixture).agg(sum("prediction")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+  }
+
   test("F15 one-hot drop_first drops the alphabetically-first value") {
     val df = Seq("b", "a", "c").toDF("v")
     val oh = Featurize.oneHot(df, "v", Seq("b", "a", "c"), "p")
