@@ -908,6 +908,40 @@ object Queries {
           ORDER BY id_a, id_b"""
     })
 
+  /** Near-dup cluster resolution: connected components over the LSH
+    * candidate-pair graph (min-label propagation), checked against a
+    * DuckDB recursive CTE computing min-reachable-id per vertex.
+    */
+  val qNearDupClusters = QDef(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      Dedup.connectedComponents(docs, pairs, "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
+      }.mkString("\n              UNION ALL ")
+      s"""WITH RECURSIVE sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+          SELECT id AS doc_id, min(label) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id"""
+    })
+
   private val SimhashBits = 60
 
   /** SimHash signatures (60-bit, ±1 bit votes over token hashes). */
@@ -1067,6 +1101,7 @@ object Queries {
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_lsh_candidate_pairs" -> qLshCandidatePairs,
+    "q_neardup_clusters" -> qNearDupClusters,
     "q_simhash" -> qSimhash,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_cosine_topk" -> qCosineTopK,

@@ -59,8 +59,30 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions entry point: enables graft's custom
+  * expressions in ANY session via
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`), so
+  * `SELECT graft_dot(a, b)` works from plain SQL with no code change.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotFunctionDescriptor)
+}
+
 /** Session registration for graft's custom expressions. */
 object GraftFunctions {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** (name, info, builder) descriptor used by both the extensions
+    * injection and the imperative registry path.
+    */
+  val dotFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
 
   /** Idempotently register `graft_dot` in the session's function registry
     * (the supported path for wiring a custom Catalyst Expression into the

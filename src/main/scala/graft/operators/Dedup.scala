@@ -125,6 +125,68 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Near-duplicate cluster resolution: connected components over a
+    * candidate-pair graph (e.g. [[minhashLshPairs]] output) by iterative
+    * min-label propagation — each round every vertex adopts the smallest
+    * label among itself and its neighbors; converges in O(graph diameter)
+    * rounds (≤ O(log n) for the short chains dedup graphs produce).
+    *
+    * Scale shape: per round, one join edges⋈labels + one min-aggregate —
+    * both keyed shuffles Catalyst plans normally; the driver only sees a
+    * single converged-count per round. This is the standard "resolve
+    * near-dup pairs into clusters, keep one survivor per cluster" stage a
+    * corpus-dedup pipeline needs after LSH.
+    *
+    * @return (id, cluster_id) where cluster_id = min id in the component;
+    *         isolated ids (no pair) map to themselves.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      idCol: String, maxIter: Int = 25): DataFrame = {
+    // Iterative-algorithm discipline: (a) the candidate-pair plan
+    // upstream (LSH signatures etc.) is localCheckpoint'ed so it never
+    // re-executes; (b) each iteration's labels are EAGERLY
+    // localCheckpoint'ed — cache() alone does not truncate the LOGICAL
+    // plan, and an iterative self-join otherwise grows the plan
+    // exponentially (measured: a 2 GB plan string and driver OOM by
+    // iteration ~12).
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // both jump-join sides read it
+      // pointer jumping (path compression): label := label(label) — turns
+      // the O(diameter) chain walk into O(log diameter) rounds, so long
+      // near-dup chains don't cost one distributed job per hop
+      val mapping = stepped.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = stepped.join(mapping, stepped("label") === col("lid"), "left")
+        .select(stepped("id"), coalesce(col("llabel"), stepped("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Survivor selection: keep the lowest-id member of each near-dup
+    * cluster (the exact-dedup policy extended to near-duplicates).
+    */
+  def dedupByClusters(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val keep = clusters.filter(col(idCol) === col("cluster_id")).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** n-gram Jaccard similarity pairs ≥ `threshold`, via the
     * shingle-inverted-index join:
     * explode distinct shingle hashes → equi-join on shingle → count

@@ -125,6 +125,19 @@ class SemanticsSpec extends AnyFunSuite {
     assert(hs(0) != hs(3))
   }
 
+  test("connected components resolve chains, singletons, and survivors") {
+    val vertices = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(vertices, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    val survivors = Dedup.dedupByClusters(vertices,
+        Dedup.connectedComponents(vertices, pairs, "doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("rolling hash matches hand-computed polynomial fold") {
     val got = Seq("ab").toDF("t")
       .select(TextOps.rollingHash($"t", 257L, 1000000007L)).collect()(0).getLong(0)
