@@ -47,19 +47,23 @@ object TrainingPipeline {
       .select("RequestID", "Yr", "M", "D", "HH", "borough_t", "Vol")
     // J2: the DELIBERATE fan-out join — borough absent from the key
     val joined = Relational.fanOutJoin(t, w, Seq("Yr", "M", "D", "HH"))
-    // features (F9, J4, F13, A3, A4, F10)
+    // window features FIRST, scalar features after: the per-borough
+    // window sorts its whole input, so it should see the narrow joined
+    // rows, not rows already widened by ~10 derived columns (the scalar
+    // features are map-only and commute with the window)
+    val ordered = Seq("date", "RequestID") // deterministic tie-break (O1 fix)
+    val windowed = TrailingFeatures.withTrailing(joined, "Vol",
+      partitionCols = Seq("borough"), orderCols = ordered,
+      lags = Seq(1), rolls = Seq(3, 24))
+    // features (F9, J4, F13, F10)
     val cal = DateTimeKit.cyclicalFeatures(col("date"))
-      .foldLeft(Holidays.withIsHoliday(joined, "date", 2024, 2024)) {
+      .foldLeft(Holidays.withIsHoliday(windowed, "date", 2024, 2024)) {
         case (d, (n, c)) => d.withColumn(n, c)
       }
-    val flagged = cal
+    cal
       .withColumn("heavy_snow", (col("snow_depth") > 5).cast("int"))
       .withColumn("is_event",
         (col("is_holiday") === 1 || coalesce(col("heavy_snow"), lit(0)) === 1).cast("int"))
-    val ordered = Seq("date", "RequestID") // deterministic tie-break (O1 fix)
-    TrailingFeatures.withTrailing(flagged, "Vol",
-        partitionCols = Seq("borough"), orderCols = ordered,
-        lags = Seq(1), rolls = Seq(3, 24))
       .withColumnRenamed("Vol_lag_1", "vol_lag_1")
       .withColumnRenamed("Vol_roll_3", "vol_roll_3")
       .withColumnRenamed("Vol_roll_24", "vol_roll_24")

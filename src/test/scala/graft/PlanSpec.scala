@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards (PLANS.md): the physical plans that make
+  * the 100 TB story true must not silently degrade — pushdown reaching
+  * the scan, dimensions broadcast, no accidental cartesian products.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_scan_project: column pruning reaches the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p.take(800))
+  }
+
+  test("q_filter_predicates: comparison AND membership predicates pushed") {
+    val p = plan("q_filter_predicates")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)"))
+    assert(p.contains("In(l_returnflag, [A,R])"))
+  }
+
+  test("q_join_multikey: dimension joins broadcast, fact side never shuffles for the join") {
+    val p = plan("q_join_multikey")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_lookup_join: broadcast lookup, no shuffle join") {
+    val p = plan("q_lookup_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no cartesian product in the pair-generating dedup queries") {
+    Seq("q_lsh_candidate_pairs", "q_ngram_jaccard_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("brute-force cosine top-k broadcasts the query side (the only sanctioned cross join)") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") === false || p.contains("BroadcastHashJoin"))
+    assert(p.contains("Broadcast"), "query side must be broadcast")
+  }
+
+  test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {
+    val traffic = graft.pipelines.DomainFixtures.traffic(spark, 24 * 7)
+    val weather = graft.pipelines.DomainFixtures.weather(spark, 24 * 7)
+    val feat = graft.pipelines.TrainingPipeline.featureTable(traffic, weather)
+    val p = feat.queryExecution.executedPlan.toString
+    // window partitions by borough — no unpartitioned (global) window
+    assert(!p.contains("Window [") || !p.contains("Window [], "), "global window found")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"unexpected shuffle count $exchanges:\n${p.take(500)}")
+  }
+}
