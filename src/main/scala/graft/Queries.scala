@@ -477,6 +477,43 @@ object Queries {
                    CAST(l_extendedprice AS DECIMAL(18,2)) AS q2
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Semi-structured: JSON property extraction from the events `props`
+    * column (the engine's get_json_object path — the reference's nested
+    * GeoJSON property access, S9/F19 family).
+    */
+  val qJsonExtract = QDef(
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .filter(col("prop_k") > 50)
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k
+            FROM events WHERE CAST(props->>'k' AS BIGINT) > 50
+            ORDER BY event_id"""))
+
+  /** Custom TypedImperativeAggregate: KMV bottom-k sketch (k smallest
+    * distinct h60(user_id) per event type) — O(k) buffer where
+    * sort_array(collect_set(...)) is O(group); partial-agg friendly.
+    * Exploded to scalar rows for the hash compare.
+    */
+  val qBottomKSketch = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      graft.functions.GraftFunctions.register(s)
+      ev.withColumn("h", Hashing.h60(col("user_id").cast("string")))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.bottomK(col("h"), 8).as("sketch"))
+        .select(col("event_type"), posexplode(col("sketch")).as(Seq("rank", "h")))
+        .select(col("event_type"), col("rank").cast("long").as("rank"), col("h"))
+        .orderBy("event_type", "rank")
+    },
+    Some(s"""WITH h AS (SELECT event_type, ${h60sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+             sk AS (SELECT event_type, list_slice(list_sort(list(DISTINCT h)), 1, 8) AS sketch
+                    FROM h GROUP BY event_type),
+             e AS (SELECT event_type, unnest(sketch) AS h,
+                          generate_subscripts(sketch, 1) - 1 AS rank FROM sk)
+             SELECT event_type, rank, h FROM e ORDER BY event_type, rank"""))
+
   /** Exact distinct counting per group (the oracle-checkable half of
     * cardinality estimation).
     */
@@ -1077,6 +1114,8 @@ object Queries {
     "q_rollup" -> qRollup,
     "q_multi_agg" -> qMultiAgg,
     "q_round_decimal" -> qRoundDecimal,
+    "q_json_extract" -> qJsonExtract,
+    "q_bottomk_sketch" -> qBottomKSketch,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,

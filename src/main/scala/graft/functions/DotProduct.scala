@@ -66,8 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
   * `SELECT graft_dot(a, b)` works from plain SQL with no code change.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
+  }
 }
 
 /** Session registration for graft's custom expressions. */
@@ -84,14 +86,26 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
 
-  /** Idempotently register `graft_dot` in the session's function registry
-    * (the supported path for wiring a custom Catalyst Expression into the
+  val bottomKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bottom_k"),
+    new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
+    BottomK.fromExprs _)
+
+  /** Idempotently register graft's functions in the session's registry
+    * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottom_k", BottomK.fromExprs, "built-in")
+  }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** KMV bottom-k sketch aggregate (requires [[register]]). */
+  def bottomK(c: Column, k: Int): Column =
+    call_function("graft_bottom_k", c, org.apache.spark.sql.functions.lit(k))
 }
