@@ -982,24 +982,57 @@ object Queries {
   private val SimhashBits = 60
 
   /** SimHash signatures (60-bit, ±1 bit votes over token hashes). */
+  /** DuckDB rendering of Dedup.simhash — "SELECT doc_id, <sig> AS sh". */
+  private def simhashSigSql: String = {
+    val votes = (0 until SimhashBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n                 ")
+    val sig = (0 until SimhashBits).map(j =>
+      s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+            SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+        h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+        votes AS (SELECT doc_id,
+               $votes
+            FROM h GROUP BY doc_id)
+        SELECT doc_id, $sig AS sh FROM votes"""
+  }
+
   val qSimhash = QDef(
     (s, d) => t(s, d, "documents").select(
         col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
       .orderBy("doc_id"),
+    Some(s"""WITH s AS ($simhashSigSql)
+             SELECT doc_id, sh AS simhash FROM s ORDER BY doc_id"""))
+
+  private val SimhashMaxHamming = 8
+
+  /** SimHash near-dup pairs: pigeonhole band candidates + exact
+    * bit_count(xor) verification — exact results, no all-pairs stage.
+    */
+  val qSimhashNearDupPairs = QDef(
+    (s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"), "text", "doc_id",
+        SimhashBits, SimhashMaxHamming)
+      .orderBy("id_a", "id_b"),
     Some {
-      val votes = (0 until SimhashBits).map(j =>
-        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
-        .mkString(",\n                 ")
-      val sig = (0 until SimhashBits).map(j =>
-        s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
-      s"""WITH toks AS (
-              SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
-          h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
-          votes AS (SELECT doc_id,
-                 $votes
-              FROM h GROUP BY doc_id)
-          SELECT doc_id, $sig AS simhash FROM votes ORDER BY doc_id"""
+      val nBands = SimhashMaxHamming + 1
+      val bandBits = SimhashBits / nBands
+      val mask = (1L << bandBits) - 1
+      val bandRows = (0 until nBands).map(b =>
+        s"SELECT doc_id, sh, $b AS band, (sh >> ${b * bandBits}) & $mask AS band_bits FROM s")
+        .mkString("\n              UNION ALL ")
+      s"""WITH s AS ($simhashSigSql),
+          bands AS (
+              $bandRows),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+          FROM cand WHERE hamming <= $SimhashMaxHamming
+          ORDER BY id_a, id_b"""
     })
 
   /** n-gram Jaccard near-dup pairs via shingle inverted index. n=3: word
@@ -1142,6 +1175,7 @@ object Queries {
     "q_lsh_candidate_pairs" -> qLshCandidatePairs,
     "q_neardup_clusters" -> qNearDupClusters,
     "q_simhash" -> qSimhash,
+    "q_simhash_neardup_pairs" -> qSimhashNearDupPairs,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_cosine_topk" -> qCosineTopK,
     "q_ann_ivf" -> qAnnIvf,

@@ -125,6 +125,41 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash near-duplicate pairs: all (idA < idB) with hamming distance
+    * ≤ `maxHamming` between `bits`-bit simhashes.
+    *
+    * Candidate generation is the pigeonhole band trick: split the
+    * signature into `maxHamming + 1` bit-bands — any pair within the
+    * hamming budget MUST agree exactly on at least one band (≤ maxHamming
+    * bits differ, but there are maxHamming+1 bands), so an equi-join on
+    * (band, band_bits) finds every qualifying pair; exact `bit_count(a ^
+    * b)` verification then drops false candidates. No all-pairs stage;
+    * EXACT results.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val sig = df.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    val bands = sig.select(col(idCol), col("sh"),
+        posexplode(array((0 until nBands).map { b =>
+          shiftright(col("sh"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)).as(Seq("band", "band_bits")))
+    // bucket-grouped positional pairing (same pattern as the LSH bands)
+    val cand = bands.groupBy("band", "band_bits")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms"), posexplode(col("ms")).as(Seq("p", "a")))
+      .select(col("a"), explode(slice(col("ms"), col("p") + lit(2), size(col("ms")))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Near-duplicate cluster resolution: connected components over a
     * candidate-pair graph (e.g. [[minhashLshPairs]] output) by iterative
     * min-label propagation — each round every vertex adopts the smallest

@@ -125,6 +125,20 @@ class SemanticsSpec extends AnyFunSuite {
     assert(hs(0) != hs(3))
   }
 
+  test("simhash near-dup pairs: near-identical docs pair, distant docs don't; exact hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // 1-token edit
+      (3L, "completely different subject matter about databases and distributed query engines"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 60, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0L) // exact dup: hamming 0
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 8L) // near dup within budget
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L }) // distant doc unpaired
+  }
+
   test("connected components resolve chains, singletons, and survivors") {
     val vertices = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
