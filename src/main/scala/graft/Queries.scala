@@ -1000,8 +1000,7 @@ object Queries {
   }
 
   val qSimhash = QDef(
-    (s, d) => t(s, d, "documents").select(
-        col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
+    (s, d) => Dedup.withSimhash(t(s, d, "documents"), "text", "doc_id", SimhashBits)
       .orderBy("doc_id"),
     Some(s"""WITH s AS ($simhashSigSql)
              SELECT doc_id, sh AS simhash FROM s ORDER BY doc_id"""))
