@@ -22,7 +22,13 @@ import graft.windows.TrailingFeatures
   *  - double outputs that involve multi-row accumulation are round()ed;
   *  - hashing is md5-based (identical in both engines, see
   *    [[graft.functions.Hashing]]);
-  *  - every result has a total ORDER BY on a unique key set.
+  *  - every result has a total ORDER BY on a unique key set;
+  *  - rounded trig/float outputs get `+ 0.0` on the DuckDB side: DuckDB's
+  *    round preserves IEEE -0.0 where Spark normalizes it to 0.0, and the
+  *    driver hashes the rendering (q_cyclical, round 1);
+  *  - never emit a DECIMAL column: Spark renders "69932.60" vs DuckDB's
+  *    DOUBLE "69932.6" — quantize through DECIMAL then CAST back to DOUBLE
+  *    on both sides (q_round_decimal, round 1).
   */
 object Queries {
 
@@ -241,25 +247,29 @@ object Queries {
                    avg(l_quantity) AS avg_qty, count(*) AS n
             FROM lineitem"""))
 
-  /** A7 (matrix form): full Pearson correlation matrix via
-    * `ml.stat.Correlation` on an assembled vector — one distributed pass
-    * for all pairs (vs one `corr` agg per pair); the k×k matrix itself is
-    * driver-side by construction. Emitted as (col_a, col_b, corr) pairs.
+  /** A7 (matrix form): full Pearson correlation matrix as ONE aggregate
+    * pass — all 6 pairwise `corr` aggregates in a single hash-agg (each is
+    * a cheap partial agg; map-side combine, one shuffle of 6 doubles),
+    * then exploded to (col_a, col_b, corr) rows. Replaced the round-1
+    * `ml.stat.Correlation`/RowMatrix path (6.6 s — driver matrix + vector
+    * assembly) with this 0.2 s-class plan; MLlib-vs-agg parity is pinned
+    * in `MetricsSpec`.
     */
   val qCorrMatrix = QDef(
     (s, d) => {
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.stat.Correlation
       val cols0 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val vec = t(s, d, "lineitem")
-        .select(array_to_vector(array(cols0.map(col): _*)).as("features"))
-      val m = Correlation.corr(vec, "features").head()
-        .getAs[org.apache.spark.ml.linalg.Matrix](0)
-      import s.implicits._
-      (for { i <- cols0.indices; j <- cols0.indices if i < j }
-        yield (cols0(i), cols0(j), BigDecimal(m(i, j))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .toDF("col_a", "col_b", "corr")
+      val pairs = for { i <- cols0.indices; j <- cols0.indices if i < j }
+        yield (cols0(i), cols0(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__$b") }
+      t(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            col(s"${a}__$b").as("corr"))
+        }: _*)).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+          col("p.corr").as("corr"))
         .orderBy("col_a", "col_b")
     },
     Some {
@@ -333,13 +343,15 @@ object Queries {
         .select(col("event_id") +: feats.map { case (n, c) => round(c, 4).as(n) }: _*)
         .orderBy("event_id")
     },
+    // `+ 0.0` normalizes IEEE -0.0 → 0.0: DuckDB's round preserves the sign
+    // of a rounded-to-zero cosine while Spark's BigDecimal round drops it.
     Some("""SELECT event_id,
-                   round(sin(2 * pi() * hour(ts) / 24), 4) AS hour_sin,
-                   round(cos(2 * pi() * hour(ts) / 24), 4) AS hour_cos,
-                   round(sin(2 * pi() * (isodow(ts) - 1) / 7), 4) AS wd_sin,
-                   round(cos(2 * pi() * (isodow(ts) - 1) / 7), 4) AS wd_cos,
-                   round(sin(2 * pi() * month(ts) / 12), 4) AS month_sin,
-                   round(cos(2 * pi() * month(ts) / 12), 4) AS month_cos
+                   round(sin(2 * pi() * hour(ts) / 24), 4) + 0.0 AS hour_sin,
+                   round(cos(2 * pi() * hour(ts) / 24), 4) + 0.0 AS hour_cos,
+                   round(sin(2 * pi() * (isodow(ts) - 1) / 7), 4) + 0.0 AS wd_sin,
+                   round(cos(2 * pi() * (isodow(ts) - 1) / 7), 4) + 0.0 AS wd_cos,
+                   round(sin(2 * pi() * month(ts) / 12), 4) + 0.0 AS month_sin,
+                   round(cos(2 * pi() * month(ts) / 12), 4) + 0.0 AS month_cos
             FROM events ORDER BY event_id"""))
 
   /** F10: log1p target transform + expm1 inverse. */
@@ -467,14 +479,17 @@ object Queries {
     * no SQL twin; documented deviation (SURVEY.md §1.2).
     */
   val qRoundDecimal = QDef(
+    // q2 quantizes through DECIMAL(18,2) then casts back to DOUBLE on both
+    // sides: Spark renders DECIMAL as "69932.60" while DuckDB hands the
+    // driver a DOUBLE "69932.6" — same value, different hash.
     (s, d) => t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * 0.0137, 2).as("r2"),
-        col("l_extendedprice").cast("decimal(18,2)").as("q2"))
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("q2"))
       .orderBy("l_orderkey", "l_linenumber"),
     Some("""SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice * 0.0137, 2) AS r2,
-                   CAST(l_extendedprice AS DECIMAL(18,2)) AS q2
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS q2
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   /** Semi-structured: JSON property extraction from the events `props`

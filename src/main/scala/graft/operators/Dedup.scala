@@ -77,6 +77,12 @@ object Dedup {
   /** LSH banding: hash each band of `rowsPerBand` consecutive signature
     * values to a bucket id. Documents sharing any (band, bucket) are
     * candidate near-duplicates. Returns (doc, band, band_hash) rows.
+    *
+    * Docs too short to produce any shingle have all-null signatures and
+    * are dropped: concat_ws skips nulls, so without the guard every short
+    * doc would share one identical bucket and be declared a mutual
+    * near-duplicate of every other short doc (and SQL NULL-propagating
+    * concat yields no pairs — the guard also keeps oracle parity).
     */
   def lshBuckets(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
@@ -85,7 +91,8 @@ object Dedup {
       struct(lit(b).as("band"),
         Hashing.h60(concat_ws("_", parts: _*)).as("band_hash"))
     }
-    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+    sig.filter(col("mh_0").isNotNull) // null iff the shingle set is empty
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.band_hash"))
   }
 
@@ -259,18 +266,24 @@ object Dedup {
     * shingle-inverted-index join:
     * explode distinct shingle hashes → equi-join on shingle → count
     * co-occurrences → |A∩B| / (|A|+|B|−|A∩B|).
+    *
     * `maxShingleFreq` drops shingles appearing in more than that many
-    * documents (stop-shingles) — the skew guard that keeps the join
-    * fan-out linear at corpus scale.
+    * documents (stop-shingles) BEFORE pair generation, and Jaccard is
+    * computed over the FILTERED shingle sets (sizes recomputed post-cap,
+    * like stop-word removal). This is the skew guard that keeps the join
+    * fan-out linear at corpus scale: a shingle with df=d generates
+    * O(d²) candidate pairs, so an uncapped hot shingle is a quadratic
+    * blow-up on one key. Default ON (df ≤ 1000) — the 100 TB-safe
+    * configuration; pass `None` for exact uncapped Jaccard when the
+    * corpus is known skew-free.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
     val shingled = df
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol),
         array_distinct(TextOps.wordShinglesFromTokens(col("__toks"), n)).as("sh"))
-    val sizes = shingled.select(col(idCol), size(col("sh")).as("n_sh"))
     var inv = shingled
       .select(col(idCol), explode(col("sh")).as("shingle"))
       .select(col(idCol), Hashing.h60(col("shingle")).as("sh_h"))
@@ -278,12 +291,16 @@ object Dedup {
       val hot = inv.groupBy("sh_h").count().filter(col("count") > cap).select("sh_h")
       inv = inv.join(hot, Seq("sh_h"), "left_anti")
     }
+    // Sizes AFTER the cap so jaccard is over the filtered sets; a doc
+    // whose every shingle was dropped disappears (it cannot pair anyway).
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Intersection counting without the inverted-index self-join (which
     // would tokenize+hash both sides): one groupBy builds each posting
     // list once (sorted, so positional pairing gives id_a < id_b);
     // ordered pairs come from posexplode + slice — pure codegen
-    // generators, no per-element lambda. Row count equals the join's
-    // surviving half.
+    // generators, no per-element lambda. Pairs are hash-aggregated to
+    // (id_a, id_b, n_inter) BEFORE the sizes join, so the join input is
+    // one row per candidate pair, not one per shared shingle.
     val inter = inv.groupBy("sh_h")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
