@@ -45,4 +45,18 @@ object Hashing {
     */
   def permute(h: Column, a: Long, b: Long): Column =
     (lit(a) * (h % MinhashPrime) + lit(b)) % MinhashPrime
+
+  /** Rotate-left within the 60-bit hash domain: the low (60−r) bits shift
+    * up by r, the high r bits wrap to the bottom. Masking BEFORE the shift
+    * keeps every intermediate < 2^60, so the arithmetic never touches the
+    * sign bit in either engine. Pure integer ops — no md5.
+    *
+    * DuckDB equivalent: `((h & ((1<<(60-r))-1)) << r) | (h >> (60-r))`.
+    */
+  def rotl60(h: Column, r: Int): Column = {
+    val rr = ((r % 60) + 60) % 60
+    if (rr == 0) h
+    else shiftleft(h.bitwiseAND(lit((1L << (60 - rr)) - 1)), rr)
+      .bitwiseOR(shiftright(h, 60 - rr))
+  }
 }

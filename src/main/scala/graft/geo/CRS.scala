@@ -150,13 +150,25 @@ object Crs {
       lit(p.lamFDeg)
     val half = lit(math.Pi / 2)
     val tp = col("__crs_tp")
-    var phi: Column = half - lit(2.0) * atan(tp)
-    for (_ <- 0 until Lcc2sp.Iters)
-      phi = half - lit(2.0) * atan(
-        tp * pow((lit(1.0) - lit17(p.e) * sin(phi)) / (lit(1.0) + lit17(p.e) * sin(phi)),
-          lit(p.e / 2)))
-    staged.withColumn(lonName, lon).withColumn(latName, degrees(phi))
-      .drop("__crs_ep", "__crs_rfn", "__crs_tp")
+    // Each iteration's sin(φ) is staged as ITS OWN column: φ_{k+1}
+    // references sin(φ_k) twice, so a nested Column expression doubles per
+    // iteration (2^Iters copies). A multiply-referenced non-cheap alias
+    // blocks CollapseProject, so the plan keeps a projection boundary per
+    // iteration and the expression stays LINEAR in Iters — this is what
+    // makes the inverse cheap even when a downstream CodegenFallback
+    // consumer (e.g. to_json) would otherwise interpret the inlined tree
+    // per row with no subexpression elimination (measured 5.1 s → sub-s on
+    // the GeoJSON assembly query at sf0.1).
+    var cur = staged.withColumn("__crs_phi", half - lit(2.0) * atan(tp))
+    for (_ <- 0 until Lcc2sp.Iters) {
+      cur = cur
+        .withColumn("__crs_s", lit17(p.e) * sin(col("__crs_phi")))
+        .withColumn("__crs_phi", half - lit(2.0) * atan(
+          tp * pow((lit(1.0) - col("__crs_s")) / (lit(1.0) + col("__crs_s")),
+            lit(p.e / 2))))
+    }
+    cur.withColumn(lonName, lon).withColumn(latName, degrees(col("__crs_phi")))
+      .drop("__crs_ep", "__crs_rfn", "__crs_tp", "__crs_s", "__crs_phi")
   }
 
   // -- DuckDB oracle rendering (same constants, same unrolled arithmetic) --

@@ -67,8 +67,12 @@ object SpatialJoin {
 
     val gridBest = best(l.join(broadcast(r), Seq("__cx", "__cy")))
 
-    // Guard: only results with dist ≤ cellSize are provably exact.
-    val guarded = gridBest.filter(col("__dsq") <= lit(cellSize * cellSize))
+    // Guard: only results with dist STRICTLY < cellSize are provably
+    // exact — a point at exactly cellSize from outside the 3×3
+    // neighborhood could tie the grid candidate, and the tie must be
+    // resolved by the brute residual's deterministic min, not by which
+    // candidate the grid happened to see.
+    val guarded = gridBest.filter(col("__dsq") < lit(cellSize * cellSize))
 
     // Residual rows (guard failed or no candidate in the neighborhood):
     // brute-force against the full right side. left_anti keeps this pass

@@ -280,13 +280,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
+    // Shingle identity is the rotate-XOR combine of per-token h60 values
+    // (TextOps.shingleHashesFromTokenHashes): md5 once per TOKEN, then
+    // integer ops per shingle — this path was md5-of-concat-per-shingle
+    // in round 2 and that dominated the whole operator (20 s of a 20 s
+    // query at sf0.1).
     val shingled = df
       .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
       .select(col(idCol),
-        array_distinct(TextOps.wordShinglesFromTokens(col("__toks"), n)).as("sh"))
+        array_distinct(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("sh"))
     var inv = shingled
-      .select(col(idCol), explode(col("sh")).as("shingle"))
-      .select(col(idCol), Hashing.h60(col("shingle")).as("sh_h"))
+      .select(col(idCol), explode(col("sh")).as("sh_h"))
     maxShingleFreq.foreach { cap =>
       val hot = inv.groupBy("sh_h").count().filter(col("count") > cap).select("sh_h")
       inv = inv.join(hot, Seq("sh_h"), "left_anti")

@@ -53,6 +53,31 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
+  /** 60-bit n-gram shingle HASHES from an ALREADY-MATERIALIZED array of
+    * per-token h60 values: shingle i hashes to
+    * `XOR_j rotl60(h(tok_{i+j}), 21·j mod 60)` — position-sensitive (the
+    * rotation distinguishes "a b" from "b a"), pure integer ops.
+    *
+    * This replaces hash-of-concatenated-shingle-string: md5 runs ONCE per
+    * token instead of once per shingle over an n×-longer concat string —
+    * measured 3×+ cheaper on the Jaccard pair path, where shingle hashing
+    * dominated. Same contract as any content hash: both engines (Spark and
+    * the DuckDB oracle) compute the identical function, so collisions (p ≈
+    * 2^-60 per pair) are consistent across sides.
+    *
+    * Like [[wordShinglesFromTokens]], `tokenHashes` must be a plain column
+    * reference — the zip's slices evaluate once per row that way.
+    */
+  def shingleHashesFromTokenHashes(tokenHashes: Column, n: Int): Column = {
+    val zs = arrays_zip((1 to n).map(i =>
+      slice(tokenHashes, lit(i), size(tokenHashes) - lit(n - 1))): _*)
+    when(size(tokenHashes) >= n,
+      transform(zs, s => (0 until n).map(i =>
+        Hashing.rotl60(s.getField(i.toString), (i * 21) % 60))
+        .reduce(_ bitwiseXOR _))
+    ).otherwise(array().cast("array<long>"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 

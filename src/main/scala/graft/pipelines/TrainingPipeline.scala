@@ -30,8 +30,19 @@ object TrainingPipeline {
     "temperature_2m", "precipitation", "snowfall",
     "vol_lag_1", "vol_roll_3", "vol_roll_24")
 
-  /** Steps 1-6: the feature table (everything before the fit). */
-  def featureTable(traffic: DataFrame, weather: DataFrame): DataFrame = {
+  /** Steps 1-6: the feature table (everything before the fit).
+    *
+    * `windowKeyCols` keys the lag/rolling windows. The reference keys on
+    * borough alone (SegmentedModeling.py:238-247) — 5 partitions, which
+    * at 100× data means one borough is one task. Pass
+    * `Seq("borough", "SegmentID")` for the scale configuration: the same
+    * trailing semantics per road segment, with window parallelism =
+    * borough × segment cardinality (thousands of partitions) instead
+    * of 5. On a single-segment fixture the two keyings are identical
+    * (parity-pinned in PipelinesSpec).
+    */
+  def featureTable(traffic: DataFrame, weather: DataFrame,
+      windowKeyCols: Seq[String] = Seq("borough")): DataFrame = {
     // weather side: derive the join key components (reference
     // SegmentedModeling.py:206-209)
     val w = weather.select(
@@ -44,7 +55,7 @@ object TrainingPipeline {
     val t = traffic.dropDuplicates()
       .withColumn("Vol", Relational.safeNumeric(col("Vol")))
       .withColumnRenamed("Boro", "borough_t")
-      .select("RequestID", "Yr", "M", "D", "HH", "borough_t", "Vol")
+      .select("RequestID", "Yr", "M", "D", "HH", "borough_t", "SegmentID", "Vol")
     // J2: the DELIBERATE fan-out join — borough absent from the key
     val joined = Relational.fanOutJoin(t, w, Seq("Yr", "M", "D", "HH"))
     // window features FIRST, scalar features after: the per-borough
@@ -53,7 +64,7 @@ object TrainingPipeline {
     // features are map-only and commute with the window)
     val ordered = Seq("date", "RequestID") // deterministic tie-break (O1 fix)
     val windowed = TrailingFeatures.withTrailing(joined, "Vol",
-      partitionCols = Seq("borough"), orderCols = ordered,
+      partitionCols = windowKeyCols, orderCols = ordered,
       lags = Seq(1), rolls = Seq(3, 24))
     // features (F9, J4, F13, F10)
     val cal = DateTimeKit.cyclicalFeatures(col("date"))

@@ -67,18 +67,25 @@ object Streams {
         col("sum_value"))
   }
 
-  /** T2: checkpointed incremental ingestion — every new source file is
-    * appended to `destDir` exactly once; re-running with the same
-    * checkpoint is a no-op (the reference's requests-cache + progress-log
-    * idempotence, enrich_weather.py:21-23,170-183).
+  /** T2: checkpointed incremental ingestion — every new source file lands
+    * in `destDir` exactly once (the reference's requests-cache +
+    * progress-log idempotence, enrich_weather.py:21-23,170-183).
+    *
+    * Exactly-once holds because the sink is IDEMPOTENT per micro-batch:
+    * each batch overwrites its own `batch_id=<id>` subdirectory, so when
+    * Structured Streaming replays the last batch after a failure (its
+    * contract is at-least-once delivery to foreachBatch) the replay
+    * replaces the identical data instead of appending a duplicate.
+    * Downstream `spark.read.parquet(destDir)` sees `batch_id` as a
+    * partition column.
     */
   def ingestAvailableNow(spark: SparkSession, srcGlob: String,
       schema: StructType, destDir: String, checkpointDir: String,
       format: String = "parquet"): Unit = {
     val q = spark.readStream.schema(schema).format(format).load(srcGlob)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(destDir): Unit
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$destDir/batch_id=$batchId"): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -34,6 +34,25 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("E1 window keying parity: borough-only == borough+SegmentID on a single-segment fixture") {
+    // With exactly one segment per borough, per-segment windows see the
+    // same partitions as per-borough windows — features must be
+    // bit-identical. (At scale the segmented keying is the point: window
+    // parallelism = borough × segment cardinality instead of 5.)
+    val traffic = DomainFixtures.traffic(spark, 24 * 7)
+      .withColumn("SegmentID", lit(0L))
+    val weather = DomainFixtures.weather(spark, 24 * 7)
+    val cols = Seq("RequestID", "borough", "date", "Vol",
+      "vol_lag_1", "vol_roll_3", "vol_roll_24")
+    val a = TrainingPipeline.featureTable(traffic, weather)
+      .select(cols.map(col): _*)
+    val b = TrainingPipeline.featureTable(traffic, weather,
+        windowKeyCols = Seq("borough", "SegmentID"))
+      .select(cols.map(col): _*)
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("E1 run: segmented GBT trains and beats the trivial predictor") {
     val traffic = DomainFixtures.traffic(spark, nHours)
     val weather = DomainFixtures.weather(spark, nHours)

@@ -46,8 +46,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("brute-force cosine top-k broadcasts the query side (the only sanctioned cross join)") {
     val p = plan("q_cosine_topk")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") === false || p.contains("BroadcastHashJoin"))
-    assert(p.contains("Broadcast"), "query side must be broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the sanctioned cross join must be a broadcast nested-loop, got:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), "unbroadcast cartesian found")
+  }
+
+  test("q_embedding_neardup: exact blocked path — no single-constant-key join, no cartesian") {
+    val p = plan("q_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "cartesian product found")
+    // The blocked exact path joins on __blk spread over 32 keys; a
+    // single-constant-key join would show a literal equi-key — guard by
+    // requiring the explode (block replication) to be present.
+    assert(p.contains("explode") || p.contains("Generate"),
+      "block replication (explode over 32 block ids) missing:\n" + p.take(800))
+    assert(p.contains("hashpartitioning(__blk") || p.contains("__blk"),
+      "join must key on the block column")
   }
 
   test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {
