@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, Transformer}
 import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -34,7 +34,14 @@ class SegmentedModel(
       * log1p(Vol) and inverts at predict time, SegmentedModeling.py:108).
       */
     val expm1Inverse: Boolean = false)
-  extends Transformer {
+  extends Transformer with MLWritable {
+
+  /** M4 + S14: standard MLlib persistence, so a SegmentedModel can sit as
+    * a stage inside a saved [[Pipeline]]/[[PipelineModel]] exactly like
+    * the reference's joblib artifact sits inside its registry
+    * (main.py:134-144).
+    */
+  override def write: MLWriter = new SegmentedModel.Writer(this)
 
   def this(normalModel: PipelineModel, eventModel: PipelineModel, maskCol: String) =
     this(Identifiable.randomUID("segmented"), normalModel, eventModel, maskCol)
@@ -58,23 +65,52 @@ class SegmentedModel(
     new SegmentedModel(uid, normalModel, eventModel, maskCol, predictionCol, expm1Inverse)
 }
 
-object SegmentedModel {
+object SegmentedModel extends MLReadable[SegmentedModel] {
+
+  /** Writes the layout `{metadata/, normal/, event/,
+    * segmented_metadata.json}`. The `metadata` text dir mirrors
+    * `DefaultParamsWriter` (class/uid/timestamp/sparkVersion/paramMap) so
+    * `PipelineModel.load` can dispatch a nested stage back to
+    * [[SegmentedModel.read]] reflectively; `DefaultParamsWriter` itself is
+    * `private[ml]`, hence the hand-rolled single part file.
+    */
+  private[ml] class Writer(instance: SegmentedModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      instance.normalModel.write.overwrite().save(s"$path/normal")
+      instance.eventModel.write.overwrite().save(s"$path/event")
+      writeUtf8(s"$path/segmented_metadata.json",
+        s"""{"maskCol":"${instance.maskCol}","predictionCol":"${instance.predictionCol}","expm1Inverse":${instance.expm1Inverse}}""")
+      val stageMeta =
+        s"""{"class":"${classOf[SegmentedModel].getName}","timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${sc.version}","uid":"${instance.uid}","paramMap":{},"defaultParamMap":{}}"""
+      writeUtf8(s"$path/metadata/part-00000", stageMeta)
+    }
+  }
+
+  private[ml] class Reader extends MLReader[SegmentedModel] {
+    override def load(path: String): SegmentedModel = loadImpl(path)
+  }
+
+  override def read: MLReader[SegmentedModel] = new Reader
+
+  private def writeUtf8(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
 
   /** S14 for M4: persist as two MLlib pipeline artifacts + a tiny JSON
     * metadata file (the reference's joblib dump of its SegmentedModel,
     * save_models.py:50). Hadoop FS API, so any supported filesystem works.
+    * Same layout as `model.write.save(path)`, which this delegates to.
     */
-  def save(model: SegmentedModel, path: String): Unit = {
-    model.normalModel.write.overwrite().save(s"$path/normal")
-    model.eventModel.write.overwrite().save(s"$path/event")
-    val meta = s"""{"maskCol":"${model.maskCol}","predictionCol":"${model.predictionCol}","expm1Inverse":${model.expm1Inverse}}"""
-    val p = new org.apache.hadoop.fs.Path(s"$path/segmented_metadata.json")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
-  }
+  def save(model: SegmentedModel, path: String): Unit =
+    model.write.overwrite().save(path)
 
-  def load(path: String): SegmentedModel = {
+  override def load(path: String): SegmentedModel = loadImpl(path)
+
+  private def loadImpl(path: String): SegmentedModel = {
     val p = new org.apache.hadoop.fs.Path(s"$path/segmented_metadata.json")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)

@@ -46,8 +46,26 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Documents and embeddings feed the per-row-EXPENSIVE operators
+    * (tokenize → md5 → shingle, dot products): their map parallelism is
+    * whatever the scan yields, and a parquet row group is the smallest
+    * schedulable unit — the test fixtures are ONE row group, so without
+    * this every dedup/similarity map stage runs on one core of 32
+    * (measured: the whole 10 s of q_ngram_jaccard_pairs at sf0.1 sat in
+    * single-task stages). Round-robin repartition once when the scan has
+    * fewer splits than the session's parallelism; at real scale a 100 TB
+    * corpus scans as thousands of row-group splits and this is a no-op.
+    * `rdd.getNumPartitions` only PLANS the scan (file listing — no job).
+    */
+  private def withMinMapParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    withMinMapParallelism(spark, table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    withMinMapParallelism(spark, table(spark, dir, "embeddings"))
 
   // ----------------------------------------------------------------------
   // Domain schemas (reference inputs, reconstructed in FIXTURES.md §B1-B2).

@@ -143,6 +143,22 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-9)
   }
 
+  test("M4+S14: SegmentedModel nests as a stage in a persisted MLlib Pipeline") {
+    val seg = SegmentedModel.fit(fixture, "is_event",
+      (f, p) => Models.ols(Seq("x1", "x2"), "y", featuresCol = f, predictionCol = p))
+    // A fitted Pipeline whose only stage is an already-fitted Transformer:
+    // save goes through SegmentedModel.write, load dispatches back through
+    // SegmentedModel.read via the metadata class name.
+    val pm = new org.apache.spark.ml.Pipeline().setStages(Array(seg)).fit(fixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg-pipe").toString
+    pm.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    assert(loaded.stages.head.isInstanceOf[SegmentedModel])
+    val a = pm.transform(fixture).agg(sum("prediction")).head().getDouble(0)
+    val b = loaded.transform(fixture).agg(sum("prediction")).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+  }
+
   test("F15 one-hot drop_first drops the alphabetically-first value") {
     val df = Seq("b", "a", "c").toDF("v")
     val oh = Featurize.oneHot(df, "v", Seq("b", "a", "c"), "p")
