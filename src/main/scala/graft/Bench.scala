@@ -30,18 +30,30 @@ object Bench {
     s((s.length - 1) / 2)
   }
 
-  /** Median wall seconds of `reps` executions of `run` (first result kept). */
-  private def timeMedian[A](reps: Int)(run: => A): (Double, Option[A]) = {
+  /** Median wall seconds over the SUCCESSFUL executions of `run` (first
+    * successful result kept). A rep that throws contributes no timing —
+    * otherwise a regression that makes a query fail fast would report a
+    * plausible-looking (fast) median with no error signal. If every rep
+    * fails the median is -1 and the first error message is returned so
+    * main() can surface it in the emitted JSON.
+    */
+  private def timeMedian[A](reps: Int)(run: => A): (Double, Option[A], Option[String]) = {
     var first: Option[A] = None
-    val ts = (0 until math.max(1, reps)).map { i =>
+    var err: Option[String] = None
+    val ts = (0 until math.max(1, reps)).flatMap { _ =>
       val t0 = System.nanoTime()
       try {
         val r = run
-        if (i == 0) first = Some(r)
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        if (first.isEmpty) first = Some(r)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          if (err.isEmpty)
+            err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          None
+      }
     }
-    (median(ts), first)
+    (if (ts.isEmpty) -1.0 else median(ts), first, err)
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,9 +69,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeMedian(reps) { fn(spark, sfDir).count() }._1
+    val measured = SparkEntry.queries.map { case (name, fn) =>
+      name -> timeMedian(reps) { fn(spark, sfDir).count() }
     }
+    val results = measured.map { case (name, (sec, _, _)) => name -> sec }
+    val errors = measured.collect { case (name, (_, _, Some(msg))) => name -> msg }
 
     // E1 flagship at reference scale: ~1.7M traffic rows (42,500 hours ×
     // 40 rows/hour), ~10 weather samples/hour fan-out ≈ 17M joined rows
@@ -79,16 +93,21 @@ object Bench {
         .collect()
         .map(_.getAs[Long]("n")).sum
     }
-    val (e1Sec, e1First) = timeMedian(e1Reps) { runE1(Seq("borough")) }
+    val (e1Sec, e1First, e1Err) = timeMedian(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1First.getOrElse(-1L)
-    val (e1SegSec, _) = timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
+    val (e1SegSec, _, e1SegErr) = timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
 
     val flagships = Seq("flagship_e1" -> e1Sec, "flagship_e1_segmented" -> e1SegSec)
     val qs = (results.toSeq ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum + e1Sec + e1SegSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}""")
+    val allErrors = errors ++
+      e1Err.map("flagship_e1" -> _) ++ e1SegErr.map("flagship_e1_segmented" -> _)
+    val errJson = allErrors
+      .map { case (k, v) => s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\r\\n\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum + math.max(0, e1Sec) + math.max(0, e1SegSec)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}""")
     spark.stop()
   }
 }

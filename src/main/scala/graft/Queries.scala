@@ -37,6 +37,19 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") Tables.events(s, dir) else Tables.table(s, dir, name)
 
+  /** Widened scan for the per-row-EXPENSIVE operators (shingle-hash
+    * pipelines, pair joins, dot products): opts into Tables' min-map-
+    * parallelism so a one-row-group fixture doesn't serialize the map
+    * stages onto one core. Cheap queries stay on plain `t` — widening
+    * costs a round-robin shuffle they don't need.
+    */
+  private def wideT(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "documents"  => Tables.documents(s, dir, widen = true)
+      case "embeddings" => Tables.embeddings(s, dir, widen = true)
+      case other        => t(s, dir, other)
+    }
+
   /** DuckDB rendering of Hashing.h60. */
   private def h60sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -49,10 +62,15 @@ object Queries {
   private def shinglesSql(toks: String, n: Int): String =
     s"list_transform(range(1, len($toks) - ${n - 2}), i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))"
 
-  /** DuckDB rendering of Hashing.rotl60. */
-  private def rotl60Sql(e: String, r: Int): String =
-    if (r % 60 == 0) s"($e)"
-    else s"(((($e) & ${(1L << (60 - r)) - 1}) << $r) | (($e) >> ${60 - r}))"
+  /** DuckDB rendering of Hashing.rotl60 — r is normalized into [0, 60)
+    * exactly like Hashing.rotl60 so the two renderings can never diverge
+    * (Scala's `1L << (60 - r)` would wrap shift-mod-64 for r outside).
+    */
+  private def rotl60Sql(e: String, r: Int): String = {
+    val rn = ((r % 60) + 60) % 60
+    if (rn == 0) s"($e)"
+    else s"(((($e) & ${(1L << (60 - rn)) - 1}) << $rn) | (($e) >> ${60 - rn}))"
+  }
 
   /** DuckDB rendering of TextOps.shingleHashesFromTokenHashes over a
     * token-hash list column `hts` (1-based indexing; `range` is empty when
@@ -1026,7 +1044,7 @@ object Queries {
 
   /** MinHash-LSH candidate pairs: equi-join on (band, band_hash). */
   val qLshCandidatePairs = QDef(
-    (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+    (s, d) => Dedup.minhashLshPairs(wideT(s, d, "documents"), "text", "doc_id",
         MinhashN, MinhashK, RowsPerBand)
       .orderBy("id_a", "id_b"),
     Some {
@@ -1049,7 +1067,7 @@ object Queries {
     */
   val qNearDupClusters = QDef(
     (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = wideT(s, d, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         MinhashN, MinhashK, RowsPerBand)
       Dedup.connectedComponents(docs, pairs, "doc_id")
@@ -1109,7 +1127,7 @@ object Queries {
     * bit_count(xor) verification — exact results, no all-pairs stage.
     */
   val qSimhashNearDupPairs = QDef(
-    (s, d) => Dedup.simhashNearDupPairs(t(s, d, "documents"), "text", "doc_id",
+    (s, d) => Dedup.simhashNearDupPairs(wideT(s, d, "documents"), "text", "doc_id",
         SimhashBits, SimhashMaxHamming)
       .orderBy("id_a", "id_b"),
     Some {
@@ -1138,7 +1156,7 @@ object Queries {
     * hundreds, blowing the candidate set up 26× for no signal).
     */
   val qNgramJaccardPairs = QDef(
-    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+    (s, d) => Dedup.ngramJaccardPairs(wideT(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b"),
@@ -1197,7 +1215,7 @@ object Queries {
     */
   val qAnnIvf = QDef(
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = wideT(s, d, "embeddings")
       // Quantizer fit on a 10% sample — standard IVF practice; recall is
       // governed by nProbe, and the full-corpus fit was most of the
       // query's runtime (6.0 s at sf0.1 in round 2).
@@ -1216,7 +1234,7 @@ object Queries {
     */
   val qAnnLsh = QDef(
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = wideT(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", 5, nPlanes = 4, dim = 64, nTables = 6)
         .select(col("query_id"), col("neighbor_id"),
@@ -1236,7 +1254,7 @@ object Queries {
     */
   val qEmbeddingNearDup = QDef(
     (s, d) => Similarity.cosineNearDupPairsExact(
-        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        wideT(s, d, "embeddings"), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b"),
     Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

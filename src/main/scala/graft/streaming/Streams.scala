@@ -78,10 +78,34 @@ object Streams {
     * replaces the identical data instead of appending a duplicate.
     * Downstream `spark.read.parquet(destDir)` sees `batch_id` as a
     * partition column.
+    *
+    * destDir LAYOUT CONTRACT: destDir must contain ONLY `batch_id=<id>`
+    * subdirectories written by this ingester against the SAME checkpoint.
+    * Two misuse modes are rejected up front rather than corrupting data:
+    *  - destDir holding flat (non-partitioned) files breaks partition
+    *    discovery for downstream readers;
+    *  - a FRESH checkpoint over a non-empty destDir would restart batch
+    *    ids at 0 and silently REPLACE previously ingested batches.
     */
   def ingestAvailableNow(spark: SparkSession, srcGlob: String,
       schema: StructType, destDir: String, checkpointDir: String,
       format: String = "parquet"): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val destPath = new org.apache.hadoop.fs.Path(destDir)
+    val fs = destPath.getFileSystem(hconf)
+    if (fs.exists(destPath)) {
+      val entries = fs.listStatus(destPath)
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      val stray = entries.filterNot(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      require(stray.isEmpty,
+        s"destDir $destDir contains non-batch_id entries (${stray.take(3).map(_.getPath.getName).mkString(", ")}); " +
+          "the sink writes a batch_id=<id> partition layout and cannot mix with flat files")
+      val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val ckptFs = ckptPath.getFileSystem(hconf)
+      require(entries.isEmpty || ckptFs.exists(ckptPath),
+        s"destDir $destDir already holds ingested batches but checkpoint $checkpointDir is fresh: " +
+          "batch ids would restart at 0 and replace existing data; use the original checkpoint or a new destDir")
+    }
     val q = spark.readStream.schema(schema).format(format).load(srcGlob)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

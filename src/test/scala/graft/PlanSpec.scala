@@ -59,8 +59,12 @@ class PlanSpec extends AnyFunSuite {
     // requiring the explode (block replication) to be present.
     assert(p.contains("explode") || p.contains("Generate"),
       "block replication (explode over 32 block ids) missing:\n" + p.take(800))
-    assert(p.contains("hashpartitioning(__blk") || p.contains("__blk"),
-      "join must key on the block column")
+    // The join must be KEYED on the block column: either a hash/merge join
+    // whose first key is __blk ("...Join [__blk#...], [__blk#...]") or a
+    // shuffle on it. A plan that merely mentions __blk in a project list
+    // does not pass.
+    assert(p.contains("Join [__blk") || p.contains("hashpartitioning(__blk"),
+      "join must be keyed on the block column:\n" + p.take(800))
   }
 
   test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {

@@ -59,6 +59,20 @@ class StreamingSpec extends AnyFunSuite {
     Streams.ingestAvailableNow(spark, src, schema, dest, ckpt)
     assert(spark.read.parquet(dest).count() == 8)
     assert(spark.read.parquet(dest).agg(sum("id")).head().getLong(0) == 36)
+
+    // destDir-contract guards: a FRESH checkpoint over the already-
+    // populated destDir would restart batch ids at 0 and silently replace
+    // ingested data — refused up front.
+    val freshCkpt = Files.createTempDirectory("graft-ckpt2").toString
+    intercept[IllegalArgumentException] {
+      Streams.ingestAvailableNow(spark, src, schema, dest, freshCkpt)
+    }
+    // a destDir with flat (non-batch_id) files breaks partition discovery
+    val flatDest = Files.createTempDirectory("graft-dest2").toString
+    (1L to 2L).toDF("id").coalesce(1).write.mode("append").parquet(flatDest)
+    intercept[IllegalArgumentException] {
+      Streams.ingestAvailableNow(spark, src, schema, flatDest, freshCkpt)
+    }
   }
 
   test("T3 stateful: online trailing features match the batch window across micro-batches") {
