@@ -173,8 +173,13 @@ object Dedup {
     // Bulk signature path: the aggregate inside withSimhash also acts as
     // the shuffle that spreads band work across cores (a single-file
     // corpus scan is one partition otherwise).
+    // Materialized eagerly: the band self-join below reads `sig` on BOTH
+    // sides, and an un-materialized signature plan (explode + 60-column
+    // vote aggregate over every token) re-executes per side. The
+    // signature table is two 8-byte columns per doc.
     val sig = withSimhash(df, textCol, idCol, bits)
       .withColumnRenamed("simhash", "sh")
+      .localCheckpoint(true)
     val bands = sig.select(col(idCol), col("sh"),
         posexplode(array((0 until nBands).map { b =>
           shiftright(col("sh"), b * bandBits)
@@ -279,17 +284,33 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(1000),
+      materializeIndex: Boolean = true): DataFrame = {
     // Shingle identity is the rotate-XOR combine of per-token h60 values
     // (TextOps.shingleHashesFromTokenHashes): md5 once per TOKEN, then
     // integer ops per shingle — this path was md5-of-concat-per-shingle
     // in round 2 and that dominated the whole operator (20 s of a 20 s
     // query at sf0.1).
-    val shingled = df
+    val shingledPlan = df
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
       .select(col(idCol),
         array_distinct(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("sh"))
+    // The shingle index is EAGERLY materialized (same lineage discipline
+    // as connectedComponents) for two measured reasons:
+    //  1. the index subtree feeds FOUR consumers below (hot-shingle df,
+    //     the anti-join probe, per-doc sizes, intersection counting) and
+    //     Spark re-executes an un-materialized subtree per consumer;
+    //  2. InferFiltersFromGenerate infers `size(sh) > 0` under the
+    //     explode, and after alias inlining that filter re-evaluates the
+    //     whole tokenize→md5→shingle pipeline per row BELOW any widening
+    //     exchange (measured 8× the cost of computing the index once).
+    // The materialized form is compact: one 8-byte hash per distinct
+    // shingle per doc. At multi-executor scale prefer a reliable
+    // `checkpoint(dir)` over localCheckpoint if executor loss matters —
+    // lineage is truncated either way.
+    val shingled =
+      if (materializeIndex) shingledPlan.localCheckpoint(true) else shingledPlan
     var inv = shingled
       .select(col(idCol), explode(col("sh")).as("sh_h"))
     maxShingleFreq.foreach { cap =>
