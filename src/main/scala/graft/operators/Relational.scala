@@ -92,4 +92,31 @@ object Relational {
       d.withColumn(name, coalesce(col(name), fallbackCol))
     }
   }
+
+  /** Skew-safe equi-join: spread a hot key's rows across `saltFactor`
+    * shuffle partitions by appending a per-row salt to the join key on
+    * the skewed side and REPLICATING the other side once per salt value.
+    *
+    * The tool of last resort for join skew a planner can't fix: AQE's
+    * skew-join handles skewed SHUFFLE partitions, but a single hot key
+    * (one NULL-ish id, one mega-city) still lands in one task; salting
+    * is the only way to split one key's rows. Cost: `other` is
+    * replicated ×saltFactor — use for fact⋈dim shapes where dim is
+    * small enough to replicate but too big (or too cold) to broadcast.
+    *
+    * The salt is drawn with `rand(seed)` — WHICH salt a row gets is
+    * irrelevant to correctness (every salt value sees the full `other`
+    * side), so Spark's retry nondeterminism is harmless. Inner and
+    * left-outer semantics are preserved for any `joinType` Spark
+    * supports on the skewed side ("inner", "left", "left_semi", ...).
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      saltFactor: Int = 16, joinType: String = "inner",
+      seed: Long = 42): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = skewed.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
+    val r = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -67,6 +67,43 @@ class PlanSpec extends AnyFunSuite {
       "join must be keyed on the block column:\n" + p.take(800))
   }
 
+  test("bucketed tables: co-located equi-join plans with ZERO exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val fact = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "id", "v")
+    val dim = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+    graft.sources.Tables.writeBucketed(fact, "t_fact_b", s"$wh/fact", Seq("k"), 8, Seq("k"))
+    graft.sources.Tables.writeBucketed(dim, "t_dim_b", s"$wh/dim", Seq("k"), 8, Seq("k"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-or-bucket path
+      val joined = spark.table("t_fact_b").join(spark.table("t_dim_b"), Seq("k"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "expected a sort-merge join over bucketed scans:\n" + p.take(800))
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p.take(800))
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS t_fact_b")
+      spark.sql("DROP TABLE IF EXISTS t_dim_b")
+    }
+  }
+
+  test("saltedJoin: same rows as the plain join, keyed on (keys, salt)") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i)).toDF("k", "id")
+    val dim = (0L until 7L).map(i => (i, s"d_$i")).toDF("k", "name")
+    val plainRows = skewed.join(dim, Seq("k")).select("k", "id", "name")
+      .collect().map(_.toString).sorted
+    val salted = graft.operators.Relational.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8)
+    val saltedRows = salted.select("k", "id", "name").collect().map(_.toString).sorted
+    assert(saltedRows.sameElements(plainRows))
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), "join must carry the salt key:\n" + p.take(500))
+  }
+
   test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {
     val traffic = graft.pipelines.DomainFixtures.traffic(spark, 24 * 7)
     val weather = graft.pipelines.DomainFixtures.weather(spark, 24 * 7)
