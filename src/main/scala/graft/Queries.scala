@@ -1002,6 +1002,38 @@ object Queries {
           FROM documents ORDER BY doc_id"""
     })
 
+  /** Deterministic stratified hash sample over the documents corpus:
+    * English kept at 50%, every other language at 20%. The keep decision
+    * is md5-derived from doc_id, so the oracle reproduces it exactly —
+    * no RNG, no engine-specific sampler.
+    */
+  val qHashSample = QDef(
+    (s, d) => Relational.stratifiedHashSample(t(s, d, "documents"),
+        col("doc_id"), col("lang"), Map("en" -> 0.5), defaultFraction = 0.2)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+             WHERE ${h60sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+                   (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * 10000
+             ORDER BY doc_id"""))
+
+  /** Exact grouped percentiles (p50/p95): Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so the
+    * hashes match bit-for-bit after rounding. NOTE the 100 TB path is
+    * `approx_percentile` (t-digest-style sketch, partial-agg friendly);
+    * the exact form materializes each group's values and is the
+    * correctness baseline, not the scale default.
+    */
+  val qPercentile = QDef(
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) + 0.0 AS p50,
+                   round(quantile_cont(l_quantity, 0.95), 6) + 0.0 AS p95
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   // =====================================================================
   // Deduplication
   // =====================================================================
@@ -1314,6 +1346,8 @@ object Queries {
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_hash_sample" -> qHashSample,
+    "q_percentile" -> qPercentile,
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_lsh_candidate_pairs" -> qLshCandidatePairs,

@@ -119,4 +119,34 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Deterministic hash sampling: keep a row iff
+    * `h60(idCol) mod denom < fraction·denom`. Unlike `rand()`/`sample()`
+    * the keep/drop decision is a pure function of the row's id — stable
+    * across runs, engines, partitionings, and INCREMENTAL reprocessing
+    * (a document's membership never flips when the corpus grows), which
+    * is what a reproducible train/eval carve of a 100 TB corpus needs.
+    * Map-only: the filter pipelines with the scan.
+    */
+  def hashSample(df: DataFrame, idCol: Column, fraction: Double,
+      denom: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(pmod(graft.functions.Hashing.h60(idCol.cast("string")),
+      lit(denom)) < math.round(fraction * denom))
+  }
+
+  /** Per-stratum deterministic hash sampling — e.g. language-balanced
+    * corpus carving: each value of `stratumCol` gets its own keep
+    * fraction (unlisted strata get `defaultFraction`). Same stability
+    * contract as [[hashSample]]; still one map-only filter.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      denom: Int = 10000): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(graft.functions.Hashing.h60(idCol.cast("string")),
+      lit(denom)).cast("double") < frac * denom)
+  }
 }

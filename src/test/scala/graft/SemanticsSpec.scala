@@ -164,4 +164,27 @@ class SemanticsSpec extends AnyFunSuite {
     val r = Relational.nullProfile(df, Seq("a", "b")).collect()(0)
     assert(r.getLong(0) == 1 && r.getLong(1) == 1)
   }
+
+  test("hash sampling is deterministic and stable under corpus growth") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 1000L).toDF("id")
+    def keep(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Relational.hashSample(df, $"id", 0.3).collect().map(_.getLong(0)).toSet
+    val fromSmall = keep(small)
+    val fromBig = keep(big)
+    // growing the corpus never flips an existing row's membership
+    assert(fromBig.filter(_ <= 500L) == fromSmall)
+    // repeated runs are identical (no RNG)
+    assert(keep(big) == fromBig)
+    // the kept fraction lands near the target
+    assert(math.abs(fromBig.size / 1000.0 - 0.3) < 0.05)
+    // stratified: per-stratum fractions respected
+    val strat = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s = Relational.stratifiedHashSample(strat, $"id", $"lang",
+      Map("en" -> 0.8), defaultFraction = 0.1)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(s("en") / 1000.0 - 0.8) < 0.08)
+    assert(math.abs(s.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.05)
+  }
 }
