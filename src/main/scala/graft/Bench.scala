@@ -60,7 +60,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val e1Reps = sys.env.getOrElse("SPARK_GRAFT_E1_REPS", "2").toInt
+    // 3 reps so the flagship reports a true middle median — with 2 the
+    // "median" is just the faster run, and round-over-round flagship
+    // numbers swung ±35% on identical code (r3: 14.4 s, r4 pre-fix:
+    // 19.3 s).
+    val e1Reps = sys.env.getOrElse("SPARK_GRAFT_E1_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
