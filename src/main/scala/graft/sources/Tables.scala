@@ -186,4 +186,18 @@ object Tables {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(name)
   }
+
+  /** Hive-style partitioned parquet sink: one directory per partition
+    * value. The complement of bucketing for the OTHER hot predicate
+    * class: equality/range filters on the partition column prune whole
+    * directories at PLANNING time (`PartitionFilters` in the scan — zero
+    * I/O for excluded partitions), which is what makes
+    * "last 7 days of a 100 TB table" a small scan instead of a full one.
+    * Partition by low-cardinality, always-filtered columns (date,
+    * region); high-cardinality partitioning produces a small-files
+    * explosion — that's what bucketing is for.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 }

@@ -90,6 +90,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned sink: partition filter prunes directories at planning time") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = (1 to 300).map(i => (s"2024-01-${i % 3 + 1}", i.toLong)).toDF("dt", "v")
+    graft.sources.Tables.writePartitioned(df, out, Seq("dt"))
+    val filtered = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("dt") === "2024-01-2")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("2024-01-2"),
+      "partition predicate must land in PartitionFilters:\n" + p.take(800))
+    // the pruned scan reads exactly the one matching directory
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+    assert(filtered.count() == 100)
+  }
+
   test("saltedJoin: same rows as the plain join, keyed on (keys, salt)") {
     import spark.implicits._
     // one hot key (90% of rows) + a tail
