@@ -1034,6 +1034,63 @@ object Queries {
                    round(quantile_cont(l_quantity, 0.95), 6) + 0.0 AS p95
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** The end-to-end corpus-cleaning pipeline a training-data run
+    * actually executes, as ONE lazy plan: quality gate (rounded score ≥
+    * 0.5) → language gate (predicted en) → deterministic 50% hash sample
+    * → exact dedup (lowest-id survivor per distinct text). Everything up
+    * to the dedup groupBy is a single map-only stage fused with the
+    * scan; the dedup shuffle carries only (hash, doc_id, n_tokens)-sized
+    * rows. Thresholds compare the ROUNDED score on both sides so the
+    * boundary can never split between engines.
+    */
+  val qCorpusClean = QDef(
+    (s, d) => {
+      val feats = TextOps.qualityFeatures(col("text")).toMap
+      val base = t(s, d, "documents")
+        .withColumn("__q", round(feats("quality_score"), 6))
+        .withColumn("__lang", TextOps.langId(col("text")))
+        .filter(col("__q") >= 0.5 && col("__lang") === "en")
+      val sampled = Relational.hashSample(base, col("doc_id"), 0.5)
+      Dedup.exact(sampled, "text", "doc_id")
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stopList = TextOps.langMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+      val hits = TextOps.langMarkers.map { case (l, ms) =>
+        val arr = ms.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$l"
+      }.mkString(",\n                  ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'")
+        .mkString("\n                 ")
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+          f AS (SELECT doc_id, text, toks,
+                  len(toks) AS n_toks, length(text) AS n_chars,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                  len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+                  len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha,
+                  $hits
+                FROM t),
+          b AS (SELECT *, $best AS best FROM f),
+          q AS (SELECT doc_id, text, toks, n_toks,
+                  round((least(CAST(n_toks AS DOUBLE) / 50.0, 1.0)
+                         + least(CAST(n_stop AS DOUBLE) / n_toks * 5.0, 1.0)
+                         + CAST(n_alpha AS DOUBLE) / n_toks
+                         + (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 10.0, 1.0))) / 4.0, 6) AS qs,
+                  CASE $cases
+                  ELSE 'und' END AS lang_pred
+                FROM b),
+          kept AS (SELECT doc_id, text, n_toks FROM q
+                   WHERE qs >= 0.5 AND lang_pred = 'en'
+                     AND ${h60sql("CAST(doc_id AS VARCHAR)")} % 10000 < 5000),
+          surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+          SELECT k.doc_id, CAST(k.n_toks AS BIGINT) AS n_tokens
+          FROM kept k JOIN surv USING (doc_id) ORDER BY doc_id"""
+    })
+
   // =====================================================================
   // Deduplication
   // =====================================================================
@@ -1348,6 +1405,7 @@ object Queries {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_hash_sample" -> qHashSample,
     "q_percentile" -> qPercentile,
+    "q_corpus_clean" -> qCorpusClean,
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_lsh_candidate_pairs" -> qLshCandidatePairs,

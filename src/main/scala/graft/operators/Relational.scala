@@ -114,6 +114,12 @@ object Relational {
       saltFactor: Int = 16, joinType: String = "inner",
       seed: Long = 42): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // outer-preserving the REPLICATED side would emit each unmatched
+    // `other` row saltFactor times — reject rather than silently duplicate
+    require(!Set("right", "rightouter", "right_outer", "full", "outer",
+        "fullouter", "full_outer").contains(joinType.toLowerCase.replace(" ", "")),
+      s"joinType $joinType would duplicate unmatched rows of the replicated side; " +
+        "salt the other side instead")
     val l = skewed.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
     val r = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

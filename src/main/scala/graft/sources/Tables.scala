@@ -181,6 +181,8 @@ object Tables {
   def writeBucketed(df: DataFrame, name: String, path: String,
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0,
+      "bucketed write needs at least one bucket column and a positive bucket count")
     val w = df.write.mode(mode).format("parquet").option("path", path)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
