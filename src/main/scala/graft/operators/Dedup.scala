@@ -29,11 +29,15 @@ object Dedup {
     * `sha2(text, 256)` where cryptographic certainty matters.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = df
-      .groupBy(Hashing.h60(col(textCol)).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__h")
-    df.join(keep, Seq(idCol), "left_semi")
+    // min_by carries the whole survivor row through ONE hash aggregate:
+    // same shuffle bytes as the groupBy+join-back form (whose semi join
+    // re-shuffled the full rows anyway) but a single pass over `df` —
+    // which matters when df is an expensive upstream plan (Spark re-
+    // executes a subtree once per consumer; see q_corpus_clean).
+    val cols = df.columns
+    df.groupBy(Hashing.h60(col(textCol)).as("__h"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** MinHash signature columns `mh_0 … mh_{k-1}` from a shingle-array
