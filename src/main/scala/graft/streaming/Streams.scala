@@ -117,6 +117,21 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup — the streaming twin of [[graft.operators.Dedup.exact]]
+    * for incremental corpus ingestion: a document re-delivered within the
+    * watermark horizon (at-least-once sources re-send on retry/replay) is
+    * dropped; the first delivery wins. State is BOUNDED by the watermark:
+    * one key per id survives only until the event-time horizon passes, so
+    * state size tracks the dedup window, never the corpus — the property
+    * that makes this run forever at ingest scale. (Exact-forever dedup
+    * belongs in the batch layer: `dropDuplicates` on a stream keeps
+    * unbounded state.)
+    */
+  def dedupStream(df: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   // -- T3 (stateful): per-key trailing features online ---------------------
 
   case class Ev(k: String, t: Long, v: Double, id: Long = 0L)

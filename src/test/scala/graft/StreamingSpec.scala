@@ -109,6 +109,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops re-deliveries within the watermark, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = Streams.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("t_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-redelivered"))
+    q.processAllAvailable()
+    // batch 2: doc 2 re-delivered within the watermark → dropped; doc 3 new
+    input.addData((2L, ts(3), "b-redelivered"), (3L, ts(4), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"), got.toString)
+  }
+
   test("watermark drops late rows beyond the threshold in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]
