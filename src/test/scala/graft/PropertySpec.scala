@@ -120,4 +120,18 @@ class PropertySpec extends AnyFunSuite {
       assert(got == 50L * k)
     }
   }
+
+  test("hash samples are NESTED: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2") {
+    // the property that lets an eval set GROW without resampling: raising
+    // the fraction only ADDS rows, it never rotates membership
+    val df = (1L to 2000L).toDF("id")
+    def keep(f: Double): Set[Long] =
+      Relational.hashSample(df, col("id"), f).collect().map(_.getLong(0)).toSet
+    val fracs = Seq(0.05, 0.2, 0.5, 0.9, 1.0)
+    val sets = fracs.map(keep)
+    sets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"smaller fraction must be a subset (|lo|=${lo.size}, |hi|=${hi.size})")
+    }
+    assert(sets.last.size == 2000, "fraction 1.0 keeps everything")
+  }
 }
