@@ -1091,6 +1091,69 @@ object Queries {
           FROM kept k JOIN surv USING (doc_id) ORDER BY doc_id"""
     })
 
+  /** Sequence packing (concat-and-chunk LM-pretraining layout): each doc
+    * gets the 256-token sequence id its first token lands in and its
+    * offset inside that sequence, packed per 8-way shard in doc_id
+    * order. One window cumsum per shard — pack parallelism = shards.
+    */
+  val qPackSequences = QDef(
+    (s, d) => {
+      val df = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.tokenCountWs(col("text")).cast("long"))
+        .withColumn("shard",
+          pmod(Hashing.h60(col("doc_id").cast("string")), lit(8)).cast("long"))
+      TextOps.packSequences(df, col("doc_id"), col("n_tokens"), 256L, col("shard"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("seq_in_shard").cast("long").as("seq_in_shard"),
+          col("seq_offset").cast("long").as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id,
+                      len(${toksSql("text")}) AS n_tokens,
+                      ${h60sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+               FROM documents),
+             w AS (
+               SELECT doc_id, shard, n_tokens,
+                      COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS strt
+               FROM t)
+             SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                    CAST(n_tokens AS BIGINT) AS n_tokens,
+                    CAST(strt // 256 AS BIGINT) AS seq_in_shard,
+                    CAST(strt % 256 AS BIGINT) AS seq_offset
+             FROM w ORDER BY doc_id"""))
+
+  /** Token-budget sampling: per-language token budgets (en 5000, es 2000,
+    * de 1500; unlisted languages 0) filled in deterministic
+    * h60-of-doc_id order — "take N tokens of source X" with engine-
+    * reproducible membership.
+    */
+  val qTokenBudgetSample = QDef(
+    (s, d) => {
+      val df = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.tokenCountWs(col("text")).cast("long"))
+      TextOps.tokenBudgetSample(df, col("doc_id"), col("n_tokens"),
+          col("lang"), Map("en" -> 5000L, "es" -> 2000L, "de" -> 1500L))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id, lang,
+                      len(${toksSql("text")}) AS n_tokens,
+                      ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+             w AS (
+               SELECT doc_id, lang, n_tokens,
+                      CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM t)
+             SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+             FROM w
+             WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
+                                    WHEN 'de' THEN 1500 ELSE 0 END
+             ORDER BY doc_id"""))
+
   // =====================================================================
   // Deduplication
   // =====================================================================
@@ -1406,6 +1469,8 @@ object Queries {
     "q_hash_sample" -> qHashSample,
     "q_percentile" -> qPercentile,
     "q_corpus_clean" -> qCorpusClean,
+    "q_pack_sequences" -> qPackSequences,
+    "q_token_budget_sample" -> qTokenBudgetSample,
     "q_dedup_exact" -> qDedupExact,
     "q_minhash_signatures" -> qMinhashSignatures,
     "q_lsh_candidate_pairs" -> qLshCandidatePairs,

@@ -171,4 +171,47 @@ object TextOps {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, c) => (acc * base + c) % mod)
+
+  /** Sequence packing (concat-and-chunk, the standard LM-pretraining
+    * layout): documents are laid end-to-end in `orderCol` order within
+    * each shard; each doc gets the id of the `budget`-token sequence its
+    * FIRST token lands in and its offset inside that sequence. Documents
+    * may straddle a sequence boundary — that is the concat-and-chunk
+    * contract (the trainer splits at the boundary), not a bug.
+    *
+    * Scale shape: ONE window (cumulative sum) partitioned by `shardCol`
+    * — pack parallelism = shard count, so shard by something with
+    * thousands of values at corpus scale. No collect, no global sort.
+    */
+  def packSequences(df: DataFrame, orderCol: Column, tokenCol: Column,
+      budget: Long, shardCol: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val start = coalesce(sum(tokenCol).over(w), lit(0L))
+    df.withColumn("seq_in_shard", floor(start / budget))
+      .withColumn("seq_offset", pmod(start, lit(budget)))
+  }
+
+  /** Token-budget sampling ("take N tokens of code, M of web"): within
+    * each stratum, documents are ranked in a DETERMINISTIC pseudo-random
+    * order (h60 of the id — reproducible across runs and engines) and
+    * kept while the stratum's running token total stays within its
+    * budget (first doc to exceed the budget is dropped, truncation
+    * semantics). Unlisted strata get budget 0. One window + one filter;
+    * same nested-growth property as hashSample: raising a budget only
+    * ADDS documents.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: Column, tokenCol: Column,
+      stratumCol: Column, budgets: Map[String, Long]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(Hashing.h60(idCol.cast("string")), idCol)
+    val budget = budgets.foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(tokenCol).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

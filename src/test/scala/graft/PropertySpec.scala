@@ -121,6 +121,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: offsets are contiguous per shard, boundaries at the budget") {
+    val df = Seq((1L, 100L, 0), (2L, 200L, 0), (3L, 50L, 0), (4L, 300L, 1))
+      .toDF("id", "n", "shard")
+    val got = TextOps.packSequences(df, col("id"), col("n"), 256L, col("shard"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4))).toMap // (seq_in_shard, seq_offset)
+    // shard 0 cumulative starts: 0, 100, 300 → seq 0/0, 0/100, 1/44
+    assert(got(1L) == (0L, 0L) && got(2L) == (0L, 100L) && got(3L) == (1L, 44L))
+    assert(got(4L) == (0L, 0L)) // shard 1 starts fresh
+  }
+
+  test("token-budget sample: truncation at the budget, nested under budget growth") {
+    val df = (1L to 100L).map(i => (i, 10L, "en")).toDF("id", "n", "lang")
+    def keep(b: Long): Set[Long] =
+      TextOps.tokenBudgetSample(df, col("id"), col("n"), col("lang"), Map("en" -> b))
+        .collect().map(_.getLong(0)).toSet
+    val small = keep(200L)   // exactly 20 docs of 10 tokens
+    val big = keep(500L)
+    assert(small.size == 20 && big.size == 50)
+    assert(small.subsetOf(big), "raising the budget must only add docs")
+    assert(keep(5L).isEmpty, "budget below the first doc keeps nothing")
+    // unlisted stratum → kept nothing
+    assert(TextOps.tokenBudgetSample(df, col("id"), col("n"), col("lang"),
+      Map("de" -> 1000L)).count() == 0)
+  }
+
   test("hash samples are NESTED: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2") {
     // the property that lets an eval set GROW without resampling: raising
     // the fraction only ADDS rows, it never rotates membership
