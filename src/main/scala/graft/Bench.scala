@@ -73,8 +73,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Isolation between measurements: a few operators eagerly
+    // localCheckpoint compact intermediates (lineage discipline); each
+    // rep builds fresh ones and the old copies linger until GC, so heap
+    // pressure from earlier queries would otherwise bleed into later
+    // timings (measured: flagship medians swung 16 ↔ 22 s depending on
+    // how much checkpoint storage 61 queries × 3 reps left behind).
+    def releasePersisted(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val measured = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeMedian(reps) { fn(spark, sfDir).count() }
+      val r = name -> timeMedian(reps) { fn(spark, sfDir).count() }
+      releasePersisted()
+      r
     }
     val results = measured.map { case (name, (sec, _, _)) => name -> sec }
     val errors = measured.collect { case (name, (_, _, Some(msg))) => name -> msg }
@@ -99,6 +111,7 @@ object Bench {
     }
     val (e1Sec, e1First, e1Err) = timeMedian(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1First.getOrElse(-1L)
+    releasePersisted()
     val (e1SegSec, _, e1SegErr) = timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
 
     val flagships = Seq("flagship_e1" -> e1Sec, "flagship_e1_segmented" -> e1SegSec)
