@@ -221,6 +221,14 @@ object Dedup {
     * near-dup pairs into clusters, keep one survivor per cluster" stage a
     * corpus-dedup pipeline needs after LSH.
     *
+    * Measured note (sf0.1): a second pointer jump per round does NOT cut
+    * the round count — convergence is bound by one-hop neighbor-min
+    * propagation, not pointer chasing. The next scale lever, if dedup
+    * graphs ever grow deep components, is Pregel-style FRONTIER
+    * propagation (messages only from vertices whose label changed last
+    * round), which shrinks the edges join to the active subgraph at the
+    * cost of an extra labels-merge join per round.
+    *
     * @return (id, cluster_id) where cluster_id = min id in the component;
     *         isolated ids (no pair) map to themselves.
     */
