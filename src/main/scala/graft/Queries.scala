@@ -480,6 +480,30 @@ object Queries {
             SELECT 'anti' AS kind, count(*) AS cnt FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
             ORDER BY kind"""))
 
+  /** Salted skew join: result-identical to the plain equi-join (every
+    * salt value sees the full replicated side), so the oracle is simply
+    * the unsalted SQL — which salt a row draws is invisible in the
+    * output. The salt's job is physical: it splits one hot key's rows
+    * across `saltFactor` shuffle partitions (the case AQE's skew
+    * handling cannot reach).
+    */
+  val qSaltedJoin = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey"))
+      Relational.saltedJoin(li, o, Seq("orderkey"), saltFactor = 8)
+        .filter(col("l_quantity") > 48)
+        .select(col("orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_custkey"))
+        .orderBy("orderkey", "l_linenumber")
+    },
+    Some("""SELECT l.l_orderkey AS orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity > 48
+            ORDER BY orderkey, l_linenumber"""))
+
   /** Rollup (hierarchical grouping sets) with subtotal rows surfaced via
     * coalesce so both engines order identically.
     */
@@ -1439,6 +1463,7 @@ object Queries {
     "q_regression_metrics" -> qRegressionMetrics,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_semi_anti_join" -> qSemiAntiJoin,
+    "q_salted_join" -> qSaltedJoin,
     "q_rollup" -> qRollup,
     "q_multi_agg" -> qMultiAgg,
     "q_round_decimal" -> qRoundDecimal,
