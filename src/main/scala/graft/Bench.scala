@@ -121,7 +121,7 @@ object Bench {
     val allErrors = errors ++
       e1Err.map("flagship_e1" -> _) ++ e1SegErr.map("flagship_e1_segmented" -> _)
     val errJson = allErrors
-      .map { case (k, v) => s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\r\\n\\t]", " ") + "\"" }
+      .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1Sec) + math.max(0, e1SegSec)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}""")

@@ -29,6 +29,11 @@ object Dedup {
     * `sha2(text, 256)` where cryptographic certainty matters.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Contract note: exactly ONE row survives per distinct text. If the
+    // input carries physically duplicated (id, text) rows, they collapse
+    // too — a full-duplicate row IS a duplicate. (The earlier groupBy +
+    // semi-join form preserved such copies; rows sharing an id but
+    // differing in text land in different hash groups and are unaffected.)
     // min_by carries the whole survivor row through ONE hash aggregate:
     // same shuffle bytes as the groupBy+join-back form (whose semi join
     // re-shuffled the full rows anyway) but a single pass over `df` —

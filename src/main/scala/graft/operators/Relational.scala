@@ -149,10 +149,15 @@ object Relational {
   def stratifiedHashSample(df: DataFrame, idCol: Column, stratumCol: Column,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       denom: Int = 10000): DataFrame = {
-    val frac = fractions.foldLeft(lit(defaultFraction)) {
-      case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
+    // thresholds are rounded to integers HERE, exactly like hashSample:
+    // comparing against the unrounded double product would diverge from
+    // hashSample (and any decimal-math oracle) on boundary hash values
+    // for fractions whose product is inexact in binary (0.07 * 10000 =
+    // 700.0000000000001)
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * denom))) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(math.round(v * denom))).otherwise(acc)
     }
     df.filter(pmod(graft.functions.Hashing.h60(idCol.cast("string")),
-      lit(denom)).cast("double") < frac * denom)
+      lit(denom)) < threshold)
   }
 }

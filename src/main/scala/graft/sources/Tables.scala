@@ -59,7 +59,10 @@ object Tables {
     *
     * The split-count probe (`rdd.getNumPartitions` — file listing +
     * physical planning, no job) is cached per (path, target) so repeated
-    * loads in a bench/verify loop plan the probe once.
+    * loads in a bench/verify loop plan the probe once. The cache assumes
+    * the path's contents and the session's split configs are stable for
+    * the JVM's lifetime (true for the immutable test fixtures); a
+    * regenerated file at the same path would reuse the stale count.
     */
   private val scanSplitCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 

@@ -120,7 +120,11 @@ object Streams {
   /** Streaming exact dedup — the streaming twin of [[graft.operators.Dedup.exact]]
     * for incremental corpus ingestion: a document re-delivered within the
     * watermark horizon (at-least-once sources re-send on retry/replay) is
-    * dropped; the first delivery wins. State is BOUNDED by the watermark:
+    * dropped; exactly ONE delivery survives per id. (Across micro-batches
+    * the earlier batch's row wins — state already exists; WITHIN a batch
+    * the survivor among same-id rows is arbitrary, as
+    * `dropDuplicatesWithinWatermark` gives no intra-batch ordering
+    * guarantee.) State is BOUNDED by the watermark:
     * one key per id survives only until the event-time horizon passes, so
     * state size tracks the dedup window, never the corpus — the property
     * that makes this run forever at ingest scale. (Exact-forever dedup

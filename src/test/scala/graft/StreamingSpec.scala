@@ -123,9 +123,14 @@ class StreamingSpec extends AnyFunSuite {
     input.addData((2L, ts(3), "b-redelivered"), (3L, ts(4), "c"))
     q.processAllAvailable()
     q.stop()
-    val got = spark.table("t_dedup_stream").collect()
-      .map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"), got.toString)
+    val rows = spark.table("t_dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val got = rows.toMap
+    assert(rows.length == 3 && got.keySet == Set(1L, 2L, 3L), rows.mkString(","))
+    // cross-batch re-delivery is DETERMINISTICALLY dropped (state exists)
+    assert(got(2L) == "b" && got(3L) == "c", got.toString)
+    // within one batch the survivor among same-id rows is arbitrary
+    assert(Set("a", "a-redelivered").contains(got(1L)), got.toString)
   }
 
   test("watermark drops late rows beyond the threshold in append mode") {
