@@ -480,6 +480,48 @@ object Queries {
             SELECT 'anti' AS kind, count(*) AS cnt FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
             ORDER BY kind"""))
 
+  /** Per-document top-3 terms by TF-IDF: term frequency per doc ×
+    * ln(N / document-frequency), ranked per doc. The global DF table and
+    * the corpus size are both aggregates over the exploded token
+    * relation — the classic two-level (per-group + global) text
+    * statistic. Ranking and output use the ROUNDED score so a 1-ULP
+    * `ln` difference between engines can't flip near-ties; remaining
+    * ties break on the term itself.
+    */
+  val qTfidfTopTerms = QDef(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             scored AS (
+               SELECT tf.doc_id, tf.term,
+                      round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dft.df), 6) + 0.0 AS tfidf
+               FROM tf JOIN dft USING (term)),
+             r AS (SELECT doc_id, term, tfidf,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY tfidf DESC, term) AS rank
+                   FROM scored)
+             SELECT doc_id, term, tfidf, rank FROM r
+             WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   /** Salted skew join: result-identical to the plain equi-join (every
     * salt value sees the full replicated side), so the oracle is simply
     * the unsalted SQL — which salt a row draws is invisible in the
@@ -1491,6 +1533,7 @@ object Queries {
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_tfidf_topterms" -> qTfidfTopTerms,
     "q_hash_sample" -> qHashSample,
     "q_percentile" -> qPercentile,
     "q_corpus_clean" -> qCorpusClean,
