@@ -1218,6 +1218,8 @@ object Queries {
              FROM w
              WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
                                     WHEN 'de' THEN 1500 ELSE 0 END
+               AND CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2000
+                             WHEN 'de' THEN 1500 ELSE 0 END > 0
              ORDER BY doc_id"""))
 
   // =====================================================================
@@ -1230,7 +1232,7 @@ object Queries {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id"),
     Some("""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
-            SELECT d.doc_id, d.lang, d.n_chars
+            SELECT DISTINCT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"""))
 
   private val MinhashK = 12

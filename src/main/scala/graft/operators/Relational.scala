@@ -149,6 +149,10 @@ object Relational {
   def stratifiedHashSample(df: DataFrame, idCol: Column, stratumCol: Column,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       denom: Int = 10000): DataFrame = {
+    require(fractions.values.forall(v => v >= 0.0 && v <= 1.0),
+      "per-stratum fractions must be in [0,1]")
+    require(defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      "defaultFraction must be in [0,1]")
     // thresholds are rounded to integers HERE, exactly like hashSample:
     // comparing against the unrounded double product would diverge from
     // hashSample (and any decimal-math oracle) on boundary hash values

@@ -190,8 +190,13 @@ object TextOps {
       .partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val start = coalesce(sum(tokenCol).over(w), lit(0L))
-    df.withColumn("seq_in_shard", floor(start / budget))
-      .withColumn("seq_offset", pmod(start, lit(budget)))
+    // `div` (not `/`): Column `/` is double division, which loses
+    // precision on cumulative token counts past 2^53 — real at the
+    // corpus scale this operator is advertised for.
+    df.withColumn("__start", start)
+      .withColumn("seq_in_shard", expr(s"__start div ${budget}L"))
+      .withColumn("seq_offset", pmod(col("__start"), lit(budget)))
+      .drop("__start")
   }
 
   /** Token-budget sampling ("take N tokens of code, M of web"): within
@@ -210,8 +215,11 @@ object TextOps {
     val budget = budgets.foldLeft(lit(0L)) {
       case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
     }
+    // `budget > 0` keeps budget-0 strata truly empty: without it a
+    // zero-token document (cum = 0 <= 0) in an unlisted stratum would
+    // survive, contradicting the contract above.
     df.withColumn("__cum", sum(tokenCol).over(w))
-      .filter(col("__cum") <= budget)
+      .filter(col("__cum") <= budget && budget > lit(0L))
       .drop("__cum")
   }
 }

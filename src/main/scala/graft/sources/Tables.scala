@@ -59,16 +59,25 @@ object Tables {
     *
     * The split-count probe (`rdd.getNumPartitions` — file listing +
     * physical planning, no job) is cached per (path, target) so repeated
-    * loads in a bench/verify loop plan the probe once. The cache assumes
-    * the path's contents and the session's split configs are stable for
-    * the JVM's lifetime (true for the immutable test fixtures); a
-    * regenerated file at the same path would reuse the stale count.
+    * loads in a bench/verify loop plan the probe once. The key carries
+    * the file's length and mtime, so a fixture regenerated at the same
+    * path (e.g. a test rewriting its input) re-probes instead of reusing
+    * a stale count.
     */
   private val scanSplitCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
+  private def pathStamp(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isFile) s"${f.length}:${f.lastModified}"
+    else Option(f.listFiles()).map { kids =>
+      s"${kids.map(_.length).sum}:${kids.foldLeft(0L)((m, k) => math.max(m, k.lastModified))}"
+    }.getOrElse("absent")
+  }
+
   private def withMinMapParallelism(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    val n = scanSplitCache.computeIfAbsent(s"$path#$target", _ => df.rdd.getNumPartitions)
+    val n = scanSplitCache.computeIfAbsent(s"$path#$target#${pathStamp(path)}",
+      _ => df.rdd.getNumPartitions)
     if (n < target) df.repartition(target) else df
   }
 
