@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateTimeKit, Hashing, Holidays}
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Relational, Similarity, Temporal, TextOps}
 import graft.sources.Tables
 import graft.windows.TrailingFeatures
 
@@ -1488,6 +1488,164 @@ object Queries {
   // Registry
   // =====================================================================
 
+  // =====================================================================
+  // Temporal operators (as-of join, interval join, sessionization,
+  // per-group top-k) + pivot / cube / n-gram counts
+  // =====================================================================
+
+  /** As-of join: each view event gets the value of the user's latest
+    * purchase at-or-before it (point-in-time feature lookup). Union +
+    * one window — a single shuffle on user_id, no range-join fan-out.
+    * The DuckDB oracle is an INDEPENDENT construction (native ASOF
+    * LEFT JOIN), so the two engines cross-check each other's semantics.
+    */
+  val qAsofJoin = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("value").as("last_purchase_value"), col("event_id").as("__peid"))
+      Temporal.asofJoin(v, p, Seq("user_id"), "ts", "ts",
+          Seq("last_purchase_value"), tieBreak = Some("__peid"))
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 p AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT v.event_id, v.user_id, p.value AS last_purchase_value
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
+            ORDER BY event_id"""))
+
+  /** Bounded interval self-join: ordered event pairs from the same user
+    * strictly within 10 minutes. Banded (key, time-bucket) equi-join —
+    * no theta join; the inequality is a post-filter. The oracle is
+    * DuckDB's native inequality join (IEJoin) — again an independent
+    * algorithm. Both sides compare at microsecond precision.
+    */
+  val qRangeJoin = QDef(
+    (s, d) => Temporal.pairsWithin(t(s, d, "events"), Seq("user_id"), "ts",
+        "event_id", 600000000L)
+      .select(col("user_id"), col("event_id_a"), col("event_id_b"),
+        col("gap_us").cast("long").as("gap_us"))
+      .orderBy("event_id_a", "event_id_b"),
+    Some("""SELECT a.user_id, a.event_id AS event_id_a,
+                   b.event_id AS event_id_b,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND (epoch_us(b.ts) - epoch_us(a.ts)) BETWEEN 1 AND 600000000
+            ORDER BY event_id_a, event_id_b"""))
+
+  /** Sessionization: per-user sessions at a 30-minute inactivity gap via
+    * Spark's native `session_window` aggregate (one shuffle, merging
+    * inside the hash aggregate; identical semantics in Structured
+    * Streaming). Oracle: classic gaps-and-islands SQL — independent
+    * construction, same boundary rule (only a gap STRICTLY larger than
+    * 30 min starts a new session; Spark merges at exact equality,
+    * pinned in TemporalSpec).
+    */
+  val qSessionize = QDef(
+    (s, d) => Temporal.sessionize(t(s, d, "events"), col("user_id"),
+        col("ts"), "30 minutes",
+        Seq(round(sum(col("value")), 6).as("total_value")))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) + 0.0 AS total_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Top-k per group: 3 highest-value orders per order priority,
+    * deterministic tie-break on the order key. */
+  val qTopKGroup = QDef(
+    (s, d) => Temporal.topKPerGroup(t(s, d, "orders"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("o_orderpriority", "rank"),
+    Some("""WITH r AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+            FROM r WHERE rank <= 3
+            ORDER BY o_orderpriority, rank"""))
+
+  private val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user count of each event type as columns. The value list
+    * is EXPLICIT (no extra distinct pass over the data to discover it,
+    * and stable output columns regardless of which types a scale factor
+    * happens to contain).
+    */
+  val qPivot = QDef(
+    (s, d) => {
+      val p = t(s, d, "events").groupBy("user_id")
+        .pivot("event_type", PivotEventTypes).agg(count(lit(1)))
+      PivotEventTypes.foldLeft(p) { (df, et) =>
+        df.withColumn(s"n_$et", coalesce(col(et), lit(0L)).cast("long")).drop(et)
+      }.orderBy("user_id")
+    },
+    Some("SELECT user_id, " + PivotEventTypes.map(et =>
+        s"CAST(count(*) FILTER (WHERE event_type = '$et') AS BIGINT) AS n_$et")
+        .mkString(", ") +
+      " FROM events GROUP BY user_id ORDER BY user_id"))
+
+  /** Cube: quantity totals over every subset of (returnflag, linestatus)
+    * — all four grouping-set combinations in ONE pass (Spark expands the
+    * cube inside a single aggregate; no union of scans). Subtotal rows
+    * render their grouping columns as '(all)'.
+    */
+  val qCube = QDef(
+    (s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+                   coalesce(l_linestatus, '(all)') AS ls,
+                   round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
+  /** Corpus bigram counts: top-100 word 2-grams by frequency —
+    * vocabulary/collocation profiling over the documents table.
+    * Deterministic at the limit boundary (total order on (n desc, gram)).
+    */
+  val qNgramCounts = QDef(
+    (s, d) => t(s, d, "documents")
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(100),
+    Some(s"""WITH tk AS (SELECT ${toksSql("text")} AS toks FROM documents),
+             g AS (SELECT unnest(${shinglesSql("toks", 2)}) AS gram FROM tk)
+             SELECT gram, CAST(count(*) AS BIGINT) AS n
+             FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 100"""))
+
   val all: Seq[(String, QDef)] = Seq(
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
@@ -1551,7 +1709,14 @@ object Queries {
     "q_cosine_topk" -> qCosineTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_lsh" -> qAnnLsh,
-    "q_embedding_neardup" -> qEmbeddingNearDup)
+    "q_embedding_neardup" -> qEmbeddingNearDup,
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_sessionize" -> qSessionize,
+    "q_topk_group" -> qTopKGroup,
+    "q_pivot" -> qPivot,
+    "q_cube" -> qCube,
+    "q_ngram_counts" -> qNgramCounts)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Golden semantics for the temporal operators (as-of join, bounded
+  * interval self-join, sessionization, per-group top-k) on tiny inline
+  * fixtures where every expected row is hand-checkable.
+  */
+class TemporalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks latest right row at-or-before, inclusive at equality") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "u2", ts("2024-01-01 10:00:00")) // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 10.0, 100L), // equal ts to left id=1
+      ("u1", ts("2024-01-01 11:00:00"), 11.0, 101L)
+    ).toDF("k", "t", "px", "rid")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("px"), tieBreak = Some("rid"))
+      .orderBy("id").select("id", "px").collect()
+    assert(got(0).getDouble(1) == 10.0) // inclusive: right@10:00 visible at left@10:00
+    assert(got(1).getDouble(1) == 11.0) // latest of the two
+    assert(got(2).isNullAt(1)) // nothing at-or-before 09:00
+    assert(got(3).isNullAt(1)) // left-outer: key with no right side
+  }
+
+  test("asofJoin tie at identical (key, ts): largest tieBreak wins") {
+    val left = Seq((1L, "u", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", ts("2024-01-01 11:00:00"), 1.0, 7L),
+      ("u", ts("2024-01-01 11:00:00"), 2.0, 9L),
+      ("u", ts("2024-01-01 11:00:00"), 3.0, 8L)
+    ).toDF("k", "t", "px", "rid")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("px"), tieBreak = Some("rid")).select("px").head()
+    assert(got.getDouble(0) == 2.0) // rid=9 is the largest tie-break
+  }
+
+  test("pairsWithin finds exactly the strictly-after within-gap pairs, across bucket edges") {
+    // gap = 60s. Pairs: (1,2) 30s apart within one bucket, (2,3) 59s apart
+    // crossing a bucket boundary, (3,4) exactly 60s (kept: <=), (4,5) 61s
+    // apart (dropped), different-key pair (1,6) dropped.
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-01 00:00:30")),
+      (3L, "a", ts("2024-01-01 00:01:29")),
+      (4L, "a", ts("2024-01-01 00:02:29")),
+      (5L, "a", ts("2024-01-01 00:03:30")),
+      (6L, "b", ts("2024-01-01 00:00:10"))
+    ).toDF("id", "k", "t")
+    val got = Temporal.pairsWithin(df, Seq("k"), "t", "id", 60000000L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("pairsWithin emits each pair exactly once (no bucket double-count)") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:59")),
+      (2L, "a", ts("2024-01-01 00:01:01")) // same-bucket AND adjacent-bucket candidate
+    ).toDF("id", "k", "t")
+    val got = Temporal.pairsWithin(df, Seq("k"), "t", "id", 60000000L).collect()
+    assert(got.length == 1)
+  }
+
+  test("sessionize merges at exactly-gap, splits only strictly beyond it") {
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00"), 1.0),
+      ("u", ts("2024-01-01 10:20:00"), 2.0), // 20 min: same session
+      ("u", ts("2024-01-01 10:50:00"), 4.0), // exactly 30 min: still SAME session
+      ("u", ts("2024-01-01 11:20:01"), 16.0), // 30 min 1 s: new session
+      ("v", ts("2024-01-01 10:05:00"), 8.0)
+    ).toDF("k", "t", "v")
+    val got = Temporal.sessionize(df, col("k"), col("t"), "30 minutes",
+        Seq(sum($"v").as("sv")))
+      .orderBy("k", "session_start")
+      .select("k", "n_events", "sv").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("u", 3L, 7.0), ("u", 1L, 16.0), ("v", 1L, 8.0)))
+  }
+
+  test("topKPerGroup keeps k rows per group with deterministic ranks") {
+    val df = Seq(
+      ("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0), ("g1", 4L, 1.0),
+      ("g2", 5L, 2.0)
+    ).toDF("g", "id", "v")
+    val got = Temporal.topKPerGroup(df, Seq(col("g")),
+        Seq(col("v").desc, col("id")), 2)
+      .orderBy("g", "rank").select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // tie at v=9.0 broken by id asc: id=2 then id=3
+    assert(got == Seq(("g1", 2L, 1), ("g1", 3L, 2), ("g2", 5L, 1)))
+  }
+}
