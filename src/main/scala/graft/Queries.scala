@@ -1646,6 +1646,105 @@ object Queries {
              SELECT gram, CAST(count(*) AS BIGINT) AS n
              FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 100"""))
 
+  /** Streaming sessionization: the same session_window aggregate as
+    * q_sessionize run through Structured Streaming (state-store window
+    * merging), checked against the SAME batch gaps-and-islands oracle —
+    * pinning batch/stream semantic parity for session windows.
+    */
+  val qStreamSessionize = QDef(
+    (s, d) => graft.streaming.Streams
+      .sessionizeAvailableNow(s, d, "q_stream_sessions")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("sum_value"), 6).as("total_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) + 0.0 AS total_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Set operators INTERSECT / EXCEPT (SQL set semantics — distinct
+    * rows), absent from the reference but part of the generic surface:
+    * customers holding both finished- and open-status orders, and those
+    * holding only finished ones, tagged in one result.
+    */
+  val qSetOps = QDef(
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val f = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.intersect(o).withColumn("op", lit("both"))
+        .unionByName(f.except(o).withColumn("op", lit("f_only")))
+        .orderBy("op", "o_custkey")
+    },
+    Some("""SELECT o_custkey, 'both' AS op FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            UNION ALL
+            SELECT o_custkey, 'f_only' AS op FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            ORDER BY op, o_custkey"""))
+
+  /** Per-label embedding centroids: posexplode to (label, dim, value)
+    * rows then a plain grouped average — the fully-distributed way to
+    * aggregate vectors (shuffle key (label, dim); no driver-side vector
+    * math, no single-reducer per label).
+    */
+  val qEmbeddingCentroids = QDef(
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("e")), 6).as("centroid"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("centroid"))
+      .orderBy("label", "dim"),
+    Some("""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                   round(avg(e), 6) + 0.0 AS centroid
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim"""))
+
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  /** Winnowing fingerprints (rolling character k-gram hashes, window
+    * minimum — the MOSS local-match scheme) as (doc_id, fingerprint)
+    * rows. Guarantees any shared substring of length >= k+w−1 across
+    * documents shares a fingerprint.
+    */
+  val qWinnowFingerprints = QDef(
+    (s, d) => TextOps.winnowFingerprints(
+        t(s, d, "documents"), "doc_id", col("text"), WinnowK, WinnowW)
+      .select(col("doc_id"), col("fingerprint").as("fp"))
+      .orderBy("doc_id", "fp"),
+    Some {
+      val gramsSql = s"list_transform(range(1, len(norm) - ${WinnowK - 2}), " +
+        s"i -> ${h60sql(s"norm[i:i+${WinnowK - 1}]")})"
+      s"""WITH nm AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+          g AS (SELECT doc_id, $gramsSql AS grams FROM nm),
+          f AS (SELECT doc_id,
+                       list_transform(range(1, len(grams) - ${WinnowW - 2}),
+                         j -> list_min(grams[j:j+${WinnowW - 1}])) AS fps
+                FROM g)
+          SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f
+          ORDER BY doc_id, fp"""
+    })
+
   val all: Seq[(String, QDef)] = Seq(
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
@@ -1716,7 +1815,11 @@ object Queries {
     "q_topk_group" -> qTopKGroup,
     "q_pivot" -> qPivot,
     "q_cube" -> qCube,
-    "q_ngram_counts" -> qNgramCounts)
+    "q_ngram_counts" -> qNgramCounts,
+    "q_stream_sessionize" -> qStreamSessionize,
+    "q_set_ops" -> qSetOps,
+    "q_embedding_centroids" -> qEmbeddingCentroids,
+    "q_winnow_fingerprints" -> qWinnowFingerprints)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -67,6 +67,29 @@ object Streams {
         col("sum_value"))
   }
 
+  /** Streaming sessionization: the SAME `session_window` aggregate as
+    * the batch operator (operators/Temporal.sessionize), run as a
+    * Structured Streaming query — session merging happens inside the
+    * streaming state store, so late events within a session's gap extend
+    * it across micro-batches. Complete output + AvailableNow gives the
+    * batch-equivalent full result for the oracle check; a production
+    * deployment would use a watermark + Append and emit each session
+    * once it can no longer grow.
+    */
+  def sessionizeAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "stream_sessions"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("__sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("user_id"), col("__sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** T2: checkpointed incremental ingestion — every new source file lands
     * in `destDir` exactly once (the reference's requests-cache +
     * progress-log idempotence, enrich_weather.py:21-23,170-183).

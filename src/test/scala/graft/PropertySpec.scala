@@ -147,6 +147,32 @@ class PropertySpec extends AnyFunSuite {
       Map("de" -> 1000L)).count() == 0)
   }
 
+  test("winnowing: shared substrings of length >= k+w-1 share a fingerprint; short docs yield none") {
+    val k = 5; val w = 4
+    // d1 and d2 embed the same (k + w − 1 = 8)-char run "qrstuvwx" inside
+    // otherwise-disjoint text; d3 is disjoint; d4 is below the minimum
+    // fingerprintable length.
+    val df = Seq(
+      (1L, "aaaa bbbb qrstuvwx cccc dddd"),
+      (2L, "eeee ffff qrstuvwx gggg hhhh"),
+      (3L, "iiii jjjj kkkk llll mmmm nnnn"),
+      (4L, "zzzzzzz") // 7 normalized chars < k+w-1
+    ).toDF("id", "text")
+    val fps = TextOps.winnowFingerprints(df, "id", col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty,
+      "documents sharing an 8-char substring must share a fingerprint")
+    assert((fps(1) intersect fps(3)).isEmpty,
+      "documents with no shared 5-gram must share no fingerprint")
+    assert(fps(3).nonEmpty, "disjoint doc still has its own fingerprints")
+    assert(!fps.contains(4L), "doc below k+w-1 chars has no fingerprints")
+    // determinism: same input → identical fingerprint sets
+    val again = TextOps.winnowFingerprints(df, "id", col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSeq.flatMap { case (i, s) => s.map(i -> _) }.toSet)
+  }
+
   test("hash samples are NESTED: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2") {
     // the property that lets an eval set GROW without resampling: raising
     // the fraction only ADDS rows, it never rotates membership
