@@ -121,6 +121,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "join must carry the salt key:\n" + p.take(500))
   }
 
+  test("asofJoin: one key shuffle, no join operator at all (union + window)") {
+    val p = plan("q_asof_join")
+    // the as-of semantics compile to union + window — there must be NO
+    // join node (a range/theta formulation would plan a BNLJ or an
+    // exploding sort-merge) and only key-hash exchanges
+    assert(!p.contains("Join"), "as-of join must not plan a join node:\n" + p.take(800))
+    assert(p.contains("Window"), "expected the running-last window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 key shuffle, got $exchanges")
+  }
+
+  test("pairsWithin: banded equi-join — hash join on (key, bucket), no BNLJ/cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must not plan a nested-loop/cartesian:\n" + p.take(800))
+    assert(p.contains("__bkt"), "join must carry the time-bucket key")
+  }
+
+  test("sessionize: native session-window aggregate, single key shuffle") {
+    val p = plan("q_sessionize")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      "expected the native session window:\n" + p.take(800))
+    assert(!p.contains("Join"), "sessionization must not self-join")
+  }
+
+  test("winnowFingerprints: codegen'd end-to-end — no interpreted HOF in the hot path") {
+    val df = SparkEntry.queries("q_winnow_fingerprints")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-element work (substr + hash) must live under codegen, not
+    // inside an interpreted lambda: no higher-order TransformValues /
+    // ArrayTransform nodes in this plan
+    assert(!p.contains("transform("), "interpreted array transform found:\n" + p.take(800))
+    assert(p.contains("Generate") || p.contains("explode"), "expected the position explode")
+  }
+
   test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {
     val traffic = graft.pipelines.DomainFixtures.traffic(spark, 24 * 7)
     val weather = graft.pipelines.DomainFixtures.weather(spark, 24 * 7)
