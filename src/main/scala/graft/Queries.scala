@@ -1745,6 +1745,91 @@ object Queries {
           ORDER BY doc_id, fp"""
     })
 
+  /** Repetition profile (Gopher-style corpus filters): duplicate-token
+    * fraction and top-bigram share per document. */
+  val qRepetitionScores = QDef(
+    (s, d) => TextOps.repetitionProfile(t(s, d, "documents"), "doc_id",
+        col("text"), n = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+             tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_distinct_tokens
+                    FROM tc GROUP BY 1),
+             tk2 AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+             g AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS gram FROM tk2),
+             gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+             gs AS (SELECT doc_id, SUM(c) AS ng, MAX(c) AS topn FROM gc GROUP BY 1)
+             SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+                    round(1.0 - CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens, 6) + 0.0
+                      AS dup_token_frac,
+                    round(CAST(gs.topn AS DOUBLE) / gs.ng, 6) + 0.0 AS top_gram_frac
+             FROM ts LEFT JOIN gs USING (doc_id) ORDER BY doc_id"""))
+
+  /** PII redaction over synthetic contact notes (the fixture corpus is
+    * PII-free by construction, so the note embeds deterministic
+    * email/phone strings derived from the customer key — same pattern
+    * as q_wkt_reproject's synthetic WKT). Emails only for even keys,
+    * phones only for keys divisible by 3, so redaction counts vary.
+    */
+  val qPiiRedact = QDef(
+    (s, d) => {
+      val note = concat(lit("reach "), col("c_name"),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit(" at user"), col("c_custkey").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" or call 212-555-"),
+            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val (ne, np) = TextOps.piiCounts(col("note"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), note.as("note"))
+        .select(col("c_custkey"), TextOps.redactPii(col("note")).as("redacted"),
+          ne.cast("long").as("n_emails"), np.cast("long").as("n_phones"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH n AS (
+              SELECT c_custkey,
+                     'reach ' || c_name ||
+                     CASE WHEN c_custkey % 2 = 0
+                          THEN ' at user' || c_custkey || '@example.com'
+                          ELSE '' END ||
+                     CASE WHEN c_custkey % 3 = 0
+                          THEN ' or call 212-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS note
+              FROM customer)
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(note,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(note,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(note,
+                     '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+            FROM n ORDER BY c_custkey"""))
+
+  /** Benchmark decontamination: corpus docs sharing any word 8-gram with
+    * the synthetic "benchmark" slice (doc_id % 20 == 0). Eval shingle
+    * hashes broadcast; the corpus-side check is a map-side semi probe.
+    */
+  val qDecontaminate = QDef(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminatedDocs(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+             sh AS (SELECT doc_id, unnest(${shinglesSql("toks", 8)}) AS g FROM tk),
+             ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0)
+             SELECT DISTINCT doc_id FROM sh
+             WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
+             ORDER BY doc_id"""))
+
   val all: Seq[(String, QDef)] = Seq(
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
@@ -1819,7 +1904,10 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionize,
     "q_set_ops" -> qSetOps,
     "q_embedding_centroids" -> qEmbeddingCentroids,
-    "q_winnow_fingerprints" -> qWinnowFingerprints)
+    "q_winnow_fingerprints" -> qWinnowFingerprints,
+    "q_repetition_scores" -> qRepetitionScores,
+    "q_pii_redact" -> qPiiRedact,
+    "q_decontaminate" -> qDecontaminate)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

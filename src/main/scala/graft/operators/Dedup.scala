@@ -359,4 +359,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * ids of corpus documents sharing ANY word `n`-gram with any document
+    * in `evalSet`. Eval/benchmark sets are small by definition, so their
+    * distinct shingle hashes BROADCAST and the check is a map-side
+    * left-semi probe over the corpus — no shuffle of corpus data at all;
+    * at 100 TB the corpus streams past a few-MB hash set. Shingles
+    * compare by h60 (md5-derived 60-bit) hash.
+    */
+  def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select((cols :+ explode(TextOps.wordShingles(col(textCol), n)).as("__g")): _*)
+      .select((cols :+ Hashing.h60(col("__g")).as("__gh")): _*)
+    val evalGrams = grams(evalSet, Seq.empty).distinct()
+    grams(corpus, Seq(col(idCol)))
+      .join(broadcast(evalGrams), Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

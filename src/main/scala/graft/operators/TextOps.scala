@@ -196,6 +196,56 @@ object TextOps {
       .distinct()
   }
 
+  /** Per-document repetition profile (the Gopher-style repetition
+    * filters adapted to whitespace tokens): duplicate-token fraction
+    * (1 − distinct/total) and the fraction of word `n`-grams taken by
+    * the single most frequent one. High values flag boilerplate /
+    * degenerate generations for corpus filtering.
+    *
+    * Returns (`idCol`, n_tokens, n_distinct_tokens, dup_token_frac,
+    * top_gram_frac). Documents with fewer than `n` tokens have no
+    * n-grams and get a null top_gram_frac. Shape: two explode →
+    * two-level aggregate pipelines joined on the doc id — everything
+    * codegen'd, shuffle keys are (id, token-hash)-sized.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(textCol)).as("__tok"))
+    val tokStats = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_distinct_tokens"))
+    val grams = df.select(col(idCol), explode(wordShingles(textCol, n)).as("__g"))
+    val gramStats = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("__ng"), max("__c").as("__topn"))
+    tokStats.join(gramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        round(lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("__topn").cast("double") / col("__ng"), 6).as("top_gram_frac"))
+  }
+
+  /** PII scrubbing: replace email addresses and NNN-NNN-NNNN phone
+    * numbers with typed placeholders, and count each. The patterns are
+    * deliberately lookaround-free so the same regex is valid in Java
+    * (Spark) and RE2-class engines (DuckDB, Go) — portability is part
+    * of the operator's contract, since redaction must be reproducible
+    * across the pipeline stack. Pure map-side expressions that pipeline
+    * with the scan.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+
   def bagFingerprint(text: Column): Column = {
     val norm = lower(regexp_replace(text, "[^A-Za-z0-9 ]", " "))
     val toks = filter(split(trim(norm), "\\s+"), t => t =!= "")

@@ -187,4 +187,33 @@ class SemanticsSpec extends AnyFunSuite {
     assert(math.abs(s("en") / 1000.0 - 0.8) < 0.08)
     assert(math.abs(s.getOrElse("de", 0L) / 1000.0 - 0.1) < 0.05)
   }
+
+  test("redactPii replaces every email/phone and counts match") {
+    val df = Seq(
+      "mail a.b+c@ex-ample.org then call 212-555-0101 or 917-555-0102",
+      "no pii here",
+      "two mails x@y.io z@w.ai").toDF("t")
+    val (ne, np) = TextOps.piiCounts($"t")
+    val got = df.select(TextOps.redactPii($"t").as("r"),
+      ne.as("ne"), np.as("np")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> then call <PHONE> or <PHONE>")
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 2)
+    assert(got(1).getString(0) == "no pii here" && got(1).getInt(1) == 0)
+    assert(got(2).getString(0) == "two mails <EMAIL> <EMAIL>")
+    assert(got(2).getInt(1) == 2 && got(2).getInt(2) == 0)
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing an n-gram with the eval set") {
+    val mkDoc = (id: Long, s: String) => (id, s)
+    val evalSet = Seq(mkDoc(100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      mkDoc(1L, "noise words then alpha beta gamma delta epsilon zeta embedded here"),
+      mkDoc(2L, "completely different content with no overlap at all whatsoever"),
+      mkDoc(3L, "alpha beta gamma delta epsilon other tail words here")) // only 5 shared
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.contaminatedDocs(corpus, evalSet,
+      "text", "doc_id", n = 6).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"expected only doc 1 (full 6-gram overlap), got $got")
+  }
 }
