@@ -1830,6 +1830,71 @@ object Queries {
              WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
              ORDER BY doc_id"""))
 
+  /** Grouped z-score standardization (the StandardScaler shape, but as
+    * a window expression — no fit/transform round trip, one shuffle on
+    * the group key): per return-flag mean/stddev of quantity, sample
+    * stddev on both engines.
+    */
+  val qStandardize = QDef(
+    (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity") - avg("l_quantity").over(w)) /
+            stddev_samp(col("l_quantity")).over(w), 6).as("qty_z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round((l_quantity - avg(l_quantity) OVER w) /
+                         stddev_samp(l_quantity) OVER w, 6) + 0.0 AS qty_z
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag)
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Quantile bucketing (decile discretizer): ntile(10) over order
+    * totals with a deterministic tie-break, per-bucket aggregates out.
+    */
+  val qNtile = QDef(
+    (s, d) => t(s, d, "orders")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .select(col("decile").cast("long").as("decile"), col("n"),
+        col("lo"), col("hi"))
+      .orderBy("decile"),
+    Some("""WITH r AS (SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+                 FROM orders)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(o_totalprice), 2) + 0.0 AS lo,
+                   round(max(o_totalprice), 2) + 0.0 AS hi
+            FROM r GROUP BY decile ORDER BY decile"""))
+
+  /** Deterministic per-row weighted (Bernoulli) sampling: keep a doc
+    * with probability proportional to a per-row weight — here a length-
+    * derived quality proxy — with the SAME engine-stable membership
+    * contract as hashSample (h60-derived, reproducible across runs,
+    * engines, and corpus growth). Map-only.
+    */
+  val qWeightedSample = QDef(
+    (s, d) => {
+      val weight = least(col("n_chars").cast("double") / 600.0, lit(1.0))
+      t(s, d, "documents")
+        // explicit floor: Spark's double→long cast truncates but
+        // DuckDB's CAST rounds — floor() is identical in both engines
+        .filter(pmod(Hashing.h60(col("doc_id").cast("string")), lit(10000)) <
+          floor(weight * 10000).cast("long"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             WHERE ${h60sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+                   CAST(floor(least(CAST(n_chars AS DOUBLE) / 600.0, 1.0) * 10000) AS BIGINT)
+             ORDER BY doc_id"""))
+
   val all: Seq[(String, QDef)] = Seq(
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
@@ -1907,7 +1972,10 @@ object Queries {
     "q_winnow_fingerprints" -> qWinnowFingerprints,
     "q_repetition_scores" -> qRepetitionScores,
     "q_pii_redact" -> qPiiRedact,
-    "q_decontaminate" -> qDecontaminate)
+    "q_decontaminate" -> qDecontaminate,
+    "q_standardize" -> qStandardize,
+    "q_ntile" -> qNtile,
+    "q_weighted_sample" -> qWeightedSample)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap
