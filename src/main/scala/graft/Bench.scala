@@ -124,7 +124,19 @@ object Bench {
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1Sec) + math.max(0, e1SegSec)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    println(line)
+    // Also persist the line to a file: the driver captures only a
+    // truncated stdout tail, so a long per-query map can be cut mid-JSON
+    // ("parsed": null in BENCH_r0N). SPARK_GRAFT_BENCH_OUT overrides the
+    // default ./bench_out.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_out write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -487,14 +487,21 @@ object Queries {
     * statistic. Ranking and output use the ROUNDED score so a 1-ULP
     * `ln` difference between engines can't flip near-ties; remaining
     * ties break on the term itself.
+    *
+    * DF derives FROM the TF aggregate (one row per (doc, term) already —
+    * counting rows per term IS the document frequency), not from a second
+    * pass over the exploded tokens: the two consumers then share one
+    * identical tf exchange, which ReuseExchange dedupes, so the corpus is
+    * tokenized exactly once. (The earlier re-explode ran the tokenize
+    * subtree twice — Spark re-executes an unmaterialized subtree per
+    * consumer when the branches' exchanges differ.)
     */
   val qTfidfTopTerms = QDef(
     (s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
@@ -791,13 +798,17 @@ object Queries {
           GeoOps.pointFeature(lit(-73.95), lit(40.7),
             struct(col("event_id").as("RequestID"), col("borough").as("Borough"),
               col("ts_str").as("Timestamp"), col("value").as("Volume"))).as("feature"))
+      // ONE schema'd from_json parse per row (the serving side reads
+      // three property fields — three get_json_object calls would re-walk
+      // the same document three times; measured 3.4× DuckDB that way).
+      val propsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "properties STRUCT<Borough: STRING, Timestamp: STRING, Volume: DOUBLE>")
       feats
-        .withColumn("b", get_json_object(col("feature"), "$.properties.Borough"))
-        .withColumn("t", try_to_timestamp(
-          get_json_object(col("feature"), "$.properties.Timestamp"),
+        .withColumn("p", from_json(col("feature"), propsSchema).getField("properties"))
+        .withColumn("b", col("p").getField("Borough"))
+        .withColumn("t", try_to_timestamp(col("p").getField("Timestamp"),
           lit("yyyy-MM-dd'T'HH:mm:ss")))
-        .withColumn("vol",
-          get_json_object(col("feature"), "$.properties.Volume").cast("double"))
+        .withColumn("vol", col("p").getField("Volume"))
         .filter(lower(col("b")) === "brooklyn" &&
           col("t").isNotNull && year(col("t")) === 2024)
         .select(col("event_id"), col("b").as("borough"), col("vol").as("volume"))
@@ -881,6 +892,117 @@ object Queries {
             SELECT c_custkey, s_suppkey AS nearest_id, CAST(dsq AS BIGINT) AS dist_sq
             FROM r WHERE rn = 1 ORDER BY c_custkey"""))
 
+  /** Synthetic road-edge table from supplier keys: segment (ax,ay)→(bx,by)
+    * with guaranteed nonzero length (dx ≥ 2000). Same arithmetic embedded
+    * in the oracle SQL.
+    */
+  private def synthEdges(s: SparkSession, d: String): DataFrame = {
+    val k = col("s_suppkey")
+    val ax = lit(913175L) + (k * 6151L) % 154000L
+    val ay = lit(120000L) + (k * 9973L) % 154000L
+    t(s, d, "supplier").select(col("s_suppkey"),
+      ax.cast("double").as("ax"), ay.cast("double").as("ay"),
+      (ax + lit(2000L) + (k * 31L) % 15000L).cast("double").as("bx"),
+      (ay - lit(7000L) + (k * 53L) % 14000L).cast("double").as("by"))
+  }
+  private val synthEdgesSql =
+    """SELECT s_suppkey,
+         CAST(913175 + (s_suppkey * 6151) % 154000 AS DOUBLE) AS ax,
+         CAST(120000 + (s_suppkey * 9973) % 154000 AS DOUBLE) AS ay,
+         CAST(913175 + (s_suppkey * 6151) % 154000 + 2000 + (s_suppkey * 31) % 15000 AS DOUBLE) AS bx,
+         CAST(120000 + (s_suppkey * 9973) % 154000 - 7000 + (s_suppkey * 53) % 14000 AS DOUBLE) AS by
+       FROM supplier"""
+
+  /** J5 full semantics: nearest EDGE (point-to-SEGMENT distance, clamped
+    * projection) — the reference's `ox.distance.nearest_edges` snap
+    * (point_to_linestring.py:53-65). Grid join + exactness guard + brute
+    * residual; oracle is the brute-force point-to-segment argmin with
+    * bit-identical arithmetic.
+    */
+  val qNearestEdge = QDef(
+    (s, d) => {
+      val (cx, cy) = synthXY(col("c_custkey"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), cx.cast("double").as("x"), cy.cast("double").as("y"))
+      graft.geo.SpatialJoin.nearestEdge(cust, "c_custkey",
+          synthEdges(s, d), "s_suppkey",
+          "x", "y", "ax", "ay", "bx", "by", cellSize = 20000.0)
+        .select(col("c_custkey"), col("nearest_edge"),
+          round(col("dist_sq"), 6).as("dist_sq"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH c AS (SELECT c_custkey,
+                   CAST(913175 + (c_custkey * 7919) % 154000 AS DOUBLE) AS px,
+                   CAST(120000 + (c_custkey * 104729) % 154000 AS DOUBLE) AS py FROM customer),
+                 e AS ($synthEdgesSql),
+                 p0 AS (SELECT c_custkey, s_suppkey, px, py, ax, ay,
+                          bx - ax AS dx, by - ay AS dy FROM c CROSS JOIN e),
+                 p1 AS (SELECT *, dx * dx + dy * dy AS len2 FROM p0),
+                 p2 AS (SELECT *, CASE WHEN len2 = 0 THEN 0.0
+                          ELSE least(greatest(((px - ax) * dx + (py - ay) * dy) / len2, 0.0), 1.0)
+                          END AS t FROM p1),
+                 p3 AS (SELECT c_custkey, s_suppkey,
+                          (px - (ax + t * dx)) * (px - (ax + t * dx)) +
+                          (py - (ay + t * dy)) * (py - (ay + t * dy)) AS dsq FROM p2),
+                 r AS (SELECT c_custkey, s_suppkey, dsq,
+                          row_number() OVER (PARTITION BY c_custkey
+                                             ORDER BY dsq, s_suppkey) AS rn FROM p3)
+            SELECT c_custkey, s_suppkey AS nearest_edge,
+                   round(dsq, 6) + 0.0 AS dist_sq
+            FROM r WHERE rn = 1 ORDER BY c_custkey"""))
+
+  /** F19b end-to-end (point_to_linestring.py:53-75): snap each point to
+    * its nearest edge, then emit a GeoJSON LineString Feature of that
+    * edge's coordinates with the point's properties carried through.
+    * Coordinates are scaled into a lon/lat-like range and pre-rounded to
+    * 6 dp on BOTH sides so JSON serialization is cross-engine stable
+    * (same convention as q_geojson_features).
+    */
+  val qGeojsonLines = QDef(
+    (s, d) => {
+      import graft.geo.{GeoOps, SpatialJoin}
+      val (cx, cy) = synthXY(col("c_custkey"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), cx.cast("double").as("x"), cy.cast("double").as("y"))
+      val edges = synthEdges(s, d)
+      val ne = SpatialJoin.nearestEdge(cust, "c_custkey", edges, "s_suppkey",
+        "x", "y", "ax", "ay", "bx", "by", cellSize = 20000.0)
+      ne.join(broadcast(edges), ne("nearest_edge") === edges("s_suppkey"))
+        .select(col("c_custkey"),
+          GeoOps.lineFeature(
+            array(
+              array(round(col("ax") / 25000.0, 6), round(col("ay") / 25000.0, 6)),
+              array(round(col("bx") / 25000.0, 6), round(col("by") / 25000.0, 6))),
+            struct(col("c_custkey").as("custkey"),
+              col("nearest_edge").as("edge"))).as("feature"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH c AS (SELECT c_custkey,
+                   CAST(913175 + (c_custkey * 7919) % 154000 AS DOUBLE) AS px,
+                   CAST(120000 + (c_custkey * 104729) % 154000 AS DOUBLE) AS py FROM customer),
+                 e AS ($synthEdgesSql),
+                 p0 AS (SELECT c_custkey, s_suppkey, px, py, ax, ay,
+                          bx - ax AS dx, by - ay AS dy FROM c CROSS JOIN e),
+                 p1 AS (SELECT *, dx * dx + dy * dy AS len2 FROM p0),
+                 p2 AS (SELECT *, CASE WHEN len2 = 0 THEN 0.0
+                          ELSE least(greatest(((px - ax) * dx + (py - ay) * dy) / len2, 0.0), 1.0)
+                          END AS t FROM p1),
+                 p3 AS (SELECT c_custkey, s_suppkey,
+                          (px - (ax + t * dx)) * (px - (ax + t * dx)) +
+                          (py - (ay + t * dy)) * (py - (ay + t * dy)) AS dsq FROM p2),
+                 r AS (SELECT c_custkey, s_suppkey, dsq,
+                          row_number() OVER (PARTITION BY c_custkey
+                                             ORDER BY dsq, s_suppkey) AS rn FROM p3)
+            SELECT r.c_custkey,
+                   CAST(json_object('type', 'Feature',
+                     'geometry', json_object('type', 'LineString',
+                       'coordinates', [[round(e.ax / 25000.0, 6), round(e.ay / 25000.0, 6)],
+                                       [round(e.bx / 25000.0, 6), round(e.by / 25000.0, 6)]]),
+                     'properties', json_object('custkey', r.c_custkey,
+                       'edge', r.s_suppkey)) AS VARCHAR) AS feature
+            FROM r JOIN e ON r.s_suppkey = e.s_suppkey
+            WHERE r.rn = 1 ORDER BY r.c_custkey"""))
+
   /** J3: broadcast-dimension lookup join with fallback for misses. */
   val qLookupJoin = QDef(
     (s, d) => {
@@ -925,12 +1047,31 @@ object Queries {
       val lr = model.stages.last
         .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
       import s.implicits._
-      Seq((lr.coefficients(0), lr.intercept, lr.summary.r2, li.count()))
+      // lr.summary already carries the instance count — a separate
+      // li.count() was a redundant second job over the table.
+      Seq((lr.coefficients(0), lr.intercept, lr.summary.r2, lr.summary.numInstances))
         .toDF("slope", "intercept", "r2", "n")
         .select(round(col("slope"), 6).as("slope"),
           round(col("intercept"), 6).as("intercept"),
           round(col("r2"), 6).as("r2"), col("n"))
     },
+    Some("""SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   count(*) AS n
+            FROM lineitem"""))
+
+  /** M1 scale path: the same OLS as pure aggregate expressions
+    * (slope = covar_samp/var_samp) — ONE distributed pass, no MLlib
+    * instance materialization, no solver. Same regr_* oracle as
+    * q_ols_coeffs by construction.
+    */
+  val qOlsAgg = QDef(
+    (s, d) => graft.metrics.Metrics.olsSimple(
+        t(s, d, "lineitem"), "l_quantity", "l_extendedprice")
+      .select(round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"), col("n")),
     Some("""SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
                    round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
                    round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
@@ -1447,6 +1588,35 @@ object Queries {
     },
     None)
 
+  /** IVF in the provably-EXACT configuration (nProbe == nCells: every
+    * query probes every cell, so candidate generation is complete and the
+    * result equals brute force regardless of where the quantizer put the
+    * centroids) — which makes the brute-force cosine top-k SQL a valid
+    * hash-checked oracle for the IVF plan shape (assignment map + cell
+    * equi-join + rescore). The approximate configs stay rows-only +
+    * recall-spec'd.
+    */
+  val qAnnIvfExact = QDef(
+    (s, d) => {
+      val emb = wideT(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, nCells = 8, nProbe = 8, fitSampleFraction = 0.1)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             s AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cosine
+                   FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             r AS (SELECT query_id, neighbor_id, cosine,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM s)
+             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Multi-table random-hyperplane LSH approximate top-k — the scale ANN
     * path (bucket equi-join, no all-pairs scan). Approximate by
     * construction → rows-only check; SourcesSpec pins recall vs brute
@@ -1728,8 +1898,11 @@ object Queries {
     * documents shares a fingerprint.
     */
   val qWinnowFingerprints = QDef(
-    (s, d) => TextOps.winnowFingerprints(
-        t(s, d, "documents"), "doc_id", col("text"), WinnowK, WinnowW)
+    // The MAP-ONLY shape (in-row window fold, no per-character Exchange)
+    // backs the oracle row — the 100 TB path is the hash-checked one.
+    // PropertySpec pins its parity with the explode+window shape.
+    (s, d) => TextOps.winnowFingerprintsMapOnly(
+        wideT(s, d, "documents"), "doc_id", col("text"), WinnowK, WinnowW)
       .select(col("doc_id"), col("fingerprint").as("fp"))
       .orderBy("doc_id", "fp"),
     Some {
@@ -1813,6 +1986,9 @@ object Queries {
   /** Benchmark decontamination: corpus docs sharing any word 8-gram with
     * the synthetic "benchmark" slice (doc_id % 20 == 0). Eval shingle
     * hashes broadcast; the corpus-side check is a map-side semi probe.
+    * Shingles compare by the rotl-XOR combine of per-token h60 hashes —
+    * md5 once per token, not once per 8-gram string — rendered
+    * identically on both engines.
     */
   val qDecontaminate = QDef(
     (s, d) => {
@@ -1824,10 +2000,11 @@ object Queries {
         .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-             sh AS (SELECT doc_id, unnest(${shinglesSql("toks", 8)}) AS g FROM tk),
-             ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0)
+             th AS (SELECT doc_id, list_transform(toks, tk -> ${h60sql("tk")}) AS hts FROM tk),
+             sh AS (SELECT doc_id, unnest(${shingleHashesSql("hts", 8)}) AS gh FROM th),
+             ev AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 20 = 0)
              SELECT DISTINCT doc_id FROM sh
-             WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
+             WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM ev)
              ORDER BY doc_id"""))
 
   /** Grouped z-score standardization (the StandardScaler shape, but as
@@ -1929,9 +2106,12 @@ object Queries {
     "q_map_filter" -> qMapFilter,
     "q_tuple_key_parse" -> qTupleKeyParse,
     "q_nearest_neighbor" -> qNearestNeighbor,
+    "q_nearest_edge" -> qNearestEdge,
+    "q_geojson_lines" -> qGeojsonLines,
     "q_lookup_join" -> qLookupJoin,
     "q_point_lookup" -> qPointLookup,
     "q_ols_coeffs" -> qOlsCoeffs,
+    "q_ols_agg" -> qOlsAgg,
     "q_onehot_interactions" -> qOnehotInteractions,
     "q_oversample" -> qOversample,
     "q_datetime_kit" -> qDatetimeKit,
@@ -1957,6 +2137,7 @@ object Queries {
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_cosine_topk" -> qCosineTopK,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_exact" -> qAnnIvfExact,
     "q_ann_lsh" -> qAnnLsh,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_asof_join" -> qAsofJoin,

@@ -33,6 +33,21 @@ object GeoOps {
         array(lon, lat).as("coordinates")).as("geometry"),
       props.as("properties")))
 
+  /** F19b: GeoJSON LineString Feature assembly (reference
+    * point_to_linestring.py:67-75 — emits a LineString Feature from the
+    * matched edge's coordinate list, properties carried through).
+    * `coords` is an array<array<double>> column of [lon, lat] pairs;
+    * callers pre-round coordinates (6 dp convention) so serialization is
+    * cross-engine stable.
+    */
+  def lineFeature(coords: Column, props: Column): Column =
+    to_json(struct(
+      lit("Feature").as("type"),
+      struct(
+        lit("LineString").as("type"),
+        coords.as("coordinates")).as("geometry"),
+      props.as("properties")))
+
   /** F20: parse a stringified python tuple key `"('A', 'B', 'C')"` into
     * its three parts (the reference `eval`s these map keys,
     * point_to_linestring.py:34 — we parse, never eval).

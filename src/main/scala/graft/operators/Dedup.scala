@@ -365,14 +365,21 @@ object Dedup {
     * in `evalSet`. Eval/benchmark sets are small by definition, so their
     * distinct shingle hashes BROADCAST and the check is a map-side
     * left-semi probe over the corpus — no shuffle of corpus data at all;
-    * at 100 TB the corpus streams past a few-MB hash set. Shingles
-    * compare by h60 (md5-derived 60-bit) hash.
+    * at 100 TB the corpus streams past a few-MB hash set.
+    *
+    * Shingle identity is the rotate-XOR combine of per-token h60 values
+    * (TextOps.shingleHashesFromTokenHashes): md5 runs ONCE per token,
+    * each 8-gram is then a handful of integer ops — the same rewrite
+    * that bought 3×+ on the Jaccard pair path. (The earlier form
+    * md5-hashed each ~8×-token-long concatenated shingle STRING, and
+    * that projection dominated the whole operator.)
     */
   def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int = 8): DataFrame = {
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame = df
-      .select((cols :+ explode(TextOps.wordShingles(col(textCol), n)).as("__g")): _*)
-      .select((cols :+ Hashing.h60(col("__g")).as("__gh")): _*)
+      .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
+      .select((cols :+
+        explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh")): _*)
     val evalGrams = grams(evalSet, Seq.empty).distinct()
     grams(corpus, Seq(col(idCol)))
       .join(broadcast(evalGrams), Seq("__gh"), "left_semi")

@@ -196,6 +196,35 @@ object TextOps {
       .distinct()
   }
 
+  /** Map-only winnowing: identical fingerprint sets to
+    * [[winnowFingerprints]], computed entirely in-row — the 100 TB shape.
+    * The normalized text and its gram-hash ARRAY are materialized as
+    * columns (plain attribute references, so the per-element lambdas read
+    * bound slots instead of re-running the O(chars) normalization); the
+    * sliding window-min folds over the array with `array_min(slice(...))`
+    * per position (O(w) integer ops each); per-document distinct is
+    * `array_distinct` in-row. The only Generate is the final explode of
+    * the (small) fingerprint set — OUTPUT-sized, not corpus-bytes-sized,
+    * and it is map-side: no Exchange anywhere in the plan, where the
+    * explode+window shape shuffles one (id, pos, hash) row per character
+    * of the corpus. PlanSpec pins the no-Exchange property; PropertySpec
+    * pins parity with the explode shape.
+    */
+  def winnowFingerprintsMapOnly(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val grams = df
+      .withColumn("__wnorm", lower(trim(textCol)))
+      .withColumn("__ng", length(col("__wnorm")) - lit(k - 1))
+      .filter(col("__ng") >= w) // at least one full window of k-grams
+      .withColumn("__gh", transform(sequence(lit(1), col("__ng")),
+        i => Hashing.h60(col("__wnorm").substr(i, lit(k)))))
+    grams.select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), col("__ng") - lit(w - 1)),
+        i => array_min(slice(col("__gh"), i, lit(w)))))).as("fingerprint"))
+  }
+
   /** Per-document repetition profile (the Gopher-style repetition
     * filters adapted to whitespace tokens): duplicate-token fraction
     * (1 − distinct/total) and the fraction of word `n`-grams taken by

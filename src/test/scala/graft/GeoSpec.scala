@@ -105,4 +105,59 @@ class GeoSpec extends AnyFunSuite {
     val r = SpatialJoin.nearest(left, "id", right, "id", "x", "y", 50.0).head()
     assert(r.getLong(1) == 3L)
   }
+
+  test("J5 edges: nearest-EDGE join matches brute-force point-to-segment, incl. fallback") {
+    def segDsq(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      (px - qx) * (px - qx) + (py - qy) * (py - qy)
+    }
+    val rng = new scala.util.Random(7)
+    // random segments incl. one zero-length degenerate; random points
+    // incl. one far outside every expanded bbox (brute-residual path)
+    val edges = (1 to 25).map { i =>
+      val ax = rng.nextDouble() * 1000; val ay = rng.nextDouble() * 1000
+      (i.toLong, ax, ay, ax + rng.nextDouble() * 400 - 200, ay + rng.nextDouble() * 400 - 200)
+    } :+ (99L, 500.0, 500.0, 500.0, 500.0)
+    val pts = (1 to 150).map(i =>
+      (i.toLong, rng.nextDouble() * 1000, rng.nextDouble() * 1000)) :+
+      (999L, 90000.0, 90000.0)
+    val left = pts.toDF("id", "x", "y")
+    val e = edges.toDF("eid", "ax", "ay", "bx", "by")
+    val got = SpatialJoin.nearestEdge(left, "id", e, "eid",
+        "x", "y", "ax", "ay", "bx", "by", cellSize = 100.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == pts.size)
+    pts.foreach { case (pid, px, py) =>
+      val (beid, bd) = edges.map { case (eid, ax, ay, bx, by) =>
+        (eid, segDsq(px, py, ax, ay, bx, by))
+      }.minBy { case (eid, d) => (d, eid) }
+      assert(got(pid)._1 == beid, s"point $pid: got ${got(pid)}, want ($beid,$bd)")
+      assert(math.abs(got(pid)._2 - bd) < 1e-9)
+    }
+  }
+
+  test("J5 edges: interior snap beats both endpoints (point-to-SEGMENT, not point-to-point)") {
+    // point above the middle of a long horizontal edge: segment distance
+    // is 5² = 25; nearest ENDPOINT would be 100² + 5² = 10025
+    val left = Seq((1L, 100.0, 5.0)).toDF("id", "x", "y")
+    val e = Seq((1L, 0.0, 0.0, 200.0, 0.0)).toDF("eid", "ax", "ay", "bx", "by")
+    val r = SpatialJoin.nearestEdge(left, "id", e, "eid",
+      "x", "y", "ax", "ay", "bx", "by", cellSize = 50.0).head()
+    assert(r.getLong(1) == 1L && math.abs(r.getDouble(2) - 25.0) < 1e-12)
+  }
+
+  test("F19b: LineString feature serializes type/coordinates/properties") {
+    val df = Seq((7L)).toDF("k").select(GeoOps.lineFeature(
+      array(array(lit(-73.95), lit(40.7)), array(lit(-73.90), lit(40.75))),
+      struct($"k".as("custkey"))).as("f"))
+    val s = df.head().getString(0)
+    assert(s.contains(""""type":"LineString""""), s)
+    assert(s.contains(""""coordinates":[[-73.95,40.7],[-73.9,40.75]]"""), s)
+    assert(s.contains(""""custkey":7"""), s)
+  }
 }

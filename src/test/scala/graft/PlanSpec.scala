@@ -146,14 +146,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "sessionization must not self-join")
   }
 
-  test("winnowFingerprints: codegen'd end-to-end — no interpreted HOF in the hot path") {
-    val df = SparkEntry.queries("q_winnow_fingerprints")(spark, dir)
+  test("winnowFingerprints (explode shape): codegen'd end-to-end — no interpreted HOF in the hot path") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val df = graft.operators.TextOps.winnowFingerprints(
+      docs, "doc_id", org.apache.spark.sql.functions.col("text"), 8, 4)
     val p = df.queryExecution.executedPlan.toString
     // the per-element work (substr + hash) must live under codegen, not
     // inside an interpreted lambda: no higher-order TransformValues /
     // ArrayTransform nodes in this plan
     assert(!p.contains("transform("), "interpreted array transform found:\n" + p.take(800))
     assert(p.contains("Generate") || p.contains("explode"), "expected the position explode")
+  }
+
+  test("winnowFingerprintsMapOnly: NO per-character Exchange — fully map-side") {
+    val docs = graft.sources.Tables.documents(spark, dir) // un-widened: no repartition
+    val df = graft.operators.TextOps.winnowFingerprintsMapOnly(
+      docs, "doc_id", org.apache.spark.sql.functions.col("text"), 8, 4)
+    val p = df.queryExecution.executedPlan.toString
+    // the explode+window shape shuffles one row per corpus character; the
+    // map-only shape must plan zero exchanges (scan → project → generate)
+    assert(!p.contains("Exchange"), "unexpected shuffle in map-only winnow:\n" + p.take(800))
+    // and no window operator either — the sliding min folds in-row
+    assert(!p.contains("Window"), "unexpected Window in map-only winnow:\n" + p.take(800))
   }
 
   test("E1 feature table: exactly the expected shuffle count (join + window), no global sort") {

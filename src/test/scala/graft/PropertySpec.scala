@@ -173,6 +173,28 @@ class PropertySpec extends AnyFunSuite {
     assert(again == fps.toSeq.flatMap { case (i, s) => s.map(i -> _) }.toSet)
   }
 
+  test("winnowing: map-only shape is row-identical to the explode+window shape") {
+    // same fixture family as above plus edge cases: doc exactly at the
+    // k+w-1 minimum, repeated substrings (duplicate window minima must
+    // dedup identically), and multi-space runs the trim/lower touches
+    val k = 5; val w = 4
+    val df = Seq(
+      (1L, "aaaa bbbb qrstuvwx cccc dddd"),
+      (2L, "eeee ffff qrstuvwx gggg hhhh"),
+      (3L, "iiii jjjj kkkk llll mmmm nnnn"),
+      (4L, "zzzzzzz"),
+      (5L, "exactly8"), // k+w-1 = 8 normalized chars: exactly one window
+      (6L, "ababababababababab"),
+      (7L, "  MiXeD   CaSe   WiTh   SpAcEs  ")
+    ).toDF("id", "text")
+    val a = TextOps.winnowFingerprints(df, "id", col("text"), k, w)
+    val b = TextOps.winnowFingerprintsMapOnly(df, "id", col("text"), k, w)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "map-only winnowing diverged from the explode+window shape")
+    assert(b.filter(col("id") === 5L).count() == 1L,
+      "doc at exactly k+w-1 chars must yield exactly one fingerprint")
+  }
+
   test("hash samples are NESTED: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2") {
     // the property that lets an eval set GROW without resampling: raising
     // the fraction only ADDS rows, it never rotates membership
