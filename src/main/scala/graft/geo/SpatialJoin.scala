@@ -105,6 +105,47 @@ object SpatialJoin {
     (px - qx) * (px - qx) + (py - qy) * (py - qy)
   }
 
+  /** Supercover cell replication for segments, dilated one ring: each
+    * edge row is exploded into exactly the grid cells within Chebyshev
+    * distance 1 of a cell the segment passes through — NOT its bounding
+    * box. Per x-column `cx` the segment's y-extent over the 3-column
+    * slab `[(cx−1)·cell, (cx+2)·cell]` is computed by clamping the
+    * segment parameter to the slab (linear interpolation, pure Column
+    * math), then rows `floor(ylo/cell)−1 .. floor(yhi/cell)+1` are
+    * emitted. Because the per-slab y-intervals of adjacent columns share
+    * endpoints (the segment is continuous), the union over the three
+    * columns is one interval, so this emits EXACTLY the 1-ring dilation
+    * of the supercover — O(len/cell) cells for any orientation, where
+    * the bbox rectangle costs O((len/cell)²) for a long diagonal edge
+    * (GeoSpec asserts the linear bound).
+    *
+    * Output: edge columns + (__cx, __cy), one row per covered cell.
+    */
+  private[graft] def supercoverCells(e: DataFrame, cellSize: Double): DataFrame = {
+    val dx = col("__bx") - col("__ax")
+    val t1 = (col("__xs") - col("__ax")) / dx
+    val t2 = (col("__xe") - col("__ax")) / dx
+    e
+      .withColumn("__cx", explode(sequence(
+        floor(least(col("__ax"), col("__bx")) / cellSize).cast("long") - 1,
+        floor(greatest(col("__ax"), col("__bx")) / cellSize).cast("long") + 1)))
+      .withColumn("__xs", (col("__cx") - 1).cast("double") * cellSize)
+      .withColumn("__xe", (col("__cx") + 2).cast("double") * cellSize)
+      // Segment-parameter window over the slab; vertical segments span
+      // their whole parameter range. __thi is floored at __tlo against
+      // floating-point edge cases at the dilation's end columns.
+      .withColumn("__tlo", when(dx === 0.0, lit(0.0))
+        .otherwise(greatest(lit(0.0), least(t1, t2))))
+      .withColumn("__thi", greatest(col("__tlo"), when(dx === 0.0, lit(1.0))
+        .otherwise(least(lit(1.0), greatest(t1, t2)))))
+      .withColumn("__y1", col("__ay") + col("__tlo") * (col("__by") - col("__ay")))
+      .withColumn("__y2", col("__ay") + col("__thi") * (col("__by") - col("__ay")))
+      .withColumn("__cy", explode(sequence(
+        floor(least(col("__y1"), col("__y2")) / cellSize).cast("long") - 1,
+        floor(greatest(col("__y1"), col("__y2")) / cellSize).cast("long") + 1)))
+      .drop("__xs", "__xe", "__tlo", "__thi", "__y1", "__y2")
+  }
+
   /** J5, full semantics: nearest EDGE (line segment) for each left point —
     * what the reference's `ox.distance.nearest_edges` computes
     * (point_to_linestring.py:53-65): the snap target is the closest point
@@ -112,17 +153,18 @@ object SpatialJoin {
     * segment the two answers differ.
     *
     * Same grid recipe as [[nearest]], adapted to extended objects:
-    *  1. each edge is replicated into every grid cell its bounding box
-    *     overlaps, EXPANDED by one cell ring (the 3×3-neighborhood
-    *     equivalent for a non-point object) — replication factor is
-    *     O(edge length / cellSize), bounded and on the small broadcast
-    *     side;
+    *  1. each edge is replicated into the grid cells its geometry
+    *     actually crosses, EXPANDED by one cell ring (the
+    *     3×3-neighborhood equivalent for a non-point object) via
+    *     [[supercoverCells]] — replication factor is
+    *     O(edge length / cellSize) for any orientation, and rides the
+    *     small broadcast side;
     *  2. equi-join points to edges on the cell id, per-point min of
     *     (segment dist², edge id) — deterministic tie-break;
     *  3. EXACTNESS GUARD: a found distance STRICTLY < cellSize is provably
-    *     the true minimum — an edge whose expanded bbox-cell set misses
-    *     the point's cell is separated from the point by at least one full
-    *     empty cell on some axis, i.e. ≥ cellSize away;
+    *     the true minimum — an edge whose dilated supercover misses the
+    *     point's cell has no geometry in any of the cell's 8 neighbors,
+    *     i.e. every point of it is ≥ cellSize away on some axis;
     *  4. rows failing the guard fall back to a brute pass against the full
     *     (broadcast) edge table — anti-join residual, empty-to-tiny when
     *     cellSize matches edge density.
@@ -145,14 +187,7 @@ object SpatialJoin {
       col(ax).cast("double").as("__ax"), col(ay).cast("double").as("__ay"),
       col(bx).cast("double").as("__bx"), col(by).cast("double").as("__by"))
 
-    // Cell range of the edge's bbox, expanded one ring on each side.
-    val replicated = e
-      .withColumn("__cx", explode(sequence(
-        floor(least(col("__ax"), col("__bx")) / cellSize).cast("long") - 1,
-        floor(greatest(col("__ax"), col("__bx")) / cellSize).cast("long") + 1)))
-      .withColumn("__cy", explode(sequence(
-        floor(least(col("__ay"), col("__by")) / cellSize).cast("long") - 1,
-        floor(greatest(col("__ay"), col("__by")) / cellSize).cast("long") + 1)))
+    val replicated = supercoverCells(e, cellSize)
 
     def best(cands: DataFrame): DataFrame = {
       val dsq = pointSegDistSq(col("__lx"), col("__ly"),

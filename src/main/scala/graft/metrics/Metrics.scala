@@ -55,11 +55,16 @@ object Metrics {
     * buy nothing (the normal-equation solve is closed-form either way).
     * Matches DuckDB `regr_slope/regr_intercept/regr_r2` and the MLlib
     * solver (q_ols_coeffs) to ~1e-12 relative.
+    *
+    * Rows where either column is NULL are excluded up front — SQL
+    * `regr_*` semantics. Without the filter, `covar_samp(x,y)` would
+    * drop pairwise-null rows while `var_samp(x)`/`avg(x)` kept them,
+    * silently mixing two different populations on nullable inputs.
     */
   def olsSimple(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val (x, y) = (col(xCol).cast("double"), col(yCol).cast("double"))
     val slope = covar_samp(x, y) / var_samp(x)
-    df.agg(
+    df.filter(x.isNotNull && y.isNotNull).agg(
       slope.as("slope"),
       (avg(y) - slope * avg(x)).as("intercept"),
       pow(corr(x, y), 2).as("r2"),

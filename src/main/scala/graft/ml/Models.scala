@@ -47,9 +47,8 @@ object Models {
 
   /** M3: gradient-boosted trees, reference config `max_iter=200,
     * learning_rate=0.1, max_depth=6, random_state=42`
-    * (HistGradientBoostingRegressor.py:118-125). MLlib has no early
-    * stopping (SURVEY.md §7); callers wanting it pass
-    * `validationIndicatorCol` on the returned stage.
+    * (HistGradientBoostingRegressor.py:118-125). For the reference's
+    * `early_stopping=True` path use [[fitGbtEarlyStopping]].
     */
   def gbt(features: Seq[String], label: String,
       maxIter: Int = 200, stepSize: Double = 0.1, maxDepth: Int = 6,
@@ -62,6 +61,50 @@ object Models {
       .setSeed(seed)
     new Pipeline().setStages(Array(
       Featurize.assembler(features, featuresCol), g))
+  }
+
+  /** M3 with early stopping — the reference's
+    * `early_stopping=True, validation_fraction=0.1`
+    * (HistGradientBoostingRegressor.py:121-123). MLlib's analog is
+    * `validationIndicatorCol`: a seeded Bernoulli(validationFraction)
+    * indicator marks held-out rows, and boosting stops once an
+    * iteration's validation-error improvement falls below
+    * `validationTol`. Deviation from sklearn (documented, COVERAGE.md):
+    * sklearn waits `n_iter_no_change=10` flat iterations before
+    * stopping; MLlib stops at the first sub-tol iteration, so it may
+    * stop a few rounds earlier on plateaued fits — metric parity stays
+    * within the M2/M3 tolerance band (SURVEY.md §7 risk 2).
+    *
+    * Returns the fitted model plus the ensemble size actually reached,
+    * so callers (and the spec) can see early stopping engage
+    * (`trees < maxIter`).
+    */
+  def fitGbtEarlyStopping(df: DataFrame, features: Seq[String], label: String,
+      maxIter: Int = 200, stepSize: Double = 0.1, maxDepth: Int = 6,
+      validationFraction: Double = 0.1, validationTol: Double = 0.01,
+      seed: Long = 42, predictionCol: String = "prediction",
+      featuresCol: String = "features"): (PipelineModel, Int) = {
+    val valCol = "__graft_is_validation"
+    val g = new GBTRegressor()
+      .setFeaturesCol(featuresCol).setLabelCol(label)
+      .setPredictionCol(predictionCol)
+      .setMaxIter(maxIter).setStepSize(stepSize).setMaxDepth(maxDepth)
+      .setSeed(seed)
+      .setValidationIndicatorCol(valCol)
+    // Seeded rand() is deterministic per partition layout — the same
+    // (df, seed) always carves the same holdout, like sklearn's
+    // random_state-driven validation_fraction split. validationTol has
+    // no public setter on GBTRegressor, so it rides in via ParamMap.
+    val withVal = df.withColumn(valCol,
+      org.apache.spark.sql.functions.rand(seed) < validationFraction)
+    val model = new Pipeline().setStages(Array(
+      Featurize.assembler(features, featuresCol), g))
+      .fit(withVal, org.apache.spark.ml.param.ParamMap(
+        g.validationTol -> validationTol))
+    val nTrees = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+      .trees.length
+    (model, nTrees)
   }
 
   /** M5: random split (reference `train_test_split(test_size=…)`;

@@ -226,22 +226,38 @@ object Dedup {
     * near-dup pairs into clusters, keep one survivor per cluster" stage a
     * corpus-dedup pipeline needs after LSH.
     *
-    * Measured note (sf0.1): a second pointer jump per round does NOT cut
-    * the round count — convergence is bound by one-hop neighbor-min
-    * propagation, not pointer chasing. The next scale lever, if dedup
-    * graphs ever grow deep components, is Pregel-style FRONTIER
-    * propagation (messages only from vertices whose label changed last
-    * round), which shrinks the edges join to the active subgraph at the
-    * cost of an extra labels-merge join per round.
+    * Pregel-style FRONTIER propagation: messages flow only from vertices
+    * whose label changed last round, so the per-round edges⋈labels join
+    * reads the ACTIVE subgraph, not the whole vertex set. Correctness
+    * invariant: labels only decrease, and whenever a vertex adopts a new
+    * label it joins the frontier and re-messages it next round — so a
+    * non-frontier vertex's current label has always already been offered
+    * to its neighbors, and dropping its (redundant) message cannot raise
+    * any neighbor-min (`least(current, …)` is monotone). On converged
+    * regions the frontier is empty and those partitions fall out of the
+    * join entirely — at 100 TB, where most clusters close in 2-3 rounds,
+    * later rounds touch only the rare deep components instead of
+    * re-shuffling every vertex. (Measured note, sf0.1: a second pointer
+    * jump per round does NOT cut the round count — convergence is bound
+    * by one-hop neighbor-min propagation, not pointer chasing.)
     *
     * @return (id, cluster_id) where cluster_id = min id in the component;
     *         isolated ids (no pair) map to themselves.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-      idCol: String, maxIter: Int = 25): DataFrame = {
+      idCol: String, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(vertices, pairs, idCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the per-round frontier sizes (the
+    * count of vertices whose label changed that round — the next round's
+    * message-join input), exposed so the shrinking-active-subgraph
+    * property is assertable in DedupSpec.
+    */
+  private[graft] def connectedComponentsWithStats(vertices: DataFrame,
+      pairs: DataFrame, idCol: String, maxIter: Int = 25): (DataFrame, Seq[Long]) = {
     // Iterative-algorithm discipline: (a) the candidate-pair plan
     // upstream (LSH signatures etc.) is localCheckpoint'ed so it never
-    // re-executes; (b) each iteration's labels are EAGERLY
+    // re-executes; (b) each iteration's labels and frontier are EAGERLY
     // localCheckpoint'ed — cache() alone does not truncate the LOGICAL
     // plan, and an iterative self-join otherwise grows the plan
     // exponentially (measured: a 2 GB plan string and driver OOM by
@@ -251,10 +267,14 @@ object Dedup {
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    var frontier = labels // round 0: every vertex's label is news
+    val frontierSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      // Messages only from the frontier — the join's streamed side is
+      // the active subgraph, not all vertices.
+      val neighborMin = edges.join(frontier, edges("dst") === frontier("id"))
         .groupBy(col("src").as("id2")).agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("label"),
@@ -262,18 +282,25 @@ object Dedup {
         .localCheckpoint(true) // both jump-join sides read it
       // pointer jumping (path compression): label := label(label) — turns
       // the O(diameter) chain walk into O(log diameter) rounds, so long
-      // near-dup chains don't cost one distributed job per hop
+      // near-dup chains don't cost one distributed job per hop. A vertex
+      // whose label changes via the jump enters the frontier like any
+      // other change, so its new label is still re-messaged.
       val mapping = stepped.select(col("id").as("lid"), col("label").as("llabel"))
       val next = stepped.join(mapping, stepped("label") === col("lid"), "left")
         .select(stepped("id"), coalesce(col("llabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      frontier = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .select(col("id"), col("label"))
+        .localCheckpoint(true)
+      val changed = frontier.count() // one job: convergence test + frontier size
+      frontierSizes += changed
       labels = next
       converged = changed == 0
       it += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    (labels.select(col("id").as(idCol), col("label").as("cluster_id")),
+      frontierSizes.toSeq)
   }
 
   /** Survivor selection: keep the lowest-id member of each near-dup

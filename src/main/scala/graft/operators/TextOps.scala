@@ -209,6 +209,14 @@ object TextOps {
     * explode+window shape shuffles one (id, pos, hash) row per character
     * of the corpus. PlanSpec pins the no-Exchange property; PropertySpec
     * pins parity with the explode shape.
+    *
+    * MEMORY CONSTRAINT: the gram-hash array and the per-position
+    * window-min array are each O(doc chars) Longs held IN the row — a
+    * multi-MB document becomes a tens-of-MB in-flight row. Intended for
+    * corpora with bounded document length (≲1 MB/doc, the common
+    * pre-chunked LLM-corpus shape); for long-tail corpora (books, raw
+    * crawls) either chunk documents first or use [[winnowFingerprints]],
+    * whose explode shape streams one gram per row at any length.
     */
   def winnowFingerprintsMapOnly(df: DataFrame, idCol: String, textCol: Column,
       k: Int, w: Int): DataFrame = {

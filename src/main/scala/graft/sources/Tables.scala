@@ -134,6 +134,59 @@ object Tables {
     StructField("snowfall", DoubleType),
     StructField("uv_index", DoubleType)))
 
+  /** S11: remote-file localization shim (reference main.py:170-172 —
+    * `gdown` fetches the segment GeoJSON by Drive file-id on every map
+    * request). Modeled as a driver-side localize-then-scan: copy `url`
+    * to `localPath` once, then read through the local path. Idempotent —
+    * an existing file is kept, so repeated calls (the reference
+    * re-downloads per request) cost one stat; `expectedSha256`, when
+    * given, guards both the skip (a corrupt/partial file is re-fetched)
+    * and the fetch itself (a mismatched download throws rather than
+    * poisoning downstream scans). Any URL scheme the JVM can open
+    * (file:, http:, https:) works; the atomic temp-file rename means a
+    * crashed fetch never leaves a half-written file at `localPath`.
+    *
+    * At cluster scale this stays a driver/edge-node concern: the fetch
+    * localizes small artifacts (a 10 MB GeoJSON, a model blob) that are
+    * then broadcast or scanned — bulk data lands via the distributed
+    * scan paths above, never through this shim.
+    */
+  def fetchToLocal(url: String, localPath: String,
+      expectedSha256: Option[String] = None): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def sha256(p: java.nio.file.Path): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = Files.newInputStream(p)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+          .foreach(n => md.update(buf, 0, n))
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val target = Paths.get(localPath)
+    val fresh = Files.exists(target) &&
+      expectedSha256.forall(_.equalsIgnoreCase(sha256(target)))
+    if (!fresh) {
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      val tmp = Files.createTempFile(
+        Option(target.getParent).getOrElse(Paths.get(".")), ".fetch-", ".tmp")
+      try {
+        val in = new java.net.URI(url).toURL.openStream()
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        expectedSha256.foreach { want =>
+          val got = sha256(tmp)
+          require(want.equalsIgnoreCase(got),
+            s"checksum mismatch fetching $url: expected $want got $got")
+        }
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
+    target.toString
+  }
+
   /** S1/S3/S5: header CSV scan with fixed schema; `path` may be a glob
     * (reference sorts `glob.glob` results, backend/random_forest.py:116 —
     * irrelevant after the union, SURVEY.md O4).

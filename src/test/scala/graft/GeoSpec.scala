@@ -141,6 +141,28 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("J5 edges: supercover replication is O(len/cell) on a long diagonal") {
+    // A 45° diagonal spanning 100×100 cells: the old bbox-rectangle
+    // replication emitted (100+3)² ≈ 10k copies; the supercover's
+    // per-column slab emits ~6 rows/column → linear in len/cell.
+    val e = Seq((1L, 0.0, 0.0, 1000.0, 1000.0)).toDF("eid", "ax", "ay", "bx", "by")
+      .select(col("eid").as("__eid"), col("ax").as("__ax"), col("ay").as("__ay"),
+        col("bx").as("__bx"), col("by").as("__by"))
+    val n = SpatialJoin.supercoverCells(e, 10.0).count()
+    assert(n < 1000, s"supercover emitted $n cells — not linear in len/cell")
+    assert(n > 100, s"supercover emitted only $n cells — must cover the segment")
+    // and every cell the segment passes through is present (+ring):
+    // sample the segment densely, its cell must be in the emitted set
+    val cells = SpatialJoin.supercoverCells(e, 10.0)
+      .select("__cx", "__cy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 1000).foreach { i =>
+      val t = i / 1000.0
+      val cell = (math.floor(t * 1000.0 / 10.0).toLong min 99L,
+        math.floor(t * 1000.0 / 10.0).toLong min 99L)
+      assert(cells.contains(cell), s"missing crossed cell $cell")
+    }
+  }
+
   test("J5 edges: interior snap beats both endpoints (point-to-SEGMENT, not point-to-point)") {
     // point above the middle of a long horizontal edge: segment distance
     // is 5² = 25; nearest ENDPOINT would be 100² + 5² = 10025

@@ -61,6 +61,22 @@ class MlSpec extends AnyFunSuite {
     assert(r2 > 0.9)
   }
 
+  test("M3 early stopping halts before maxIter and holds heldout R2") {
+    // The learnable stripe plateaus fast: with a generous iteration
+    // budget, validation improvement drops below tol well before 150
+    // trees — the reference's early_stopping=True behavior
+    // (HistGradientBoostingRegressor.py:121).
+    val df = fixture.filter($"is_event" === 0)
+    val (train, heldout) = Models.randomSplit(df, 0.2, seed = 7)
+    val (model, nTrees) = Models.fitGbtEarlyStopping(
+      train, Seq("x1", "x2"), "y", maxIter = 150, validationTol = 0.01)
+    assert(nTrees < 150, s"early stopping never engaged: $nTrees trees")
+    assert(nTrees >= 5, s"stopped implausibly early: $nTrees trees")
+    val r2 = model.transform(heldout)
+      .agg(Metrics.r2($"y", $"prediction")).head().getDouble(0)
+    assert(r2 > 0.85, s"heldout r2=$r2") // reference golden R2 0.8889 band
+  }
+
   test("M4 SegmentedModel routes per-row on the event mask") {
     val seg = SegmentedModel.fit(fixture, "is_event",
       (featCol, predCol) => Models.gbt(Seq("x1", "x2"), "y", maxIter = 20,

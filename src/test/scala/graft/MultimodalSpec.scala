@@ -52,6 +52,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  /** Hand-assemble a 24-bpp BITMAPINFOHEADER BMP: 2×2 pixels with known
+    * channel bytes, rows padded to 4 bytes (2 px × 3 B = 6 B → pad 2).
+    */
+  private def tinyBmp(pixels: Seq[Int]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowBytes = 8 // 2 px * 3 B, padded to 4-byte boundary
+    val dataLen = rowBytes * 2
+    val header =
+      "BM".getBytes ++ le32(54 + dataLen) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++     // DIB: 2x2, 24bpp
+      le32(0) ++ le32(dataLen) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val px = pixels.map(_.toByte).toArray
+    // two rows of 6 pixel bytes + 2 pad bytes each
+    header ++ px.slice(0, 6) ++ Array[Byte](0, 0) ++ px.slice(6, 12) ++ Array[Byte](0, 0)
+  }
+
+  /** Hand-assemble a 16-bit mono PCM WAV with the given samples. */
+  private def tinyWav(samples: Seq[Int], rate: Int = 8000): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("decodeMedia parses a real BMP: dimensions + exact pixel mean/rms") {
+    // channel bytes 10,20,30 / 40,50,60 / 70,80,90 / 100,110,120
+    val pixels = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val ds = Seq(Multimodal.MediaRow(1L, tinyBmp(pixels), "image/bmp", 2, 1)).toDS()
+    val d = Multimodal.decodeMedia(ds).collect().head
+    assert(d.format == "bmp")
+    assert(d.width == 2 && d.height == 2 && d.channels == 3 && d.n_samples == 4)
+    val mean = pixels.sum.toDouble / 12
+    val rms = math.sqrt(pixels.map(v => v.toDouble * v).sum / 12)
+    assert(math.abs(d.mean_value - mean) < 1e-12, s"mean=${d.mean_value} want $mean")
+    assert(math.abs(d.rms - rms) < 1e-12)
+    // padding bytes (nonzero would shift the stats) are excluded: a BMP
+    // with garbage pad bytes must decode identically
+    val padded = tinyBmp(pixels)
+    padded(54 + 6) = 99.toByte // first row's pad byte
+    val d2 = Multimodal.decodeMedia(
+      Seq(Multimodal.MediaRow(2L, padded, "image/bmp", 2, 1)).toDS()).collect().head
+    assert(math.abs(d2.mean_value - mean) < 1e-12)
+  }
+
+  test("decodeMedia parses a real WAV: rate/channels + exact PCM stats") {
+    val samples = Seq(0, 1000, -1000, 500, -250, 32767, -32768, 0)
+    val ds = Seq(Multimodal.MediaRow(3L, tinyWav(samples), "audio/wav", 0, 1)).toDS()
+    val d = Multimodal.decodeMedia(ds).collect().head
+    assert(d.format == "wav")
+    assert(d.channels == 1 && d.sample_rate == 8000 && d.n_samples == samples.size)
+    val meanAbs = samples.map(s => math.abs(s.toDouble)).sum / samples.size
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.size)
+    assert(math.abs(d.mean_value - meanAbs) < 1e-9, s"mean=${d.mean_value} want $meanAbs")
+    assert(math.abs(d.rms - rms) < 1e-9)
+  }
+
+  test("decodeMedia falls back to byte-fold for unknown payloads") {
+    val b = "not an image".getBytes("UTF-8")
+    val truncatedBmp = "BM".getBytes ++ Array.fill[Byte](10)(0) // too short to parse
+    val ds = Seq(
+      Multimodal.MediaRow(1L, b, "text/plain", 0, 1),
+      Multimodal.MediaRow(2L, truncatedBmp, "image/bmp", 0, 1)).toDS()
+    val out = Multimodal.decodeMedia(ds).collect().sortBy(_.doc_id)
+    assert(out.forall(_.format == "opaque"))
+    assert(out(0).n_bytes == b.length)
+    val mean = b.map(x => (x & 0xff).toDouble).sum / b.length
+    assert(math.abs(out(0).mean_value - mean) < 1e-12)
+  }
+
   test("approx_count_distinct stays within the configured error of exact") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val both = ev.agg(

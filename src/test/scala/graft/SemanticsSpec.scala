@@ -152,6 +152,26 @@ class SemanticsSpec extends AnyFunSuite {
     assert(survivors == Seq(1L, 4L, 5L, 7L))
   }
 
+  test("frontier CC: chain converges to one cluster, frontier shrinks monotonically") {
+    // 40-vertex chain — the deep-component case frontier propagation is
+    // for. Converged vertices must leave the message join: frontier
+    // sizes strictly decrease (after the all-vertices round 0) down to
+    // the empty converged round.
+    val n = 40L
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, frontiers) = Dedup.connectedComponentsWithStats(
+      vertices, pairs, "doc_id", maxIter = 25)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(got(_) == 1L), s"chain must collapse to min label: $got")
+    assert(frontiers.last == 0L, "final round must report an empty frontier")
+    val active = frontiers.dropRight(1)
+    assert(active.zip(active.tail).forall { case (a, b) => b < a },
+      s"frontier sizes must shrink monotonically on the chain: $frontiers")
+    assert(active.head == n - 1, // round 1: everyone but the min changes
+      s"round-1 frontier should be ${n - 1}, got ${active.head}")
+  }
+
   test("rolling hash matches hand-computed polynomial fold") {
     val got = Seq("ab").toDF("t")
       .select(TextOps.rollingHash($"t", 257L, 1000000007L)).collect()(0).getLong(0)

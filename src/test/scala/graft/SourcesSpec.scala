@@ -66,6 +66,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.forall(l => l.startsWith("""{"type":"Feature"""") && !l.contains("\n")))
   }
 
+  test("S11: fetchToLocal localizes a URL once, checksum-guarded, then scans") {
+    val dir = Files.createTempDirectory("graft-fetch")
+    val remote = dir.resolve("remote.json")
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[-73.98,40.75]},
+       "properties":{"RequestID":1,"Borough":"Manhattan"}}]}"""
+    Files.writeString(remote, gj)
+    val sha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(Files.readAllBytes(remote)).map("%02x".format(_)).mkString
+    }
+    val local = dir.resolve("cache/seg.json").toString
+    val got = Tables.fetchToLocal(remote.toUri.toString, local, Some(sha))
+    assert(got == local)
+    // Idempotent: a second fetch keeps the existing file (mtime unchanged)
+    val mtime1 = Files.getLastModifiedTime(java.nio.file.Path.of(local))
+    Tables.fetchToLocal(remote.toUri.toString, local, Some(sha))
+    assert(Files.getLastModifiedTime(java.nio.file.Path.of(local)) == mtime1)
+    // Corrupt local copy + expected checksum → re-fetched, not trusted
+    Files.writeString(java.nio.file.Path.of(local), "garbage")
+    Tables.fetchToLocal(remote.toUri.toString, local, Some(sha))
+    assert(Files.readString(java.nio.file.Path.of(local)) == gj)
+    // Checksum mismatch on the SOURCE throws and leaves no target
+    val bad = dir.resolve("cache/bad.json").toString
+    intercept[IllegalArgumentException] {
+      Tables.fetchToLocal(remote.toUri.toString, bad, Some("00" * 32))
+    }
+    assert(!Files.exists(java.nio.file.Path.of(bad)))
+    // E3 path shape: scan the localized GeoJSON (main.py:170-181)
+    val feats = Tables.geojsonFeatures(spark, local)
+    assert(feats.count() == 1)
+  }
+
   test("P9: null fill per column") {
     val df = Seq[(java.lang.Long, String)]((1L, null), (null, "b")).toDF("a", "b")
     val filled = df.na.fill(Map("a" -> 0L, "b" -> ""))

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Time every oracle SQL in DuckDB with FULL result materialization
+(fetchall), symmetric to the Spark bench's noop-sink full evaluation.
+
+Usage: python3 tools/time_duckdb.py <sfDir> [oracle_sql.json] [reps]
+
+Prints one JSON line {"total": sec, "queries": {name: sec}} using the
+per-query MEDIAN of `reps` runs (default 3, first-run compile above the
+median), matching Bench.scala's protocol.
+"""
+import json, statistics, sys, time
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf_dir = sys.argv[1]
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(oracle_path))
+    out, errs = {}, {}
+    for name, sql in sorted(oracles.items()):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()  # full materialization
+                ts.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                errs[name] = str(e)[:200]
+                break
+        if ts:
+            out[name] = statistics.median(ts)
+    line = {"total": sum(out.values()), "queries": out, "errors": errs,
+            "sf": sf_dir, "reps": reps}
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
