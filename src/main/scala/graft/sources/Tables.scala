@@ -39,12 +39,16 @@ object Tables {
     * session conf is set here so any session (including the driver's) can
     * call this without special setup.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String, widen: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
+    val df = if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+    // Same opt-in widening as documents/embeddings below: the test
+    // fixture is one row group = one map task, so per-row-expensive
+    // consumers (JSON assembly/parse) would run on one core of 32.
+    if (widen) withMinMapParallelism(spark, s"$dir/events.parquet", df) else df
   }
   /** Documents and embeddings feed the per-row-EXPENSIVE operators
     * (tokenize → md5 → shingle, dot products): their map parallelism is

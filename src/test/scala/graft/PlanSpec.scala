@@ -37,6 +37,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bench-measured plans retain Sort/Window/projection work (noop-sink validity)") {
+    // The bench materializes each query's OWN plan through the noop sink
+    // — what executedPlan shows here IS what gets timed. Under the old
+    // `.count()` harness, ColumnPruning deleted final-projection
+    // expressions, EliminateSorts the top-level ORDER BY, and
+    // unreferenced Window nodes collapsed entirely; these assertions pin
+    // that the measured plans still carry that work.
+    val lag = plan("q_window_lag")
+    assert(lag.contains("Window"), "window node pruned from q_window_lag:\n" + lag.take(500))
+    assert(lag.contains("Sort"), "sort pruned from q_window_lag")
+    val cyc = plan("q_cyclical")
+    assert(cyc.toLowerCase.contains("sin("), "trig projection pruned from q_cyclical:\n" + cyc.take(500))
+    val gj = plan("q_geojson_features")
+    assert(gj.contains("StructsToJson") || gj.contains("to_json"),
+      "JSON assembly pruned from q_geojson_features:\n" + gj.take(500))
+    assert(gj.contains("Sort"), "sort pruned from q_geojson_features")
+  }
+
   test("no cartesian product in the pair-generating dedup queries") {
     Seq("q_lsh_candidate_pairs", "q_ngram_jaccard_pairs").foreach { q =>
       val p = plan(q)
