@@ -531,12 +531,18 @@ object Queries {
       val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("term"), col("tfidf"),
-          col("rank").cast("long").as("rank"))
+      // Per-doc top-3 via the O(k)-buffer graft_top_k aggregate, not a
+      // row_number window: the window shape shuffles and sorts EVERY
+      // (doc, term) row; the aggregate partial-aggregates map-side so
+      // at most 3 rows per doc per map task reach the exchange — the
+      // 100 TB shape. Rank-for-rank identical to the window (spec'd in
+      // TopKSpec; the window SQL stays the oracle).
+      graft.functions.GraftFunctions.register(s)
+      scored.groupBy("doc_id")
+        .agg(graft.functions.GraftFunctions.topK(col("tfidf"), col("term"), 3).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("e.payload").as("term"),
+          col("e.score").as("tfidf"), (col("pos") + 1).cast("long").as("rank"))
         .orderBy("doc_id", "rank")
     },
     Some(s"""WITH toks AS (
@@ -677,6 +683,41 @@ object Queries {
              e AS (SELECT event_type, unnest(sketch) AS h,
                           generate_subscripts(sketch, 1) - 1 AS rank FROM sk)
              SELECT event_type, rank, h FROM e ORDER BY event_type, rank"""))
+
+  /** Custom TypedImperativeAggregate (§2.9): grouped top-k by score via
+    * `graft_top_k` — the O(k)-buffer, map-side-partial alternative to
+    * the window-sort top-k shape. Per event type, the 3 users with the
+    * highest total value. The oracle is the equivalent window SQL
+    * (`row_number() OVER (ORDER BY score DESC, payload) <= 3`), which
+    * the aggregate's (DESC score, ASC payload) ordering matches rank
+    * for rank — proving the bounded-memory plan computes the window
+    * answer. At 100 TB the window shape shuffles and sorts every
+    * (group, user) row; this shape ships ≤ k rows per group per map
+    * task into the exchange.
+    */
+  val qTopKAgg = QDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val uv = t(s, d, "events")
+        .groupBy("event_type", "user_id")
+        .agg(round(sum("value"), 6).as("v"))
+        .select(col("event_type"), col("user_id").cast("string").as("u"), col("v"))
+      uv.groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.topK(col("v"), col("u"), 3).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.payload").as("user_id"), col("e.score").as("score"))
+        .orderBy("event_type", "rank")
+    },
+    Some("""WITH uv AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+                               round(sum(value), 6) AS v
+                        FROM events GROUP BY 1, 2),
+             r AS (SELECT event_type, u, v,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY v DESC, u) AS rank
+                   FROM uv)
+             SELECT event_type, rank, u AS user_id, v + 0.0 AS score
+             FROM r WHERE rank <= 3 ORDER BY event_type, rank"""))
 
   /** Exact distinct counting per group (the oracle-checkable half of
     * cardinality estimation).
@@ -2171,6 +2212,7 @@ object Queries {
     "q_round_decimal" -> qRoundDecimal,
     "q_json_extract" -> qJsonExtract,
     "q_bottomk_sketch" -> qBottomKSketch,
+    "q_topk_agg" -> qTopKAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,

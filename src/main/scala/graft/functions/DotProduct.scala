@@ -69,6 +69,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
   }
 }
 
@@ -91,6 +92,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
     BottomK.fromExprs _)
 
+  val topKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_top_k"),
+    new ExpressionInfo(classOf[TopKScored].getName, "graft_top_k"),
+    TopKScored.fromExprs _)
+
   /** Idempotently register graft's functions in the session's registry
     * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
@@ -100,6 +106,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k", BottomK.fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k", TopKScored.fromExprs, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -108,4 +116,11 @@ object GraftFunctions {
   /** KMV bottom-k sketch aggregate (requires [[register]]). */
   def bottomK(c: Column, k: Int): Column =
     call_function("graft_bottom_k", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Grouped top-k by score, O(k) buffer + map-side partials (requires
+    * [[register]]). Returns sorted array<struct<score, payload>>.
+    */
+  def topK(score: Column, payload: Column, k: Int): Column =
+    call_function("graft_top_k", score, payload,
+      org.apache.spark.sql.functions.lit(k))
 }
