@@ -115,10 +115,12 @@ object Bench {
     val e1Rows = sys.env.getOrElse("SPARK_GRAFT_E1_ROWS", "1700000").toLong
     val rowsPerHour = 40
     val nHours = math.max(1L, e1Rows / rowsPerHour).toInt
-    def runE1(windowKeyCols: Seq[String]): Long = {
+    def runE1(windowKeyCols: Seq[String],
+        chunkSpanHours: Option[Long] = None): Long = {
       val traffic = pipelines.DomainFixtures.traffic(spark, nHours, rowsPerHour)
       val weather = pipelines.DomainFixtures.weather(spark, nHours)
-      val feat = pipelines.TrainingPipeline.featureTable(traffic, weather, windowKeyCols)
+      val feat = pipelines.TrainingPipeline.featureTable(traffic, weather,
+        windowKeyCols, chunkSpanHours)
       // ONE execution: the aggregate's counts also give the row total
       feat.groupBy("borough", "is_event")
         .agg(count(lit(1)).as("n"), avg("Vol").as("avg_vol"),
@@ -130,8 +132,17 @@ object Bench {
     val e1JoinedRows = e1.first.getOrElse(-1L)
     releasePersisted()
     val e1Seg = timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
+    releasePersisted()
+    // Chunked-window configuration: EXACT reference (borough-keyed)
+    // window semantics, evaluated per daily chunk with bounded-history
+    // replication — window parallelism = #chunks instead of 5. The
+    // measured time includes the chunk-census validation pass and the
+    // joined-frame materialization the chunked shape requires.
+    val e1Chunk = timeMedian(e1Reps) { runE1(Seq("borough"), Some(24L)) }
 
-    val flagships = Seq("flagship_e1" -> e1.median, "flagship_e1_segmented" -> e1Seg.median)
+    val flagships = Seq("flagship_e1" -> e1.median,
+      "flagship_e1_segmented" -> e1Seg.median,
+      "flagship_e1_chunked" -> e1Chunk.median)
     val qs = (results.toSeq ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -139,15 +150,19 @@ object Bench {
     // JVM/machine noise (wide spread, stable median) from a real shift
     // (all reps moved) without re-running the suite.
     val rawJson = (measured.map { case (n, t) => n -> t.raw }.toSeq ++
-        Seq("flagship_e1" -> e1.raw, "flagship_e1_segmented" -> e1Seg.raw))
+        Seq("flagship_e1" -> e1.raw, "flagship_e1_segmented" -> e1Seg.raw,
+          "flagship_e1_chunked" -> e1Chunk.raw))
       .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val allErrors = errors ++
-      e1.err.map("flagship_e1" -> _) ++ e1Seg.err.map("flagship_e1_segmented" -> _)
+      e1.err.map("flagship_e1" -> _) ++
+      e1Seg.err.map("flagship_e1_segmented" -> _) ++
+      e1Chunk.err.map("flagship_e1_chunked" -> _)
     val errJson = allErrors
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) + math.max(0, e1Seg.median)
+    val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
+      math.max(0, e1Seg.median) + math.max(0, e1Chunk.median)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     println(line)
     // Also persist the line to a file: the driver captures only a

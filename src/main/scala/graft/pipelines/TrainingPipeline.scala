@@ -34,15 +34,27 @@ object TrainingPipeline {
     *
     * `windowKeyCols` keys the lag/rolling windows. The reference keys on
     * borough alone (SegmentedModeling.py:238-247) — 5 partitions, which
-    * at 100× data means one borough is one task. Pass
-    * `Seq("borough", "SegmentID")` for the scale configuration: the same
-    * trailing semantics per road segment, with window parallelism =
-    * borough × segment cardinality (thousands of partitions) instead
-    * of 5. On a single-segment fixture the two keyings are identical
-    * (parity-pinned in PipelinesSpec).
+    * at 100× data means one borough is one task. Two scale
+    * configurations:
+    *  - `windowKeyCols = Seq("borough", "SegmentID")` — re-keys the
+    *    windows per road segment (thousands of partitions). Same
+    *    per-segment trailing semantics; parity with borough keying on a
+    *    single-segment fixture is spec-pinned.
+    *  - `chunkSpanHours = Some(h)` — keeps EXACT borough-keyed reference
+    *    semantics but evaluates the windows chunked
+    *    ([[TrailingFeatures.withTrailingChunked]]): each h-hour chunk
+    *    computes independently after receiving the previous chunk's
+    *    last-24-row context, so window parallelism = #chunks, not 5.
+    *    The joined frame is localCheckpoint'ed first — the chunked shape
+    *    scans its input three times (chunk census, context extraction,
+    *    main pass), and re-executing the fan-out join per scan would
+    *    cost more than the materialization (at warehouse scale the
+    *    joined table is written once and read by every model run
+    *    anyway).
     */
   def featureTable(traffic: DataFrame, weather: DataFrame,
-      windowKeyCols: Seq[String] = Seq("borough")): DataFrame = {
+      windowKeyCols: Seq[String] = Seq("borough"),
+      chunkSpanHours: Option[Long] = None): DataFrame = {
     // weather side: derive the join key components (reference
     // SegmentedModeling.py:206-209)
     val w = weather.select(
@@ -63,9 +75,17 @@ object TrainingPipeline {
     // rows, not rows already widened by ~10 derived columns (the scalar
     // features are map-only and commute with the window)
     val ordered = Seq("date", "RequestID") // deterministic tie-break (O1 fix)
-    val windowed = TrailingFeatures.withTrailing(joined, "Vol",
-      partitionCols = windowKeyCols, orderCols = ordered,
-      lags = Seq(1), rolls = Seq(3, 24))
+    val windowed = chunkSpanHours match {
+      case Some(h) =>
+        TrailingFeatures.withTrailingChunked(joined.localCheckpoint(true),
+          "Vol", partitionCols = windowKeyCols, orderCols = ordered,
+          chunkCol = floor(unix_micros(col("date")) / (h * 3600L * 1000000L)),
+          lags = Seq(1), rolls = Seq(3, 24))
+      case None =>
+        TrailingFeatures.withTrailing(joined, "Vol",
+          partitionCols = windowKeyCols, orderCols = ordered,
+          lags = Seq(1), rolls = Seq(3, 24))
+    }
     // features (F9, J4, F13, F10)
     val cal = DateTimeKit.cyclicalFeatures(col("date"))
       .foldLeft(Holidays.withIsHoliday(windowed, "date", 2024, 2024)) {
