@@ -273,6 +273,35 @@ object Queries {
                    lag(value, 24) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag_24
             FROM events ORDER BY event_id"""))
 
+  /** A3/A4 at scale: the SAME trailing features as q_window_lag /
+    * q_window_trailing_mean, evaluated CHUNKED
+    * ([[TrailingFeatures.withTrailingChunked]]) — weekly chunks, each
+    * carrying the previous chunk's last-24-row context, so window
+    * parallelism is #chunks instead of #distinct keys. The oracle is the
+    * plain window SQL: the chunked plan must hash-match the one-sort
+    * answer bit for bit, which is the whole correctness claim of
+    * bounded-history replication.
+    */
+  val qWindowChunked = QDef(
+    (s, d) => {
+      val week = floor(unix_micros(col("ts")) / (7L * 24L * 3600L * 1000000L))
+      TrailingFeatures.withTrailingChunked(t(s, d, "events"), "value",
+          partitionCols = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+          chunkCol = week, lags = Seq(1), rolls = Seq(3, 24))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_lag_1"),
+          round(col("value_roll_3"), 6).as("value_roll_3"),
+          round(col("value_roll_24"), 6).as("value_roll_24"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_type, value,
+                   lag(value, 1) OVER w AS value_lag_1,
+                   round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS value_roll_3,
+                   round(avg(value) OVER (w ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 6) AS value_roll_24
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
   /** A4: trailing-EXCLUSIVE rolling means ([t−w, t−1]; null at first row
     * of each group) — the reference's rolling(w).mean().shift(1).
     */
@@ -2200,6 +2229,7 @@ object Queries {
     "q_union_all" -> qUnionAll,
     "q_window_lag" -> qWindowLag,
     "q_window_trailing_mean" -> qWindowTrailingMean,
+    "q_window_chunked" -> qWindowChunked,
     "q_distinct_values" -> qDistinctValues,
     "q_corr" -> qCorr,
     "q_corr_matrix" -> qCorrMatrix,
