@@ -1361,6 +1361,51 @@ object Queries {
                    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * 10000
              ORDER BY doc_id"""))
 
+  /** Per-domain cap (the crawl-corpus guard: no source may contribute
+    * more than N documents), chosen in deterministic h60 order of the
+    * doc id — not first-seen (partitioning-dependent) and not id order
+    * (biases old documents). Oracle is the identical row_number SQL.
+    */
+  val qDomainCap = QDef(
+    (s, d) => Relational.capPerKey(t(s, d, "documents"),
+        col("source"), col("doc_id"), 40)
+      .select("doc_id", "source")
+      .orderBy("doc_id"),
+    Some(s"""WITH r AS (
+               SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+               FROM documents)
+             SELECT doc_id, source FROM r WHERE rn <= 40 ORDER BY doc_id"""))
+
+  /** Mixture sampling: the largest subset matching a 50/30/20 source
+    * mix. The feasibility scale T = min(count_g / share_g) and the
+    * per-group keep fractions are computed with the SAME association of
+    * double ops on both engines, and thresholds round to integers out
+    * of 10000 (the hashSample convention), so the h60 keep decision is
+    * bit-reproducible.
+    */
+  val qMixtureSample = QDef(
+    (s, d) => Relational.mixtureSample(t(s, d, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .select("doc_id", "source")
+      .orderBy("doc_id"),
+    Some(s"""WITH shares(g, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+             ss AS (SELECT sum(CAST(share AS DOUBLE)) AS ssum FROM shares),
+             c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+             j AS (SELECT c.g, CAST(c.n AS DOUBLE) AS n,
+                          CAST(s.share AS DOUBLE) / (SELECT ssum FROM ss) AS norm
+                   FROM c JOIN shares s ON c.g = s.g),
+             tt AS (SELECT min(n / norm) AS t FROM j),
+             th AS (SELECT g,
+                          CAST(round(round(least(1.0, (norm * (SELECT t FROM tt)) / n), 6) * 10000) AS BIGINT) AS thr
+                    FROM j)
+             SELECT d.doc_id, d.source FROM documents d
+             JOIN th ON d.source = th.g
+             WHERE ${h60sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.thr
+             ORDER BY d.doc_id"""))
+
   /** Exact grouped percentiles (p50/p95): Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition, so the
     * hashes match bit-for-bit after rounding. NOTE the 100 TB path is
@@ -2270,6 +2315,8 @@ object Queries {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_tfidf_topterms" -> qTfidfTopTerms,
     "q_hash_sample" -> qHashSample,
+    "q_domain_cap" -> qDomainCap,
+    "q_mixture_sample" -> qMixtureSample,
     "q_percentile" -> qPercentile,
     "q_corpus_clean" -> qCorpusClean,
     "q_pack_sequences" -> qPackSequences,

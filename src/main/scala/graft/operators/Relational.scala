@@ -164,4 +164,63 @@ object Relational {
     df.filter(pmod(graft.functions.Hashing.h60(idCol.cast("string")),
       lit(denom)) < threshold)
   }
+
+  /** Per-group cap: keep at most `n` rows per value of `keyCol`, chosen
+    * in deterministic HASH order of the id (not first-seen order, which
+    * is partitioning-dependent, and not id order, which biases toward
+    * old rows). The standard crawl-corpus guard — no single domain may
+    * contribute more than n documents — and a skew guard in its own
+    * right: a hot key's contribution is bounded before any downstream
+    * join/explode sees it.
+    *
+    * Shape: one window keyed by `keyCol` ordered by (h60(id), id). At
+    * corpus scale the key (domain) cardinality is huge, so window
+    * parallelism is wide; for a pathological single hot key, cap it
+    * upstream with [[hashSample]] first (the window's per-key sort is
+    * the same single-task ceiling any per-key total order has).
+    */
+  def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(graft.functions.Hashing.h60(idCol.cast("string")), idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Mixture sampling: deterministically carve the LARGEST corpus subset
+    * whose per-group composition matches `targetShares` (e.g. 60% web /
+    * 30% books / 10% code). The binding group — the one whose supply
+    * runs out first relative to its target — is kept whole; every other
+    * group is hash-downsampled to proportion. Groups absent from
+    * `targetShares` are dropped.
+    *
+    * Scale shape: one tiny count-per-group aggregate (rows = #groups)
+    * collected to the driver to solve the feasibility scale
+    * T = min(count_g / share_g), then ONE map-only stratified hash
+    * filter — the corpus itself is never shuffled. Keep decisions are
+    * h60-deterministic (stable across runs/engines/partitionings, same
+    * contract as [[hashSample]]).
+    */
+  def mixtureSample(df: DataFrame, groupCol: Column, idCol: Column,
+      targetShares: Map[String, Double], denom: Int = 10000): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "targetShares must be non-empty and positive")
+    // Deterministic summation order; keep fractions rounded to 6 dp so a
+    // 1-ulp double difference in a re-implementation (the SQL oracle, a
+    // port) cannot flip a keep threshold.
+    val shareSum = targetShares.toSeq.sortBy(_._1).map(_._2).sum
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getAs[Any]("__g").toString -> r.getAs[Long]("__n")).toMap
+    val present = targetShares.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    require(present.nonEmpty, "no target group present in the data")
+    // Feasibility scale: total output size T such that every group g can
+    // supply share_g/shareSum * T rows. The argmin group keeps ~all rows.
+    val t = present.map { case (g, s) => counts(g) / (s / shareSum) }.min
+    val fractions = present.map { case (g, s) =>
+      g -> math.round(math.min(1.0, (s / shareSum) * t / counts(g)) * 1e6) / 1e6
+    }
+    stratifiedHashSample(df, idCol, groupCol, fractions,
+      defaultFraction = 0.0, denom = denom)
+  }
 }

@@ -172,6 +172,40 @@ class SemanticsSpec extends AnyFunSuite {
       s"round-1 frontier should be ${n - 1}, got ${active.head}")
   }
 
+  test("capPerKey keeps at most n per key, hash-deterministic and partitioning-stable") {
+    val df = (1L to 300L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
+    val capped = Relational.capPerKey(df, col("dom"), col("id"), 10)
+    val byDom = capped.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.values.forall(_ == 10), byDom.toString)
+    // stable under repartitioning (hash order, not first-seen order)
+    val a = capped.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Relational.capPerKey(df.repartition(13), col("dom"), col("id"), 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("mixtureSample hits the target mix; binding group kept whole") {
+    // 600/300/100 rows; target 50/30/20 → src2 binds (100/0.2 = 500
+    // total): expect ~250/150/100
+    val rows = (1L to 600L).map(i => ("src0", i)) ++
+      (601L to 900L).map(i => ("src1", i)) ++
+      (901L to 1000L).map(i => ("src2", i))
+    val df = rows.toDF("source", "doc_id")
+    val out = Relational.mixtureSample(df, col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    val byS = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("src2") == 100, s"binding group must keep all rows: $byS")
+    // hash sampling is approximate around the target: ±20% slack
+    assert(math.abs(byS("src0") - 250.0) / 250.0 < 0.2, byS.toString)
+    assert(math.abs(byS("src1") - 150.0) / 150.0 < 0.2, byS.toString)
+    // groups outside the target mix are dropped
+    val extra = df.union(Seq(("srcX", 5000L)).toDF("source", "doc_id"))
+    assert(Relational.mixtureSample(extra, col("source"), col("doc_id"),
+      Map("src0" -> 1.0)).filter(col("source") =!= "src0").count() == 0)
+  }
+
   test("rolling hash matches hand-computed polynomial fold") {
     val got = Seq("ab").toDF("t")
       .select(TextOps.rollingHash($"t", 257L, 1000000007L)).collect()(0).getLong(0)
