@@ -1844,6 +1844,176 @@ object Queries {
              FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
 
   // =====================================================================
+  // Corpus-curation operators (round 7): semantic dedup, fixed-size
+  // chunking, CCNet-style segment dedup, DSIR importance scores,
+  // unigram surprisal, end-to-end fuzzy dedup
+  // =====================================================================
+
+  /** SemDeDup-style semantic dedup: per-label mean embeddings as coarse
+    * centroids (the deterministic stand-in for a k-means quantizer —
+    * `q_embedding_centroids` proves the rounded means match DuckDB),
+    * map-only argmax-cosine assignment, then an intra-cluster prune
+    * keeping the lowest id of every cosine-≥0.4 pair.
+    */
+  val qSemanticDedup = QDef(
+    (s, d) => {
+      val emb = wideT(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "embedding", "label")
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.4)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             cd AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
+                           round(avg(e), 6) AS c
+                    FROM (SELECT label, unnest(embedding) AS e,
+                                 generate_subscripts(embedding, 1) AS i
+                          FROM embeddings)
+                    GROUP BY cl, dim),
+             cent AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd GROUP BY cl),
+             ass AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
+                     FROM v CROSS JOIN cent),
+             best AS (SELECT vec_id, cl
+                      FROM (SELECT vec_id, cl,
+                                   row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cl) AS rk
+                            FROM ass)
+                      WHERE rk = 1),
+             dropped AS (SELECT DISTINCT b.vec_id
+                         FROM best a JOIN best b
+                           ON a.cl = b.cl AND a.vec_id < b.vec_id
+                         JOIN v va ON va.vec_id = a.vec_id
+                         JOIN v vb ON vb.vec_id = b.vec_id
+                         WHERE ${cosineSql("va.ev", "vb.ev")} >= 0.4)
+             SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM best
+             WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             ORDER BY vec_id"""))
+
+  /** Fixed-size token chunking with overlap (chunk 32, overlap 8): the
+    * RAG / context-window splitter. chunk_idx is the 0-based position of
+    * the chunk start in the stride progression, identical on both sides
+    * by construction.
+    */
+  val qChunkDocs = QDef(
+    (s, d) => TextOps.chunkTokens(t(s, d, "documents"), "doc_id",
+        col("text"), chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+             st AS (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(1, len(toks) - 8), 24)) AS start
+                    FROM d)
+             SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+                    array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text,
+                    CAST(len(list_slice(toks, start, start + 31)) AS BIGINT) AS n_tokens
+             FROM st ORDER BY doc_id, chunk_idx"""))
+
+  /** CCNet-style corpus-wide segment dedup on 2-token segments (small
+    * segments on purpose: the fixture's ~30-word vocabulary then yields
+    * real cross-document duplicate segments, so first-occurrence
+    * selection and document reassembly are both exercised).
+    */
+  val qSegmentDedup = QDef(
+    (s, d) => TextOps.dedupSegments(wideT(s, d, "documents"), "doc_id",
+        col("text"), segTokens = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+             segs AS (SELECT doc_id, CAST((start - 1) // 2 AS INT) AS seg_idx,
+                             array_to_string(list_slice(toks, start, start + 1), ' ') AS seg
+                      FROM (SELECT doc_id, toks,
+                                   unnest(generate_series(1, greatest(1, len(toks)), 2)) AS start
+                            FROM d)),
+             k AS (SELECT doc_id, seg_idx, seg,
+                          row_number() OVER (PARTITION BY ${h60sql("seg")}
+                              ORDER BY doc_id, seg_idx) = 1 AS kept
+                   FROM segs)
+             SELECT doc_id,
+                    coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+                        ORDER BY seg_idx), '') AS clean_text,
+                    CAST(count(*) AS BIGINT) AS n_segments,
+                    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** DSIR importance scores toward the English subset (hashed-unigram
+    * log-likelihood ratio, 4096 buckets, α = 0.5).
+    */
+  val qDsirScores = QDef(
+    (s, d) => TextOps.dsirScores(wideT(s, d, "documents"), "doc_id",
+        col("text"), targetPred = col("lang") === "en",
+        buckets = 4096, alpha = 0.5)
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+                            unnest(${toksSql("text")}) AS tok FROM documents),
+             b AS (SELECT doc_id, is_t, ${h60sql("tok")} % 4096 AS bk FROM toks),
+             counts AS (SELECT bk, count(*) AS cr,
+                               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+                        FROM b GROUP BY bk),
+             tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+             lr AS (SELECT doc_id,
+                           ln((ct + 0.5) / (tt + 2048.0))
+                             - ln((cr + 0.5) / (tr + 2048.0)) AS lr
+                    FROM b JOIN counts USING (bk) CROSS JOIN tot)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                    round(avg(lr), 6) + 0.0 AS dsir_score
+             FROM lr GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Per-document unigram surprisal under the corpus's own add-0.5-
+    * smoothed unigram LM — the CCNet perplexity-quality signal.
+    */
+  val qUnigramSurprisal = QDef(
+    (s, d) => TextOps.unigramSurprisal(wideT(s, d, "documents"), "doc_id",
+        col("text"), alpha = 0.5)
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+                           FROM documents),
+             counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             tot AS (SELECT sum(c) AS t, count(*) AS v FROM counts)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                    round(avg(-ln((c + 0.5) / (t + 0.5 * v))), 6) + 0.0 AS surprisal
+             FROM toks JOIN counts USING (tok) CROSS JOIN tot
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs → connected
+    * components → keep the lowest-id member of every near-dup cluster.
+    * The three stages are the already-oracle-checked operators composed
+    * as a user would compose them; the oracle composes the same three
+    * CTE stages.
+    */
+  val qDedupFuzzy = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      val clusters = Dedup.connectedComponents(docs, pairs, "doc_id")
+      Dedup.dedupByClusters(docs, clusters, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
+      }.mkString("\n              UNION ALL ")
+      s"""WITH RECURSIVE sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          keepers AS (SELECT id AS doc_id FROM reach GROUP BY id
+                      HAVING min(label) = id)
+          SELECT d.doc_id, d.lang, d.source, d.n_chars
+          FROM documents d JOIN keepers USING (doc_id)
+          ORDER BY doc_id"""
+    })
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -2349,7 +2519,13 @@ object Queries {
     "q_decontaminate" -> qDecontaminate,
     "q_standardize" -> qStandardize,
     "q_ntile" -> qNtile,
-    "q_weighted_sample" -> qWeightedSample)
+    "q_weighted_sample" -> qWeightedSample,
+    "q_semantic_dedup" -> qSemanticDedup,
+    "q_chunk_docs" -> qChunkDocs,
+    "q_segment_dedup" -> qSegmentDedup,
+    "q_dsir_scores" -> qDsirScores,
+    "q_unigram_surprisal" -> qUnigramSurprisal,
+    "q_dedup_fuzzy" -> qDedupFuzzy)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -351,4 +351,154 @@ object TextOps {
       .filter(col("__cum") <= budget && budget > lit(0L))
       .drop("__cum")
   }
+
+  /** Fixed-size token chunking with overlap — the RAG / context-window
+    * document splitter, and the long-document guard for the in-row
+    * fingerprint operators (see [[winnowFingerprintsMapOnly]]'s memory
+    * constraint). Chunks start every `chunkSize − overlap` tokens and
+    * cover `chunkSize` tokens each (the last may be shorter); every
+    * token lands in ≥1 chunk and the trailing chunk is never fully
+    * contained in its predecessor. Output: one row per (id, chunk_idx)
+    * with the chunk text and its token count.
+    *
+    * Scale shape: map-only — tokenize, generate chunk starts with
+    * `sequence`, explode. The explode fan-out is O(doc_tokens/stride)
+    * rows per doc; no shuffle anywhere.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        col("__toks"),
+        posexplode(sequence(lit(1),
+          greatest(lit(1), size(col("__toks")) - overlap), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__start"), lit(chunkSize))).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Corpus-wide segment-level exact dedup — the paragraph/line dedup
+    * stage of the CCNet pipeline, applied to fixed-`segTokens` token
+    * segments (pass a paragraph splitter's output instead when documents
+    * have structural delimiters). Every segment is content-hashed; only
+    * the globally FIRST occurrence (minimum (doc, position)) of each
+    * distinct segment survives, and documents are reassembled from
+    * their surviving segments in order. Boilerplate shared by thousands
+    * of pages collapses to one copy.
+    *
+    * Output: (id, clean_text, n_segments, n_kept) — one row per input
+    * document (clean_text is empty when every segment was seen earlier).
+    *
+    * Scale shape: segments shuffle twice on the 8-byte content hash
+    * (first-occurrence aggregate + the probe join), then once on the doc
+    * id to reassemble. min_by keeps the aggregate a partial-aggregating
+    * groupBy; no window over the corpus, no collect.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: Column,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val segs = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        posexplode(sequence(lit(1), greatest(lit(1),
+          size(col("__toks"))), lit(segTokens))).as(Seq("seg_idx", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("seg_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(segTokens)))
+          .as("__seg"))
+      .withColumn("__h", Hashing.h60(col("__seg")))
+    val firsts = segs.groupBy("__h")
+      .agg(min_by(struct(col(idCol), col("seg_idx")),
+        struct(col(idCol), col("seg_idx"))).as("__first"))
+      .select(col("__h"), col("__first").getField(idCol).as("__fid"),
+        col("__first").getField("seg_idx").as("__fidx"))
+    segs.join(firsts, Seq("__h"))
+      .withColumn("__kept",
+        col(idCol) === col("__fid") && col("seg_idx") === col("__fidx"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("seg_idx"), col("__seg"))))),
+          s => s.getField("__seg"))).as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** DSIR-style importance scores (hashed n-gram importance resampling,
+    * the published recipe of Xie et al. 2023, arXiv:2302.03169): token
+    * unigrams are hashed into `buckets` counts; a doc's score is its
+    * mean per-token log-likelihood ratio between the TARGET distribution
+    * (docs matching `targetPred`) and the RAW distribution (all docs),
+    * both add-`alpha` smoothed. Rank-and-keep the top scores to tilt a
+    * raw crawl toward the target domain.
+    *
+    * Output: (id, n_tokens, dsir_score) — score rounded to 6 dp for
+    * engine-portable comparison.
+    *
+    * Scale shape: one tokenize+explode pass feeds BOTH bucket-count
+    * aggregates (target counts are a conditional sum, not a second
+    * scan); the bucket table is ≤`buckets` rows → broadcast back to the
+    * token stream; totals ride as a 1-row broadcast cross join. The
+    * corpus itself is never shuffled — only (id, bucket) token rows into
+    * the per-doc mean.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: Column,
+      targetPred: Column, buckets: Int = 4096,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = df.select(col(idCol), targetPred.as("__is_t"),
+        explode(tokens(textCol)).as("__tok"))
+      .withColumn("__b", pmod(Hashing.h60(col("__tok")), lit(buckets.toLong)))
+    val counts = toks.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__ct")).as("__tt"))
+    val aB = alpha * buckets
+    val ratio = toks
+      .join(broadcast(counts), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr",
+        log((col("__ct") + alpha) / (col("__tt") + aB))
+          - log((col("__cr") + alpha) / (col("__tr") + aB)))
+    ratio.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lr")), 6).as("dsir_score"))
+  }
+
+  /** Per-document unigram surprisal (mean −ln p(token) under an add-
+    * `alpha`-smoothed unigram LM trained on the corpus itself) — the
+    * perplexity-bucket quality signal of the CCNet pipeline, with the
+    * unigram LM standing in for the external KenLM (the operator shape
+    * — train counts, broadcast, score — is identical; swap the model
+    * table to use a real LM). High surprisal ⇒ rare/garbled vocabulary.
+    *
+    * Output: (id, n_tokens, surprisal) — rounded to 6 dp.
+    *
+    * Scale shape: same as [[dsirScores]] — one explode pass, a vocab-
+    * sized count table broadcast back, totals as a 1-row cross join.
+    * NOTE the model table here is vocab-sized, not `buckets`-bounded;
+    * for an unbounded-vocab corpus hash tokens into buckets first (as
+    * dsirScores does) to keep the broadcast bounded.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(textCol)).as("__tok"))
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__t"),
+      count(lit(1)).as("__v"))
+    toks.join(broadcast(counts), Seq("__tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        -log((col("__c") + alpha) / (col("__t") + lit(alpha) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__s")), 6).as("surprisal"))
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextOps}
+
+/** Round-7 corpus-curation operators: fixed-size chunking, CCNet-style
+  * segment dedup, DSIR importance scores, unigram surprisal, SemDeDup
+  * semantic dedup. Reference semantics checked on hand-built fixtures;
+  * engine parity is pinned by the DuckDB oracles (q_chunk_docs,
+  * q_segment_dedup, q_dsir_scores, q_unigram_surprisal,
+  * q_semantic_dedup, q_dedup_fuzzy).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("chunkTokens: full coverage, stride spacing, bounded size, short docs -> one chunk") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c"), (3L, "solo")).toDF("id", "text")
+    val chunks = TextOps.chunkTokens(df, "id", col("text"), chunkSize = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 25, 49, 73 (stride 24; last start <= 100-8=92) → 4 chunks
+    assert(d1.length == 4)
+    assert(d1.init.forall(_._4 == 32L), "all but the last chunk are full-size")
+    assert(d1.last._4 == 28L) // tokens 73..100
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+    // consecutive chunks share exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a._3.split(" ").toSeq; val bt = b._3.split(" ").toSeq
+      assert(at.takeRight(8) == bt.take(8))
+    }
+    // short docs: a single chunk holding the whole doc
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "solo", 1L)))
+  }
+
+  test("dedupSegments: global first occurrence survives, docs reassemble in order") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b"),
+      (4L, "x y c d z")).toDF("id", "text")
+    val got = TextOps.dedupSegments(df, "id", col("text"), segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d", 2L, 2L)))  // first occurrences of both
+    assert(got(2L) == (("x y", 2L, 1L)))      // "a b" seen in doc 1
+    assert(got(3L) == (("", 1L, 0L)))         // fully duplicated doc
+    assert(got(4L) == (("z", 3L, 1L)))        // "x y" from 2, "c d" from 1
+  }
+
+  test("dsirScores: target-vocabulary docs score above raw-vocabulary docs") {
+    // target (is_t) docs speak "tgt*"; background docs speak "raw*"
+    val docs = (1L to 20L).map(i => (i, s"tgt${i % 3} tgt${i % 5} tgt1", true)) ++
+      (21L to 60L).map(i => (i, s"raw${i % 7} raw${i % 11} raw2", false))
+    val df = docs.toDF("id", "text", "is_t")
+    val scores = TextOps.dsirScores(df, "id", col("text"), col("is_t"),
+      buckets = 4096, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scores.forall(_._2 == 3L))
+    val (tgt, raw) = scores.partition(_._1 <= 20L)
+    assert(tgt.map(_._3).min > raw.map(_._3).max,
+      "every target-domain doc must outscore every raw-domain doc")
+  }
+
+  test("unigramSurprisal: rare vocabulary means higher surprisal") {
+    val common = (1L to 50L).map(i => (i, "the the the"))
+    val rare = Seq((99L, "zyzzyva qwertyuiop"))
+    val df = (common ++ rare).toDF("id", "text")
+    val got = TextOps.unigramSurprisal(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(99L) > got(1L) * 2,
+      "hapax-vocabulary doc must carry far higher mean surprisal")
+    // all-common docs share one score
+    assert(common.map(c => got(c._1)).distinct.size == 1)
+  }
+
+  test("semanticDedup: intra-cluster near-dups drop to the lowest id, cross-cluster twins survive") {
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, Array(1.0, 0.01, 0.0, 0.0)),  // cluster 0
+      (2L, Array(1.0, 0.02, 0.0, 0.0)),  // near-dup of 1 → dropped
+      (3L, Array(0.7, 0.6, 0.0, 0.0)),   // cluster 0, but cos(1,3) < τ → kept
+      (4L, Array(0.0, 1.0, 0.05, 0.0)),  // cluster 1: same direction as 1's
+      (5L, Array(0.0, 1.0, 0.06, 0.0))). // near-dup of 4 → dropped
+      toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        Seq(0 -> e1, 1 -> e2), threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(1L, 3L, 4L))
+    assert(kept(1L) == 0 && kept(3L) == 0 && kept(4L) == 1)
+  }
+
+  test("labelCentroids: rounded per-label means in label order") {
+    val df = Seq(
+      (1L, Array(1.0f, 3.0f), 1),
+      (2L, Array(3.0f, 5.0f), 1),
+      (3L, Array(10.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(df, "embedding", "label")
+    assert(cents.map(_._1) == Seq(0, 1))
+    assert(cents(0)._2.toSeq == Seq(10.0, 0.0))
+    assert(cents(1)._2.toSeq == Seq(2.0, 4.0))
+  }
+}
