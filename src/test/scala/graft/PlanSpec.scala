@@ -198,4 +198,43 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 4, s"unexpected shuffle count $exchanges:\n${p.take(500)}")
   }
+
+  test("chunkTokens: map-only — zero exchanges, one generate") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = graft.operators.TextOps.chunkTokens(docs, "doc_id",
+        org.apache.spark.sql.functions.col("text"), 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "unexpected shuffle in chunkTokens:\n" + p.take(800))
+    assert(p.contains("Generate"), "explode missing from chunkTokens plan")
+  }
+
+  test("dsirScores: corpus never shuffles — bucket counts and totals come back as broadcasts") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = graft.operators.TextOps.dsirScores(docs, "doc_id",
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // the ≤buckets-row count table and the 1-row totals join back as
+    // broadcasts; the only hash exchanges are the two count aggregates
+    // (bucket-keyed, bounded) and the final per-doc mean (id-keyed) —
+    // never a shuffle of the token stream for the joins themselves
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, "count table not broadcast:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "totals not broadcast")
+    assert(!p.contains("SortMergeJoin"), "token stream shuffled for a join:\n" + p.take(800))
+  }
+
+  test("semanticDedup: centroid assignment is a pure projection (no shuffle before the cluster join)") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cents = Seq(0 -> Array.fill(64)(0.1), 1 -> Array.fill(64)(-0.1))
+    val df = graft.operators.Similarity.semanticDedup(emb, "vec_id",
+      "embedding", cents, 0.9)
+    val p = df.queryExecution.executedPlan.toString
+    // centroids are typedlit constants through the codegen'd dot: the
+    // assignment itself plans as scan → project. The exchanges present
+    // belong to the intra-cluster self-join + anti-join, all keyed.
+    assert(p.contains("graft_dot"), "codegen'd dot missing from assignment:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "unkeyed join in semanticDedup:\n" + p.take(800))
+  }
 }
