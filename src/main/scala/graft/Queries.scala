@@ -2013,6 +2013,65 @@ object Queries {
           ORDER BY doc_id"""
     })
 
+  /** Int8 scalar quantization of the embedding table, exploded to
+    * (vec_id, dim, q, inv_scale) rows so the integer codes hash-compare
+    * exactly. inv_scale is a single IEEE division on both sides
+    * (bit-identical by construction).
+    */
+  val qEmbeddingQuantize = QDef(
+    (s, d) => Similarity.quantizeInt8(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+      .select(col("vec_id"), col("inv_scale"),
+        posexplode(col("qvec")).as(Seq("dim", "q")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("q").cast("long").as("q"), col("inv_scale"))
+      .orderBy("vec_id", "dim"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            m AS (SELECT vec_id, ev,
+                         list_max(list_transform(ev, x -> abs(x))) AS ma FROM v),
+            s AS (SELECT vec_id, ev,
+                         CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale,
+                         CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS inv_scale
+                  FROM m)
+            SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(round(e * scale, 0) AS BIGINT) AS q, inv_scale
+            FROM (SELECT vec_id, scale, inv_scale, unnest(ev) AS e,
+                         generate_subscripts(ev, 1) AS i FROM s)
+            ORDER BY vec_id, dim"""))
+
+  /** Exact cosine top-k over the int8-quantized vectors: the scale
+    * cancels out of cosine, and integer dot products are exact in
+    * double arithmetic — the quantized search is deterministically
+    * identical across engines.
+    */
+  val qQuantizedTopK = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             m AS (SELECT vec_id, ev,
+                          list_max(list_transform(ev, x -> abs(x))) AS ma FROM v),
+             qz AS (SELECT vec_id,
+                           list_transform(ev, x -> round(x *
+                             (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END), 0)) AS qv
+                    FROM m),
+             q AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, qv AS cqv FROM qz),
+             sc AS (SELECT query_id, neighbor_id, ${cosineSql("qqv", "cqv")} AS cosine
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+             r AS (SELECT query_id, neighbor_id, cosine,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM sc)
+             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2525,7 +2584,9 @@ object Queries {
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,
     "q_unigram_surprisal" -> qUnigramSurprisal,
-    "q_dedup_fuzzy" -> qDedupFuzzy)
+    "q_dedup_fuzzy" -> qDedupFuzzy,
+    "q_embedding_quantize" -> qEmbeddingQuantize,
+    "q_quantized_topk" -> qQuantizedTopK)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

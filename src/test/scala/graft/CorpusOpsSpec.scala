@@ -99,6 +99,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept(1L) == 0 && kept(3L) == 0 && kept(4L) == 1)
   }
 
+  test("quantizeInt8: codes bounded, extreme component hits ±127, zero vector safe, dequant error ≤ inv_scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.5, -1.0, 0.25, 0.1)),
+      (2L, Array(3.0, 0.0, -1.5, 2.9)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toArray, r.getDouble(2))).sortBy(_._1)
+    got.foreach { case (_, q, _) => assert(q.forall(x => x >= -127 && x <= 127)) }
+    assert(got(0)._2(1) == -127)  // -1.0 is the max-abs component
+    assert(got(1)._2(0) == 127)
+    assert(got(2)._2.forall(_ == 0) && got(2)._3 == 0.0)
+    // dequantization error bound: |v_i − q_i·inv_scale| ≤ inv_scale/2
+    val orig = Map(1L -> Array(0.5, -1.0, 0.25, 0.1), 2L -> Array(3.0, 0.0, -1.5, 2.9))
+    got.filter(_._1 != 3L).foreach { case (id, q, inv) =>
+      q.indices.foreach { i =>
+        assert(math.abs(orig(id)(i) - q(i) * inv) <= inv / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("quantizedTopK: k rows per query, cosine within quantization error of the float ranking") {
+    val rng = new scala.util.Random(7L)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(32)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 5)
+    val quant = Similarity.quantizedTopK(vecs, qs, "vec_id", "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(2)), (r.getLong(1), r.getDouble(3))))
+    val exact = Similarity.bruteTopK(vecs, qs, "vec_id", "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))).toMap
+    assert(quant.length == 5 * 3)
+    quant.foreach { case (key, (_, qcos)) =>
+      // int8 on 32 dims: quantized cosine tracks float cosine closely
+      assert(math.abs(qcos - exact(key)._2) < 0.02,
+        s"quantized cosine drifted at $key: $qcos vs ${exact(key)._2}")
+    }
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),
