@@ -412,4 +412,66 @@ object Dedup {
       .join(broadcast(evalGrams), Seq("__gh"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** Bloom-prefiltered decontamination — EXACTLY the same output as
+    * [[contaminatedDocs]] (a Bloom filter has no false negatives, and
+    * bloom survivors are re-verified against the exact gram set), with
+    * a corpus pass that is MAP-ONLY: each document's shingle array is
+    * probed IN-ROW against a `typedlit` bitset (pure integer column
+    * math — permute-hash probes, shiftright bit tests, all codegen),
+    * and only bloom-hit documents ever reach an exchange. The exact
+    * path explodes one row per corpus shingle into a semi join; here
+    * shuffle weight tracks the CONTAMINATION RATE (plus the bloom's
+    * false-positive rate, ~0.8^probes·… at bitsPerGram=16), not corpus
+    * size — at 100 TB that is the difference between shuffling billions
+    * of (id, hash) rows and shuffling almost nothing.
+    *
+    * The bitset is built driver-side from the eval set's distinct gram
+    * hashes — eval sets are small by contract (same bound as the exact
+    * operator's broadcast set); the filter itself is `bitsPerGram` bits
+    * per gram vs 64 in the exact broadcast.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      bitsPerGram: Int = 16, probes: Int = 7): DataFrame = {
+    require(bitsPerGram > 0 && probes > 0)
+    val p = Hashing.MinhashPrime
+    val evalGrams = evalSet
+      .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
+      .select(explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
+      .distinct()
+    val evalHashes = evalGrams.collect().map(_.getLong(0))
+    // next power of two ≥ bitsPerGram · |grams| (min one 64-bit word) —
+    // pow2 keeps the mod a mask-equivalent and the SQL trivial
+    val want = math.max(64L, evalHashes.length.toLong * bitsPerGram)
+    val nb = java.lang.Long.highestOneBit(want - 1) * 2
+    val words = new Array[Long]((nb / 64).toInt)
+    val params = Hashing.minhashParams(probes)
+    evalHashes.foreach { h =>
+      params.foreach { case (a, b) =>
+        val idx = ((a * (h % p) + b) % p % nb).toInt
+        words(idx >> 6) |= 1L << (idx & 63)
+      }
+    }
+    val bitsLit = typedlit(words.toSeq)
+    def mightContain(g: Column): Column = params.map { case (a, b) =>
+      val idx = (lit(a) * pmod(g, lit(p)) + lit(b)) % p % nb
+      call_function("shiftright",
+        element_at(bitsLit, (idx / 64).cast("int") + 1),
+        pmod(idx, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+    val marked = corpus
+      .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
+      // Generate barrier: __ghs feeds both the bloom filter predicate
+      // and the verify explode — a plain alias would re-shingle the
+      // document once per consumer after CollapseProject inlining
+      .withColumn("__ghs",
+        explode(array(TextOps.shingleHashesFromTokenHashes(col("__hts"), n))))
+      .filter(size(filter(col("__ghs"), g => mightContain(g))) > 0)
+    marked.select(col(idCol), explode(col("__ghs")).as("__gh"))
+      .join(broadcast(evalGrams), Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

@@ -137,6 +137,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedDocsBloom: identical to the exact operator, even with a deliberately tiny bloom") {
+    import graft.operators.Dedup
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2L, "one two three four five six seven eight nine ten"),
+      mk(3L, "red orange yellow green blue indigo violet pink brown black")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      mk(100L, "xx alpha beta gamma delta epsilon zeta eta theta iota kappa yy"),
+      mk(101L, "completely disjoint benchmark prompt with no overlap at all whatsoever")).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(corpus, eval_, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L))
+    // well-sized bloom
+    val bloom = Dedup.contaminatedDocsBloom(corpus, eval_, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // 1 bit/gram, 1 probe: bloom false-positive rate is enormous, but
+    // the exact verify keeps the OUTPUT identical — no-false-negative +
+    // verify is the correctness contract
+    val tiny = Dedup.contaminatedDocsBloom(corpus, eval_, "text", "doc_id",
+      bitsPerGram = 1, probes = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == exact)
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),

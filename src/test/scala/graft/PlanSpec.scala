@@ -224,6 +224,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "token stream shuffled for a join:\n" + p.take(800))
   }
 
+  test("contaminatedDocsBloom: in-row bitset probe, broadcast verify, no shuffle join") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.operators.Dedup.contaminatedDocsBloom(
+      docs.filter(c("doc_id") % 20 =!= 0), docs.filter(c("doc_id") % 20 === 0),
+      "text", "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("shiftright"), "bloom bit probe missing:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "verify semi-join not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus shuffled for a join in the bloom path:\n" + p.take(800))
+  }
+
   test("semanticDedup: centroid assignment is a pure projection (no shuffle before the cluster join)") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val cents = Seq(0 -> Array.fill(64)(0.1), 1 -> Array.fill(64)(-0.1))
