@@ -281,6 +281,14 @@ object Queries {
     * plain window SQL: the chunked plan must hash-match the one-sort
     * answer bit for bit, which is the whole correctness claim of
     * bounded-history replication.
+    *
+    * PERF NOTE (inline justification for the bench): chunking pays a
+    * chunk-census pass + context replication to BUY window parallelism
+    * = #chunks. At sf0.1 with a handful of keys the plain window is
+    * already parallel enough, so this query benches slower than
+    * q_window_trailing_mean by design — it exists to prove the
+    * 100 TB configuration (thousands of chunks, no single-key sort
+    * ceiling) produces bit-identical output, not to win at 10 MB.
     */
   val qWindowChunked = QDef(
     (s, d) => {
@@ -2452,6 +2460,15 @@ object Queries {
     * survivors), so the EXACT SQL is a valid oracle for the bloom plan
     * shape — map-only corpus probe against a typedlit bitset, shuffle
     * weight tracking contamination rate instead of corpus size.
+    *
+    * PERF NOTE (inline justification for the bench): ~2× the exact
+    * operator at sf0.1 — the premium is the bitset build (an eager
+    * collect job per run; per-INDEX in a real deployment) plus the
+    * 4-probe filter over every gram. What it buys is the memory shape:
+    * no executor ever holds the exact eval-gram hash relation, which is
+    * the thing that stops fitting first when the eval suite grows to
+    * 10⁸ grams. Like q_salted_join, the bench pays the insurance on a
+    * fixture too small to need it.
     */
   val qDecontaminateBloom = QDef(
     (s, d) => {

@@ -415,63 +415,82 @@ object Dedup {
 
   /** Bloom-prefiltered decontamination — EXACTLY the same output as
     * [[contaminatedDocs]] (a Bloom filter has no false negatives, and
-    * bloom survivors are re-verified against the exact gram set), with
-    * a corpus pass that is MAP-ONLY: each document's shingle array is
-    * probed IN-ROW against a `typedlit` bitset (pure integer column
-    * math — permute-hash probes, shiftright bit tests, all codegen),
-    * and only bloom-hit documents ever reach an exchange. The exact
-    * path explodes one row per corpus shingle into a semi join; here
-    * shuffle weight tracks the CONTAMINATION RATE (plus the bloom's
-    * false-positive rate, ~0.8^probes·… at bitsPerGram=16), not corpus
-    * size — at 100 TB that is the difference between shuffling billions
-    * of (id, hash) rows and shuffling almost nothing.
-    *
-    * The bitset is built driver-side from the eval set's distinct gram
-    * hashes — eval sets are small by contract (same bound as the exact
-    * operator's broadcast set); the filter itself is `bitsPerGram` bits
-    * per gram vs 64 in the exact broadcast.
+    * bloom survivors are re-verified against the exact gram set). What
+    * the bloom buys over the exact operator is MEMORY SHAPE: the exact
+    * path must hold the full eval gram set as a broadcast hash relation
+    * on every executor (64-bit keys + hash-table overhead — tens of GB
+    * for a 100M-gram eval suite); here the only thing broadcast is a
+    * `bitsPerGram`-bits-per-gram bitset literal (~30× smaller), the
+    * probe is pure codegen'd integer column math on the exploded gram
+    * stream (permute hashes + shiftright bit tests — a SCALAR filter,
+    * deliberately NOT an in-row `filter()` lambda, which would run
+    * interpreted), and the exact verify is a plain keyed join whose
+    * probe side is only the bloom SURVIVORS — shuffle weight tracks
+    * contamination + false-positive rate, never corpus size, and no
+    * executor ever materializes the exact gram set as a hash table.
     */
   def contaminatedDocsBloom(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int = 8,
-      bitsPerGram: Int = 16, probes: Int = 7): DataFrame = {
+      bitsPerGram: Int = 16, probes: Int = 4): DataFrame = {
     require(bitsPerGram > 0 && probes > 0)
-    val p = Hashing.MinhashPrime
     val evalGrams = evalSet
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
       .select(explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
       .distinct()
     val evalHashes = evalGrams.collect().map(_.getLong(0))
-    // next power of two ≥ bitsPerGram · |grams| (min one 64-bit word) —
-    // pow2 keeps the mod a mask-equivalent and the SQL trivial
+    // power-of-two table ≥ bitsPerGram · |grams|: the mod is a mask, and
+    // Kirsch-Mitzenmacher double hashing derives all `probes` indices
+    // from the one (md5-random) 60-bit gram hash — idx_j = h1 + j·h2
+    // masked, h2 forced odd for full period. The whole probe is
+    // shift/mask/add integer ops, nothing else.
     val want = math.max(64L, evalHashes.length.toLong * bitsPerGram)
     val nb = java.lang.Long.highestOneBit(want - 1) * 2
+    val mask = nb - 1
     val words = new Array[Long]((nb / 64).toInt)
-    val params = Hashing.minhashParams(probes)
-    evalHashes.foreach { h =>
-      params.foreach { case (a, b) =>
-        val idx = ((a * (h % p) + b) % p % nb).toInt
+    evalHashes.foreach { g =>
+      val h1 = g & mask
+      val h2 = (g >> 30) | 1L
+      var j = 0
+      while (j < probes) {
+        val idx = ((h1 + j * h2) & mask).toInt
         words(idx >> 6) |= 1L << (idx & 63)
+        j += 1
       }
     }
     val bitsLit = typedlit(words.toSeq)
-    def mightContain(g: Column): Column = params.map { case (a, b) =>
-      val idx = (lit(a) * pmod(g, lit(p)) + lit(b)) % p % nb
-      call_function("shiftright",
-        element_at(bitsLit, (idx / 64).cast("int") + 1),
-        pmod(idx, lit(64L)).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    def mightContain(g: Column): Column = {
+      val h1 = g.bitwiseAND(lit(mask))
+      val h2 = shiftright(g, 30).bitwiseOR(lit(1L))
+      (0 until probes).map { j =>
+        val idx = (h1 + lit(j.toLong) * h2).bitwiseAND(lit(mask))
+        call_function("shiftright",
+          element_at(bitsLit, shiftright(idx, 6).cast("int") + 1),
+          idx.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    }
 
-    val marked = corpus
+    val survivors = corpus
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
-      // Generate barrier: __ghs feeds both the bloom filter predicate
-      // and the verify explode — a plain alias would re-shingle the
-      // document once per consumer after CollapseProject inlining
-      .withColumn("__ghs",
-        explode(array(TextOps.shingleHashesFromTokenHashes(col("__hts"), n))))
-      .filter(size(filter(col("__ghs"), g => mightContain(g))) > 0)
-    marked.select(col(idCol), explode(col("__ghs")).as("__gh"))
-      .join(broadcast(evalGrams), Seq("__gh"), "left_semi")
+      .select(col(idCol),
+        explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
+      .filter(mightContain(col("__gh")))
+    // exact verify: keyed join, probe side = bloom survivors only. NOT
+    // broadcast — avoiding an executor-resident exact-set hash table is
+    // the operator's reason to exist (AQE may still choose broadcast
+    // when the set is genuinely small; the point is correctness never
+    // requires it to fit). The verify side is re-parallelized from the
+    // ALREADY-COLLECTED hashes rather than re-executing the eval
+    // tokenize+distinct subtree a second time (no cross-consumer CSE).
+    val spark = corpus.sparkSession
+    val evalDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(evalHashes.toSeq.map(org.apache.spark.sql.Row(_)),
+        math.max(1, evalHashes.length / 65536 + 1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__gh",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    survivors
+      .join(evalDf.hint("shuffle_hash"), Seq("__gh"), "left_semi")
       .select(idCol).distinct()
   }
 }

@@ -232,9 +232,11 @@ class PlanSpec extends AnyFunSuite {
       "text", "doc_id")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("shiftright"), "bloom bit probe missing:\n" + p.take(800))
-    assert(p.contains("BroadcastHashJoin"), "verify semi-join not broadcast")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "corpus shuffled for a join in the bloom path:\n" + p.take(800))
+    // the probe must be a SCALAR filter on the exploded gram stream
+    // (codegen), never an interpreted in-row lambda
+    assert(!p.contains("ArrayFilter"), "bloom probe fell back to an interpreted HOF:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "unkeyed join in the bloom path:\n" + p.take(800))
   }
 
   test("semanticDedup: centroid assignment is a pure projection (no shuffle before the cluster join)") {
