@@ -2487,6 +2487,27 @@ object Queries {
              WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM ev)
              ORDER BY doc_id"""))
 
+  /** Z-order (Morton) key over two synthetic 16-bit grid coordinates —
+    * the clustering key behind `Tables.writeZOrdered`'s multi-dim
+    * layout. Pure shift/mask column math; the oracle replicates the
+    * identical magic-number spread, so keys hash-match bit for bit.
+    */
+  val qZorderKey = QDef(
+    (s, d) => {
+      import graft.functions.ZOrder
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          ((col("c_custkey") * 7919) % 65536).as("gx"),
+          ((col("c_custkey") * 104729) % 65536).as("gy"))
+        .select(col("c_custkey"), col("gx"), col("gy"),
+          ZOrder.zKey(col("gx"), col("gy")).as("z"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey, gx, gy, ${graft.functions.ZOrder.zKeySql("gx", "gy")} AS z
+             FROM (SELECT c_custkey, (c_custkey * 7919) % 65536 AS gx,
+                          (c_custkey * 104729) % 65536 AS gy FROM customer)
+             ORDER BY c_custkey"""))
+
   /** Grouped z-score standardization (the StandardScaler shape, but as
     * a window expression — no fit/transform round trip, one shuffle on
     * the group key): per return-flag mean/stddev of quantity, sample
@@ -2649,7 +2670,8 @@ object Queries {
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_quantized_topk" -> qQuantizedTopK,
-    "q_decontaminate_bloom" -> qDecontaminateBloom)
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_zorder_key" -> qZorderKey)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -142,4 +142,53 @@ class SourcesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == brute, "nProbe == nCells must equal brute force")
   }
+
+  test("zKey matches the local reference interleave") {
+    val rng = new scala.util.Random(11L)
+    val pts = (1 to 200).map(_ => (rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(graft.functions.ZOrder.zKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case ((x, y), z) =>
+      val want = graft.functions.ZOrder.spread16Local(x) |
+        (graft.functions.ZOrder.spread16Local(y) << 1)
+      assert(z == want, s"($x,$y)")
+    }
+  }
+
+  test("writeZOrdered: disjoint per-file z ranges, per-file bbox tight on BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/out"
+    // full 64×64 grid — makes the expected per-file bounding boxes exact
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    Tables.writeZOrdered(grid, dir, col("x"), col("y"), bits = 6, numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(files.length >= 4, s"expected multiple files, got ${files.length}")
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f)
+        .select(col("x"), col("y"), graft.functions.ZOrder.zKey(col("x"), col("y"), 6).as("z"))
+        .agg(min("z"), max("z"), min("x"), max("x"), min("y"), max("y"))
+        .collect()(0)
+      (rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3),
+        rows.getLong(4), rows.getLong(5))
+    }
+    // (a) z ranges are disjoint across files (range-partitioned + sorted)
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping z ranges: $a vs $b")
+      case _ =>
+    }
+    // (b) per-file bounding boxes are tight on BOTH dimensions ON
+    // AVERAGE — the property parquet min/max skipping feeds on. A file
+    // whose (unaligned, sample-chosen) z range crosses a high-order z
+    // boundary legitimately spans one full axis, so the bound is on the
+    // mean: an x-sorted layout would score mean y spread = 63 here;
+    // z-order keeps both means at half-range or better.
+    val n = ranges.length.toDouble
+    val meanX = ranges.map(r => r._4 - r._3).sum / n
+    val meanY = ranges.map(r => r._6 - r._5).sum / n
+    assert(meanX <= 40.0, s"mean x spread too wide: $meanX")
+    assert(meanY <= 40.0, s"mean y spread too wide: $meanY")
+  }
 }
