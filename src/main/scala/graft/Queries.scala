@@ -2102,6 +2102,47 @@ object Queries {
              SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Leakage-safe split over the LSH near-dup clusters: every cluster
+    * draws one h60 coin, so near-duplicates never straddle train/test.
+    * The oracle extends the q_neardup_clusters recursive CTE with the
+    * identical coin arithmetic.
+    */
+  val qLeakageSplit = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      val clusters = Dedup.connectedComponents(docs, pairs, "doc_id")
+      Dedup.leakageSafeSplit(docs, clusters, "doc_id", testFrac = 0.25)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
+      }.mkString("\n              UNION ALL ")
+      s"""WITH RECURSIVE sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+          cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ${h60sql("CAST(cluster_id AS VARCHAR)")} % 1000000 < 250000
+                      THEN 'test' ELSE 'train' END AS split
+          FROM cl ORDER BY doc_id"""
+    })
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2671,7 +2712,8 @@ object Queries {
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_quantized_topk" -> qQuantizedTopK,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
-    "q_zorder_key" -> qZorderKey)
+    "q_zorder_key" -> qZorderKey,
+    "q_leakage_split" -> qLeakageSplit)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

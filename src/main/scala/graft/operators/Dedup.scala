@@ -311,6 +311,29 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Leakage-safe train/test split: the whole near-dup CLUSTER draws
+    * ONE deterministic h60 coin (on its cluster id), so near-duplicate
+    * documents can never straddle the split — the contamination a
+    * row-wise random split silently creates (a test doc whose
+    * near-duplicate sits in train is a leaked label). Same 6-dp
+    * fraction discipline and nested-growth property as `hashSample`:
+    * raising `testFrac` only MOVES whole clusters from train to test.
+    *
+    * Scale shape: one id-keyed join against the cluster map (itself the
+    * output of the banded/frontier dedup pipeline — no new quadratic
+    * work), one map-only coin projection. Output: input rows +
+    * (cluster_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      testFrac: Double): DataFrame = {
+    require(testFrac >= 0.0 && testFrac <= 1.0, s"bad testFrac $testFrac")
+    val cut = math.round(testFrac * 1000000.0)
+    df.join(clusters, Seq(idCol))
+      .withColumn("split",
+        when(pmod(Hashing.h60(col("cluster_id").cast("string")),
+          lit(1000000L)) < cut, lit("test")).otherwise(lit("train")))
+  }
+
   /** n-gram Jaccard similarity pairs ≥ `threshold`, via the
     * shingle-inverted-index join:
     * explode distinct shingle hashes → equi-join on shingle → count

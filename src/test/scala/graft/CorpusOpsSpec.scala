@@ -163,6 +163,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("leakageSafeSplit: whole clusters move together, test set nested under frac growth") {
+    import graft.operators.Dedup
+    val df = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // 10 clusters of 4 consecutive ids each, labeled by their min id
+    val clusters = (1L to 40L).map(i => (i, (i - 1) / 4 * 4 + 1)).toDF("id", "cluster_id")
+    def testIds(f: Double): Set[Long] =
+      Dedup.leakageSafeSplit(df, clusters, "id", f)
+        .filter(col("split") === "test").collect().map(_.getAs[Long]("id")).toSet
+    val byCluster = Dedup.leakageSafeSplit(df, clusters, "id", 0.3)
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[String]("split"))
+    byCluster.groupBy(_._1).foreach { case (cl, rows) =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"cluster $cl straddles the split")
+    }
+    assert(testIds(0.0).isEmpty && testIds(1.0).size == 40)
+    val t25 = testIds(0.25); val t60 = testIds(0.6)
+    assert(t25.subsetOf(t60), "raising testFrac must only move clusters into test")
+    assert(t25.size % 4 == 0, "test set must be whole clusters")
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),
