@@ -1585,6 +1585,18 @@ object Queries {
   private val MinhashN = 3
   private val RowsPerBand = 2
 
+  /** DuckDB rendering of the banded-minhash relation ("bands"): one row
+    * per (doc, band) with the band's concatenated-signature hash —
+    * shared by every oracle that reconstructs the LSH candidate-pair
+    * graph (pairs, clusters, fuzzy dedup, leakage split), so the band
+    * formula lives in exactly one place.
+    */
+  private def minhashBandsSql: String =
+    (0 until MinhashK / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
+    }.mkString("\n              UNION ALL ")
+
   private def minhashSigSql: String = {
     val toks = toksSql("text")
     val sh = shinglesSql("toks", MinhashN)
@@ -1614,10 +1626,7 @@ object Queries {
         MinhashN, MinhashK, RowsPerBand)
       .orderBy("id_a", "id_b"),
     Some {
-      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
-      }.mkString("\n              UNION ALL ")
+      val bandRows = minhashBandsSql
       s"""WITH sig AS ($minhashSigSql),
           bands AS (
               $bandRows)
@@ -1640,10 +1649,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some {
-      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
-      }.mkString("\n              UNION ALL ")
+      val bandRows = minhashBandsSql
       s"""WITH RECURSIVE sig AS ($minhashSigSql),
           bands AS (
               $bandRows),
@@ -2019,10 +2025,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some {
-      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
-      }.mkString("\n              UNION ALL ")
+      val bandRows = minhashBandsSql
       s"""WITH RECURSIVE sig AS ($minhashSigSql),
           bands AS (
               $bandRows),
@@ -2118,10 +2121,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some {
-      val bandRows = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, ${h60sql(parts)} AS band_hash FROM sig"
-      }.mkString("\n              UNION ALL ")
+      val bandRows = minhashBandsSql
       s"""WITH RECURSIVE sig AS ($minhashSigSql),
           bands AS (
               $bandRows),

@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Ordering matches SQL `ORDER BY score DESC, payload ASC` with
   * `row_number() <= k` exactly (result position i = rank i+1), so a
-  * window-based oracle stays valid.
+  * window-based oracle stays valid. MULTISET semantics: two input rows
+  * with the same (score, payload) are two results, exactly as
+  * row_number() would emit them — the buffer carries an insertion tick
+  * as a final tiebreak so identical pairs never collapse (a bare
+  * TreeSet of (score, payload) would silently deduplicate them).
   */
 case class TopKScored(
     score: Expression,
@@ -35,8 +39,10 @@ case class TopKScored(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[(Double, UTF8String)]]
+  extends TypedImperativeAggregate[TopKScored.Buf]
   with ImplicitCastInputTypes with BinaryLike[Expression] {
+
+  import TopKScored.Buf
 
   require(k > 0, "k must be positive")
 
@@ -50,50 +56,34 @@ case class TopKScored(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_top_k"
 
-  /** score DESC, payload ASC — the SQL ranking order. */
-  private implicit val ord: Ordering[(Double, UTF8String)] =
-    new Ordering[(Double, UTF8String)] {
-      override def compare(a: (Double, UTF8String), b: (Double, UTF8String)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1) // DESC
-        if (c != 0) c else a._2.compareTo(b._2)      // ASC tiebreak
-      }
-    }
+  override def createAggregationBuffer(): Buf = new Buf()
 
-  override def createAggregationBuffer(): mutable.TreeSet[(Double, UTF8String)] =
-    mutable.TreeSet.empty[(Double, UTF8String)]
-
-  override def update(buf: mutable.TreeSet[(Double, UTF8String)],
-      input: InternalRow): mutable.TreeSet[(Double, UTF8String)] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val s = score.eval(input)
     val p = payload.eval(input)
     if (s != null && p != null) {
       // copy: the UTF8String may point into a reused row buffer
-      buf += ((s.asInstanceOf[Double], p.asInstanceOf[UTF8String].clone()))
-      if (buf.size > k) buf -= buf.last
+      buf.add(s.asInstanceOf[Double], p.asInstanceOf[UTF8String].clone(), k)
     }
     buf
   }
 
-  override def merge(buf: mutable.TreeSet[(Double, UTF8String)],
-      other: mutable.TreeSet[(Double, UTF8String)]): mutable.TreeSet[(Double, UTF8String)] = {
-    other.foreach { x =>
-      buf += x
-      if (buf.size > k) buf -= buf.last
-    }
+  override def merge(buf: Buf, other: Buf): Buf = {
+    other.set.foreach { case (s, p, _) => buf.add(s, p, k) }
     buf
   }
 
-  override def eval(buf: mutable.TreeSet[(Double, UTF8String)]): Any =
-    new GenericArrayData(buf.toArray.map { case (s, p) =>
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.set.toArray.map { case (s, p, _) =>
       InternalRow(s, p): Any
     })
 
-  override def serialize(buf: mutable.TreeSet[(Double, UTF8String)]): Array[Byte] = {
-    val entries = buf.toArray
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.set.toArray
     val size = 4 + entries.map(e => 8 + 4 + e._2.numBytes()).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(entries.length)
-    entries.foreach { case (s, p) =>
+    entries.foreach { case (s, p, _) =>
       bb.putDouble(s)
       val bytes = p.getBytes
       bb.putInt(bytes.length)
@@ -102,20 +92,20 @@ case class TopKScored(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Double, UTF8String)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val s = mutable.TreeSet.empty[(Double, UTF8String)]
+    val buf = new Buf()
     var i = 0
     while (i < n) {
       val sc = bb.getDouble
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      s += ((sc, UTF8String.fromBytes(b)))
+      buf.add(sc, UTF8String.fromBytes(b), k)
       i += 1
     }
-    s
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKScored =
@@ -128,6 +118,37 @@ case class TopKScored(
 }
 
 object TopKScored {
+
+  /** score DESC, payload ASC, insertion tick ASC — the tick makes
+    * duplicate (score, payload) pairs distinct set elements (multiset
+    * semantics) without disturbing the SQL ranking order.
+    */
+  private val ord: Ordering[(Double, UTF8String, Long)] =
+    new Ordering[(Double, UTF8String, Long)] {
+      override def compare(a: (Double, UTF8String, Long),
+          b: (Double, UTF8String, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // DESC
+        if (c != 0) c
+        else {
+          val c2 = a._2.compareTo(b._2)              // ASC tiebreak
+          if (c2 != 0) c2 else java.lang.Long.compare(a._3, b._3)
+        }
+      }
+    }
+
+  /** O(k) top-k buffer: ordered set + a monotone insertion tick. */
+  final class Buf {
+    val set: mutable.TreeSet[(Double, UTF8String, Long)] =
+      mutable.TreeSet.empty(ord)
+    private var tick: Long = 0L
+
+    def add(s: Double, p: UTF8String, k: Int): Unit = {
+      set += ((s, p, tick))
+      tick += 1
+      if (set.size > k) set -= set.last
+    }
+  }
+
   /** Builder for registry use: graft_top_k(score, payload, k) with literal k. */
   def fromExprs(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, p, Literal(k: Int, IntegerType)) =>

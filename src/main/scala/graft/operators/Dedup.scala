@@ -328,7 +328,13 @@ object Dedup {
       testFrac: Double): DataFrame = {
     require(testFrac >= 0.0 && testFrac <= 1.0, s"bad testFrac $testFrac")
     val cut = math.round(testFrac * 1000000.0)
-    df.join(clusters, Seq(idCol))
+    // LEFT join + own-id fallback keeps the operator TOTAL: a cluster
+    // map that only covers paired documents (e.g. built from raw LSH
+    // pairs) must not silently drop every singleton from BOTH sides of
+    // the split — an unmapped document is its own cluster, exactly as
+    // connectedComponents would label it.
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("split",
         when(pmod(Hashing.h60(col("cluster_id").cast("string")),
           lit(1000000L)) < cut, lit("test")).otherwise(lit("train")))

@@ -100,10 +100,16 @@ object Multimodal {
     val compression = i32(b, 30)
     if (width <= 0 || height == 0 || compression != 0 ||
       (bpp != 24 && bpp != 32)) return None
-    val absH = math.abs(height)
+    // ALL sizing arithmetic in Long: a hostile/corrupt header can put
+    // width·bpp near 2^31, and an Int wrap here would turn the bounds
+    // check into an out-of-bounds crash instead of the documented None
+    // (these decoders feed messy corpora; one bad file must not fail
+    // the task)
+    val absH = math.abs(height.toLong)
     val bytesPerPx = bpp / 8
-    val rowBytes = ((width * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
-    if (dataOff.toLong + rowBytes.toLong * absH > b.length) return None
+    val rowBytesL = ((width.toLong * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * absH > b.length) return None
+    val rowBytes = rowBytesL.toInt // ≤ b.length after the guard
     var sum = 0.0; var sq = 0.0
     var row = 0
     while (row < absH) {
@@ -117,7 +123,7 @@ object Multimodal {
       row += 1
     }
     val n = width.toLong * absH * bytesPerPx
-    Some(DecodedMedia(id, "bmp", width, absH, bytesPerPx, 0,
+    Some(DecodedMedia(id, "bmp", width, absH.toInt, bytesPerPx, 0,
       width.toLong * absH, sum / n, math.sqrt(sq / n), b.length.toLong))
   }
 
@@ -136,7 +142,9 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val tag = new String(b, off, 4, "US-ASCII")
       val len = i32(b, off + 4)
-      if (len < 0 || off + 8 + len > b.length) return None
+      // Long arithmetic: a corrupt len near 2^31 would wrap `off+8+len`
+      // negative and sail past this guard into an out-of-bounds read
+      if (len < 0 || off.toLong + 8L + len > b.length) return None
       tag match {
         case "fmt " =>
           if (len < 16 || u16(b, off + 8) != 1) return None // PCM only

@@ -395,10 +395,13 @@ object TextOps {
     * Output: (id, clean_text, n_segments, n_kept) — one row per input
     * document (clean_text is empty when every segment was seen earlier).
     *
-    * Scale shape: segments shuffle twice on the 8-byte content hash
-    * (first-occurrence aggregate + the probe join), then once on the doc
-    * id to reassemble. min_by keeps the aggregate a partial-aggregating
-    * groupBy; no window over the corpus, no collect.
+    * Scale shape: ONE tokenize pass — first-occurrence selection is a
+    * row_number window over the 8-byte content hash (one hash-keyed
+    * shuffle; per-hash groups are duplicate-count-sized, so the
+    * per-partition sort is trivial), then one doc-keyed shuffle to
+    * reassemble. The earlier aggregate+probe-join formulation ran the
+    * tokenize+hash pipeline once per consumer (no cross-consumer CSE)
+    * and cost a third shuffle.
     */
   def dedupSegments(df: DataFrame, idCol: String, textCol: Column,
       segTokens: Int): DataFrame = {
@@ -412,14 +415,10 @@ object TextOps {
         concat_ws(" ", slice(col("__toks"), col("__start"), lit(segTokens)))
           .as("__seg"))
       .withColumn("__h", Hashing.h60(col("__seg")))
-    val firsts = segs.groupBy("__h")
-      .agg(min_by(struct(col(idCol), col("seg_idx")),
-        struct(col(idCol), col("seg_idx"))).as("__first"))
-      .select(col("__h"), col("__first").getField(idCol).as("__fid"),
-        col("__first").getField("seg_idx").as("__fidx"))
-    segs.join(firsts, Seq("__h"))
-      .withColumn("__kept",
-        col(idCol) === col("__fid") && col("seg_idx") === col("__fidx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("seg_idx"))
+    segs
+      .withColumn("__kept", row_number().over(w) === 1)
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(
@@ -441,12 +440,17 @@ object TextOps {
     * Output: (id, n_tokens, dsir_score) — score rounded to 6 dp for
     * engine-portable comparison.
     *
-    * Scale shape: one tokenize+explode pass feeds BOTH bucket-count
-    * aggregates (target counts are a conditional sum, not a second
-    * scan); the bucket table is ≤`buckets` rows → broadcast back to the
-    * token stream; totals ride as a 1-row broadcast cross join. The
-    * corpus itself is never shuffled — only (id, bucket) token rows into
-    * the per-doc mean.
+    * Scale shape: BOTH distributions come out of one count aggregate
+    * (target counts are a conditional sum, not a second scan); the
+    * bucket table is ≤`buckets` rows → broadcast back to the token
+    * stream; totals ride as a 1-row broadcast cross join. The corpus is
+    * never shuffled — only (id, bucket) token rows into the per-doc
+    * mean. The algorithm is inherently TWO passes over the corpus
+    * (count the model, then score against it — any engine pays both);
+    * the token stream is deliberately RECOMPUTED for the scoring pass
+    * rather than checkpointed: materializing O(corpus-tokens) rows
+    * costs far more than re-running the codegen'd tokenize, and the
+    * only cross-pass state that matters (counts, totals) is tiny.
     */
   def dsirScores(df: DataFrame, idCol: String, textCol: Column,
       targetPred: Column, buckets: Int = 4096,

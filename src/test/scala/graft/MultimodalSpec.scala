@@ -125,6 +125,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(0).mean_value - mean) < 1e-12)
   }
 
+  test("corrupt headers with near-2^31 size fields degrade to opaque, never crash") {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // WAV whose first chunk claims len 0x7FFFFFF0: off+8+len wraps in Int
+    val evilWav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(0x7FFFFFF0) ++ Array.fill[Byte](40)(1)
+    // BMP whose width*3 ≈ 2^31: rowBytes wraps negative in Int math
+    val evilBmp = new Array[Byte](128)
+    evilBmp(0) = 'B'; evilBmp(1) = 'M'
+    System.arraycopy(le32(54), 0, evilBmp, 10, 4)          // dataOff
+    System.arraycopy(le32(715827882), 0, evilBmp, 18, 4)   // width
+    System.arraycopy(le32(1), 0, evilBmp, 22, 4)           // height
+    evilBmp(28) = 24                                       // bpp
+    val ds = Seq(
+      Multimodal.MediaRow(1L, evilWav, "audio/wav", 0, 1),
+      Multimodal.MediaRow(2L, evilBmp, "image/bmp", 0, 1)).toDS()
+    val out = Multimodal.decodeMedia(ds).collect().sortBy(_.doc_id)
+    assert(out.length == 2 && out.forall(_.format == "opaque"))
+  }
+
   test("approx_count_distinct stays within the configured error of exact") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val both = ev.agg(

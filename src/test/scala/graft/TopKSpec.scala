@@ -32,10 +32,10 @@ class TopKSpec extends AnyFunSuite {
     val rows = (1 to 20000).map { i =>
       (i % 17, s"p${i % 997}", ((i * 2654435761L) % 10000L).toDouble / 100.0)
     }
+    // deliberately NOT distinct: duplicate (g, p, s) rows must rank as
+    // separate results, exactly as row_number() emits them (multiset
+    // semantics — the insertion-tick tiebreak in the buffer)
     val df = rows.toDF("g", "p", "s")
-      // distinct: the window reference double-counts duplicate (g,p,s)
-      // rows where the set-semantics aggregate keeps one
-      .distinct()
     val viaAgg = df.repartition(16)
       .groupBy("g").agg(GraftFunctions.topK(col("s"), col("p"), 5).as("tk"))
       .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
@@ -48,6 +48,17 @@ class TopKSpec extends AnyFunSuite {
       .select(col("g"), col("rank"), col("s"), col("p"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
     assert(viaAgg == viaWindow)
+  }
+
+  test("duplicate (score, payload) pairs are kept as separate ranks, not deduplicated") {
+    GraftFunctions.register(spark)
+    val df = Seq(("x", 1.0), ("x", 1.0), ("y", 0.5)).toDF("p", "s")
+    val got = df.agg(GraftFunctions.topK(col("s"), col("p"), 2).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.score"), col("e.payload"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    // row_number() <= 2 over (s DESC, p ASC) returns BOTH (1.0, x) rows
+    assert(got == Seq((1.0, "x"), (1.0, "x")))
   }
 
   test("groups smaller than k return every row; nulls ignored") {

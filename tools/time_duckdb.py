@@ -34,9 +34,14 @@ def main():
                 con.execute(sql).fetchall()  # full materialization
                 ts.append(time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001
-                errs[name] = str(e)[:200]
-                break
-        if ts:
+                # keep attempting remaining reps (Bench.scala protocol):
+                # a single flaky rep must not leave a lone cold first-run
+                # time standing in as this query's "median"
+                errs.setdefault(name, str(e)[:200])
+        # a query that errored on ANY rep is reported in errors only —
+        # a partial-rep median would silently skew the suite total the
+        # Spark/DuckDB ratio is computed against
+        if ts and name not in errs:
             out[name] = statistics.median(ts)
     line = {"total": sum(out.values()), "queries": out, "errors": errs,
             "sf": sf_dir, "reps": reps}
