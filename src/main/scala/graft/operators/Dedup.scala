@@ -458,20 +458,40 @@ object Dedup {
     * contamination + false-positive rate, never corpus size, and no
     * executor ever materializes the exact gram set as a hash table.
     */
-  def contaminatedDocsBloom(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, idCol: String, n: Int = 8,
-      bitsPerGram: Int = 16, probes: Int = 4): DataFrame = {
+  /** A driver-built Bloom bitset over eval gram hashes plus its pure-
+    * Column probe. Kirsch-Mitzenmacher double hashing derives all
+    * `probes` indices from the one (md5-random) 60-bit gram hash —
+    * idx_j = h1 + j·h2 masked into a power-of-two table, h2 forced odd
+    * for full period — so both the build (Scala) and the probe (Column
+    * shift/mask/add, all codegen) compute the identical function.
+    */
+  private final case class GramBloom(hashes: Array[Long], words: Seq[Long],
+      mask: Long, probes: Int) {
+    def mightContain(g: Column): Column = {
+      val bitsLit = typedlit(words)
+      val h1 = g.bitwiseAND(lit(mask))
+      val h2 = shiftright(g, 30).bitwiseOR(lit(1L))
+      (0 until probes).map { j =>
+        val idx = (h1 + lit(j.toLong) * h2).bitwiseAND(lit(mask))
+        call_function("shiftright",
+          element_at(bitsLit, shiftright(idx, 6).cast("int") + 1),
+          idx.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    }
+  }
+
+  /** Collect the eval set's distinct gram hashes and pack the bitset
+    * (power-of-two sized ≥ bitsPerGram · |grams| so the mod is a mask).
+    */
+  private def buildGramBloom(evalSet: DataFrame, textCol: String, n: Int,
+      bitsPerGram: Int, probes: Int): GramBloom = {
     require(bitsPerGram > 0 && probes > 0)
-    val evalGrams = evalSet
+    val evalHashes = evalSet
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
       .select(explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
       .distinct()
-    val evalHashes = evalGrams.collect().map(_.getLong(0))
-    // power-of-two table ≥ bitsPerGram · |grams|: the mod is a mask, and
-    // Kirsch-Mitzenmacher double hashing derives all `probes` indices
-    // from the one (md5-random) 60-bit gram hash — idx_j = h1 + j·h2
-    // masked, h2 forced odd for full period. The whole probe is
-    // shift/mask/add integer ops, nothing else.
+      .collect().map(_.getLong(0))
     val want = math.max(64L, evalHashes.length.toLong * bitsPerGram)
     val nb = java.lang.Long.highestOneBit(want - 1) * 2
     val mask = nb - 1
@@ -486,18 +506,15 @@ object Dedup {
         j += 1
       }
     }
-    val bitsLit = typedlit(words.toSeq)
-    def mightContain(g: Column): Column = {
-      val h1 = g.bitwiseAND(lit(mask))
-      val h2 = shiftright(g, 30).bitwiseOR(lit(1L))
-      (0 until probes).map { j =>
-        val idx = (h1 + lit(j.toLong) * h2).bitwiseAND(lit(mask))
-        call_function("shiftright",
-          element_at(bitsLit, shiftright(idx, 6).cast("int") + 1),
-          idx.bitwiseAND(lit(63L)).cast("int"))
-          .bitwiseAND(lit(1L)) === lit(1L)
-      }.reduce(_ && _)
-    }
+    GramBloom(evalHashes, words.toSeq, mask, probes)
+  }
+
+  def contaminatedDocsBloom(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      bitsPerGram: Int = 16, probes: Int = 4): DataFrame = {
+    val bloom = buildGramBloom(evalSet, textCol, n, bitsPerGram, probes)
+    val evalHashes = bloom.hashes
+    def mightContain(g: Column): Column = bloom.mightContain(g)
 
     val survivors = corpus
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
@@ -521,5 +538,33 @@ object Dedup {
     survivors
       .join(evalDf.hint("shuffle_hash"), Seq("__gh"), "left_semi")
       .select(idCol).distinct()
+  }
+
+  /** Per-document contamination decision as ONE stateless Column
+    * predicate over a MATERIALIZED gram-hash-array column (build it
+    * with `TextOps.shingleHashesFromTokenHashes` behind an
+    * `explode(array(·))` pin — see Queries.evalOnce): TRUE when the
+    * document shares ≥1 n-gram with the eval set. Bloom prefilter
+    * gates an exact `array_contains` verify (And short-circuits, so
+    * the O(|eval|) exact scan runs only on the ~0.2% bloom hits) —
+    * the decision is EXACTLY [[contaminatedDocs]]'s, row by row.
+    *
+    * Being a pure expression (bloom bits + exact hashes ride as
+    * literals), it drops into a Structured Streaming ingest unchanged —
+    * no stream-stream join, no state store — which is the
+    * "filter eval contamination AT INGEST" deployment
+    * (StreamingSpec pins stream == batch). Tradeoff vs the explode
+    * shape in [[contaminatedDocsBloom]]: the in-row `exists` lambda is
+    * interpreted per element, the price of a per-row stateless
+    * decision; bounded eval sets only (the exact hash set is a plan
+    * literal).
+    */
+  def contaminationPredicate(evalSet: DataFrame, textCol: String,
+      n: Int = 8, bitsPerGram: Int = 16,
+      probes: Int = 4): Column => Column = {
+    val bloom = buildGramBloom(evalSet, textCol, n, bitsPerGram, probes)
+    val exactLit = typedlit(bloom.hashes.sorted.toSeq)
+    (ghs: Column) =>
+      exists(ghs, g => bloom.mightContain(g) && array_contains(exactLit, g))
   }
 }

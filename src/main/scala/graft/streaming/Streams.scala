@@ -38,6 +38,23 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of the documents table — the corpus-ingest source
+    * for streaming curation (quality gates, language gates,
+    * decontamination are all stateless predicates and apply unchanged;
+    * see `Dedup.contaminationPredicate`).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Streaming scan of the events table (file source, micro-batched). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

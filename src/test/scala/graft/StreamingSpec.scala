@@ -161,4 +161,40 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("2024-01-01 10:00:00") == 2L) // late row 4.0 NOT counted
   }
+
+  test("streaming decontamination at ingest equals the batch decision, row for row") {
+    import graft.operators.{Dedup, TextOps}
+    import graft.functions.Hashing
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 20 === 0)
+    // batch truth: ids flagged by the exact operator
+    val batchContaminated = Dedup.contaminatedDocs(corpus, eval_, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchContaminated.nonEmpty, "fixture must contain contamination")
+
+    val pred = Dedup.contaminationPredicate(eval_, "text")
+    // gram array materialized behind a Generate pin, same as batch
+    def withGrams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__hts", explode(array(
+        transform(TextOps.tokens(col("text")), tk => Hashing.h60(tk)))))
+      .withColumn("__ghs", explode(array(
+        TextOps.shingleHashesFromTokenHashes(col("__hts"), 8))))
+    val cleaned = withGrams(
+        Streams.documentsStream(spark, dir).filter(col("doc_id") % 20 =!= 0))
+      .filter(!pred(col("__ghs")))
+      .select("doc_id")
+    val q = cleaned.writeStream.format("memory").queryName("t_decon_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamKept = spark.table("t_decon_stream").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == corpusIds -- batchContaminated,
+      "stream ingest must keep exactly the batch-clean documents")
+    // and the predicate flags exactly the batch set on the batch side too
+    val predFlagged = withGrams(corpus).filter(pred(col("__ghs")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(predFlagged == batchContaminated)
+  }
 }
