@@ -2143,6 +2143,56 @@ object Queries {
           FROM cl ORDER BY doc_id"""
     })
 
+  /** Hard negatives: top-5 cosine neighbors per query EXCLUDING the
+    * query's own coarse cluster (same label-mean centroids as
+    * q_semantic_dedup). The oracle reconstructs assignment + filter +
+    * ranking in full SQL.
+    */
+  val qHardNegatives = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "embedding", "label")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, cents)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine"), 6).as("cosine"),
+          col("neighbor_cluster").cast("long").as("neighbor_cluster"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             cd AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
+                           round(avg(e), 6) AS c
+                    FROM (SELECT label, unnest(embedding) AS e,
+                                 generate_subscripts(embedding, 1) AS i
+                          FROM embeddings)
+                    GROUP BY cl, dim),
+             cent AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd GROUP BY cl),
+             ass AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
+                     FROM v CROSS JOIN cent),
+             best AS (SELECT vec_id, cl
+                      FROM (SELECT vec_id, cl,
+                                   row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cl) AS rk
+                            FROM ass)
+                      WHERE rk = 1),
+             q AS (SELECT v.vec_id AS query_id, v.ev AS qv, b.cl AS qcl
+                   FROM v JOIN best b ON b.vec_id = v.vec_id
+                   WHERE v.vec_id < 10),
+             c AS (SELECT v.vec_id AS neighbor_id, v.ev AS cv, b.cl AS ncl
+                   FROM v JOIN best b ON b.vec_id = v.vec_id),
+             sc AS (SELECT query_id, neighbor_id, ncl,
+                           ${cosineSql("qv", "cv")} AS cosine
+                    FROM c CROSS JOIN q
+                    WHERE query_id <> neighbor_id AND ncl <> qcl),
+             r AS (SELECT query_id, neighbor_id, ncl, cosine,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rank
+                   FROM sc)
+             SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine,
+                    CAST(ncl AS BIGINT) AS neighbor_cluster
+             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2713,7 +2763,8 @@ object Queries {
     "q_quantized_topk" -> qQuantizedTopK,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_zorder_key" -> qZorderKey,
-    "q_leakage_split" -> qLeakageSplit)
+    "q_leakage_split" -> qLeakageSplit,
+    "q_hard_negatives" -> qHardNegatives)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -183,6 +183,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(t25.size % 4 == 0, "test set must be whole clusters")
   }
 
+  test("hardNegatives: never a same-cluster neighbor, ranked by cosine, exactly k") {
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    // cluster 0: ids 1-3 (x-dominant); cluster 1: ids 4-6 (y-dominant)
+    val vecs = Seq(
+      (1L, Array(1.0, 0.10, 0.0, 0.0)),
+      (2L, Array(1.0, 0.20, 0.0, 0.0)),
+      (3L, Array(1.0, 0.30, 0.0, 0.0)),
+      (4L, Array(0.30, 1.0, 0.0, 0.0)),
+      (5L, Array(0.20, 1.0, 0.0, 0.0)),
+      (6L, Array(0.10, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", 2, Seq(0 -> e1, 1 -> e2))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    // query 1 is cluster 0: negatives must all be cluster 1, best-cosine
+    // first — id 4 (x=0.3) over 5 (x=0.2)
+    assert(got.length == 2)
+    assert(got.forall(_._3 == 1), "same-cluster vector leaked into negatives")
+    assert(got.map(_._1).toSeq == Seq(4L, 5L))
+    assert(got.map(_._2).toSeq == Seq(1, 2))
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),
