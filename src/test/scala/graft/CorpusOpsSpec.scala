@@ -205,6 +205,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(1, 2))
   }
 
+  test("property: chunkTokens covers every token exactly, for random sizes and documents") {
+    val rng = new scala.util.Random(20260813L)
+    for (_ <- 1 to 10) {
+      val nTok = 1 + rng.nextInt(200)
+      val chunk = 2 + rng.nextInt(40)
+      val overlap = rng.nextInt(chunk)
+      val toks = (1 to nTok).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+      val chunks = TextOps.chunkTokens(df, "id", col("text"), chunk, overlap)
+        .collect().map(r => (r.getLong(1), r.getString(2).split(" ").toSeq))
+        .sortBy(_._1)
+      val stride = chunk - overlap
+      // reference: starts at 1, 1+stride, ... while start <= max(1, n-overlap)
+      val starts = Iterator.iterate(1)(_ + stride)
+        .takeWhile(_ <= math.max(1, nTok - overlap)).toSeq
+      assert(chunks.length == starts.length, s"n=$nTok c=$chunk o=$overlap")
+      chunks.zip(starts).foreach { case ((_, got), st) =>
+        assert(got == toks.slice(st - 1, st - 1 + chunk),
+          s"n=$nTok c=$chunk o=$overlap start=$st")
+      }
+      assert(chunks.flatMap(_._2).toSet == toks.toSet, "token lost")
+    }
+  }
+
+  test("property: dedupSegments keeps each distinct segment exactly once, corpus-wide") {
+    val rng = new scala.util.Random(42L)
+    val vocab = Seq("aa", "bb", "cc") // tiny vocab → many duplicate segments
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to 2 + rng.nextInt(10)).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val segLen = 2
+    val out = TextOps.dedupSegments(docs.toDF("id", "text"), "id", col("text"), segLen)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: first-occurrence-wins over (id, seg_idx) order
+    val refSegs = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(segLen).zipWithIndex.map { case (seg, idx) =>
+        (id, idx, seg.mkString(" "))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val seen = scala.collection.mutable.Set[String]()
+    val refKept = refSegs.filter(t => seen.add(t._3)).groupBy(_._1)
+    out.foreach { case (id, clean, nSeg, nKept) =>
+      val want = refKept.getOrElse(id, Seq.empty).sortBy(_._2).map(_._3).mkString(" ")
+      assert(clean == want, s"doc $id")
+      assert(nKept == refKept.getOrElse(id, Seq.empty).size)
+      assert(nSeg == refSegs.count(_._1 == id))
+    }
+    // global: every distinct segment survives exactly once
+    val keptSegs = out.flatMap(_._2.split(" ").grouped(segLen).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    assert(keptSegs.distinct.length == keptSegs.length,
+      "a segment survived twice")
+    assert(keptSegs.toSet == refSegs.map(_._3).toSet, "a segment vanished")
+  }
+
+  test("property: quantize/dequantize round trip within half a step, random vectors") {
+    val rng = new scala.util.Random(99L)
+    val vecs = (1L to 50L).map(i => (i, Array.fill(16)(rng.nextDouble() * 20 - 10)))
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toArray, r.getDouble(2))))
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val (q, inv) = got(id)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - q(i) * inv) <= inv / 2 + 1e-9,
+          s"vec $id dim $i: ${v(i)} vs ${q(i) * inv}")
+      }
+    }
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),
