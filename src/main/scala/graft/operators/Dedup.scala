@@ -513,14 +513,11 @@ object Dedup {
       textCol: String, idCol: String, n: Int = 8,
       bitsPerGram: Int = 16, probes: Int = 4): DataFrame = {
     val bloom = buildGramBloom(evalSet, textCol, n, bitsPerGram, probes)
-    val evalHashes = bloom.hashes
-    def mightContain(g: Column): Column = bloom.mightContain(g)
-
     val survivors = corpus
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
       .select(col(idCol),
         explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
-      .filter(mightContain(col("__gh")))
+      .filter(bloom.mightContain(col("__gh")))
     // exact verify: keyed join, probe side = bloom survivors only. NOT
     // broadcast — avoiding an executor-resident exact-set hash table is
     // the operator's reason to exist (AQE may still choose broadcast
@@ -530,8 +527,8 @@ object Dedup {
     // tokenize+distinct subtree a second time (no cross-consumer CSE).
     val spark = corpus.sparkSession
     val evalDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(evalHashes.toSeq.map(org.apache.spark.sql.Row(_)),
-        math.max(1, evalHashes.length / 65536 + 1)),
+      spark.sparkContext.parallelize(bloom.hashes.toSeq.map(org.apache.spark.sql.Row(_)),
+        math.max(1, bloom.hashes.length / 65536 + 1)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__gh",
           org.apache.spark.sql.types.LongType, nullable = false))))

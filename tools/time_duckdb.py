@@ -7,6 +7,11 @@ Usage: python3 tools/time_duckdb.py <sfDir> [oracle_sql.json] [reps]
 Prints one JSON line {"total": sec, "queries": {name: sec}} using the
 per-query MEDIAN of `reps` runs (default 3, first-run compile above the
 median), matching Bench.scala's protocol.
+
+NOTE: a query that errors on ANY rep appears only in "errors" and is
+excluded from "queries"/"total" — any Spark-vs-DuckDB ratio must be
+computed over the per-query JOIN of both engines' "queries" maps, never
+the two totals, or the engines silently compare different query sets.
 """
 import json, statistics, sys, time
 
