@@ -2199,6 +2199,31 @@ object Queries {
                     CAST(ncl AS BIGINT) AS neighbor_cluster
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Incremental exact dedup: batch 2 (doc_id % 3 ≠ 0) deduped within
+    * itself AND against the index built from batch 1 (doc_id % 3 = 0).
+    * The oracle reconstructs both stages: min-id per text within the
+    * new batch, minus texts already present in batch 1.
+    */
+  val qDedupIncremental = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val batch1 = docs.filter(col("doc_id") % 3 === 0)
+      val (_, index1) = Dedup.exactIncremental(batch1,
+        Dedup.emptyIndex(s), "text", "doc_id")
+      val batch2 = docs.filter(col("doc_id") % 3 =!= 0)
+      val (kept, _) = Dedup.exactIncremental(batch2, index1, "text", "doc_id")
+      kept.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+             b2 AS (SELECT min(doc_id) AS doc_id FROM documents
+                    WHERE doc_id % 3 <> 0 GROUP BY text)
+             SELECT d.doc_id, d.lang, d.n_chars
+             FROM documents d
+             JOIN b2 USING (doc_id)
+             WHERE d.text NOT IN (SELECT text FROM b1)
+             ORDER BY d.doc_id"""))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2770,7 +2795,8 @@ object Queries {
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_zorder_key" -> qZorderKey,
     "q_leakage_split" -> qLeakageSplit,
-    "q_hard_negatives" -> qHardNegatives)
+    "q_hard_negatives" -> qHardNegatives,
+    "q_dedup_incremental" -> qDedupIncremental)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

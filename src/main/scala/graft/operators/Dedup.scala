@@ -45,6 +45,35 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Incremental exact dedup — the continual-ingest companion to
+    * [[exact]]: dedupe a NEW batch both against itself (lowest id wins)
+    * and against the accumulated content-hash index of everything
+    * already ingested. Returns (kept, updatedIndex): callers persist
+    * `updatedIndex` (8 bytes/distinct doc — the only state the pattern
+    * ever accumulates) and feed it to the next batch. Between the
+    * watermark-bounded [[graft.streaming.Streams.dedupStream]] (forgets
+    * beyond the horizon) and a full-corpus re-dedup (rescans
+    * everything), this is the exact-forever middle: per batch, work is
+    * O(batch) + one hash-keyed anti-join against the index.
+    */
+  def exactIncremental(newDocs: DataFrame, seenIndex: DataFrame,
+      textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val withinBatch = exact(newDocs, textCol, idCol)
+    val kept = withinBatch
+      .withColumn("__h", Hashing.h60(col(textCol)))
+      .join(seenIndex, Seq("__h"), "left_anti")
+    val updatedIndex = seenIndex
+      .union(kept.select(col("__h")))
+    (kept.drop("__h"), updatedIndex)
+  }
+
+  /** Empty content-hash index for [[exactIncremental]]'s first batch. */
+  def emptyIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__h", LongType, nullable = false))))
+  }
+
   /** MinHash signature columns `mh_0 … mh_{k-1}` from a shingle-array
     * column. Pure per-row expressions: min over the shingle array of each
     * permuted 60-bit hash — no explode, no shuffle.

@@ -277,6 +277,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactIncremental: dedups within batch and against the index, index grows by kept docs only") {
+    import graft.operators.Dedup
+    val b1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    val (k1, idx1) = Dedup.exactIncremental(b1, Dedup.emptyIndex(spark), "text", "id")
+    assert(k1.collect().map(_.getLong(0)).toSet == Set(1L, 2L)) // 3 is a dup of 1
+    assert(idx1.count() == 2)
+    val b2 = Seq((10L, "bbb"), (11L, "ccc"), (12L, "ccc"), (13L, "ddd"))
+      .toDF("id", "text")
+    val (k2, idx2) = Dedup.exactIncremental(b2, idx1, "text", "id")
+    // bbb seen in batch 1; ccc dedups within batch 2 to id 11
+    assert(k2.collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    assert(idx2.count() == 4)
+    // a third batch of nothing new keeps nothing and grows nothing
+    val (k3, idx3) = Dedup.exactIncremental(
+      Seq((20L, "aaa"), (21L, "ddd")).toDF("id", "text"), idx2, "text", "id")
+    assert(k3.count() == 0 && idx3.count() == 4)
+  }
+
   test("labelCentroids: rounded per-label means in label order") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f), 1),
