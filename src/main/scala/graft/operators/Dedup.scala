@@ -58,10 +58,18 @@ object Dedup {
     */
   def exactIncremental(newDocs: DataFrame, seenIndex: DataFrame,
       textCol: String, idCol: String): (DataFrame, DataFrame) = {
-    val withinBatch = exact(newDocs, textCol, idCol)
-    val kept = withinBatch
+    // The kept set feeds BOTH returns (the rows themselves, and their
+    // hashes into the index), and the index chains into the NEXT
+    // batch's anti-join — without materialization each batch re-executes
+    // every prior batch's dedup inside its plan (no cross-consumer CSE,
+    // compounding lineage). One eager localCheckpoint per batch caps
+    // both; the checkpointed form is one batch's kept rows. At
+    // multi-executor scale prefer reliable checkpoint(dir) if executor
+    // loss matters — same lineage truncation.
+    val kept = exact(newDocs, textCol, idCol)
       .withColumn("__h", Hashing.h60(col(textCol)))
       .join(seenIndex, Seq("__h"), "left_anti")
+      .localCheckpoint(true)
     val updatedIndex = seenIndex
       .union(kept.select(col("__h")))
     (kept.drop("__h"), updatedIndex)
@@ -494,7 +502,7 @@ object Dedup {
     * for full period — so both the build (Scala) and the probe (Column
     * shift/mask/add, all codegen) compute the identical function.
     */
-  private final case class GramBloom(hashes: Array[Long], words: Seq[Long],
+  private final case class GramBloom(words: Seq[Long],
       mask: Long, probes: Int) {
     def mightContain(g: Column): Column = {
       val bitsLit = typedlit(words)
@@ -510,38 +518,56 @@ object Dedup {
     }
   }
 
-  /** Collect the eval set's distinct gram hashes and pack the bitset
-    * (power-of-two sized ≥ bitsPerGram · |grams| so the mod is a mask).
+  /** Distinct eval-set gram hashes — the shared subtree of every bloom
+    * path (sizing count, bitset build, exact verify).
     */
-  private def buildGramBloom(evalSet: DataFrame, textCol: String, n: Int,
-      bitsPerGram: Int, probes: Int): GramBloom = {
-    require(bitsPerGram > 0 && probes > 0)
-    val evalHashes = evalSet
+  private def evalGrams(evalSet: DataFrame, textCol: String, n: Int): DataFrame =
+    evalSet
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
       .select(explode(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("__gh"))
       .distinct()
-      .collect().map(_.getLong(0))
-    val want = math.max(64L, evalHashes.length.toLong * bitsPerGram)
+
+  /** Power-of-two bitset sizing ≥ bitsPerGram · nGrams (so mod is a mask). */
+  private def bloomSizing(nGrams: Long, bitsPerGram: Int): (Long, Long) = {
+    val want = math.max(64L, nGrams * bitsPerGram)
     val nb = java.lang.Long.highestOneBit(want - 1) * 2
-    val mask = nb - 1
-    val words = new Array[Long]((nb / 64).toInt)
-    evalHashes.foreach { g =>
-      val h1 = g & mask
-      val h2 = (g >> 30) | 1L
-      var j = 0
-      while (j < probes) {
-        val idx = ((h1 + j * h2) & mask).toInt
-        words(idx >> 6) |= 1L << (idx & 63)
-        j += 1
-      }
+    (nb, nb - 1)
+  }
+
+  /** Set gram `g`'s `probes` Kirsch-Mitzenmacher bits — the exact Scala
+    * mirror of [[GramBloom.mightContain]]'s Column probe.
+    */
+  private def setBits(words: Array[Long], g: Long, mask: Long, probes: Int): Unit = {
+    val h1 = g & mask
+    val h2 = (g >> 30) | 1L
+    var j = 0
+    while (j < probes) {
+      val idx = ((h1 + j * h2) & mask).toInt
+      words(idx >> 6) |= 1L << (idx & 63)
+      j += 1
     }
-    GramBloom(evalHashes, words.toSeq, mask, probes)
   }
 
   def contaminatedDocsBloom(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int = 8,
       bitsPerGram: Int = 16, probes: Int = 4): DataFrame = {
-    val bloom = buildGramBloom(evalSet, textCol, n, bitsPerGram, probes)
+    require(bitsPerGram > 0 && probes > 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The gram set is materialized ONCE (eager localCheckpoint — same
+    // lineage discipline as ngramJaccardPairs) and feeds three
+    // consumers: the sizing count, the bitset build, and the exact
+    // verify join below. Only the BITSET ever reaches the driver —
+    // bitsPerGram bits per gram (16 ⇒ 2 B/gram, vs 8 B/gram + boxing
+    // for raw hashes), folded executor-side with treeAggregate (the
+    // shape of Spark's own DataFrameStatFunctions.bloomFilter) so the
+    // driver merges log-many partial bitsets, never the gram stream.
+    val grams = evalGrams(evalSet, textCol, n).localCheckpoint(true)
+    val (nb, mask) = bloomSizing(grams.count(), bitsPerGram)
+    val words = grams.as[Long].rdd.treeAggregate(new Array[Long]((nb / 64).toInt))(
+      (w, g) => { setBits(w, g, mask, probes); w },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    val bloom = GramBloom(words.toSeq, mask, probes)
     val survivors = corpus
       .withColumn("__hts", transform(TextOps.tokens(col(textCol)), tk => Hashing.h60(tk)))
       .select(col(idCol),
@@ -551,18 +577,11 @@ object Dedup {
     // broadcast — avoiding an executor-resident exact-set hash table is
     // the operator's reason to exist (AQE may still choose broadcast
     // when the set is genuinely small; the point is correctness never
-    // requires it to fit). The verify side is re-parallelized from the
-    // ALREADY-COLLECTED hashes rather than re-executing the eval
-    // tokenize+distinct subtree a second time (no cross-consumer CSE).
-    val spark = corpus.sparkSession
-    val evalDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(bloom.hashes.toSeq.map(org.apache.spark.sql.Row(_)),
-        math.max(1, bloom.hashes.length / 65536 + 1)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__gh",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    // requires it to fit). The verify side is the already-checkpointed
+    // gram DataFrame — no re-execution of the eval tokenize+distinct
+    // subtree, and no round-trip of raw hashes through the driver.
     survivors
-      .join(evalDf.hint("shuffle_hash"), Seq("__gh"), "left_semi")
+      .join(grams.hint("shuffle_hash"), Seq("__gh"), "left_semi")
       .select(idCol).distinct()
   }
 
@@ -588,9 +607,26 @@ object Dedup {
   def contaminationPredicate(evalSet: DataFrame, textCol: String,
       n: Int = 8, bitsPerGram: Int = 16,
       probes: Int = 4): Column => Column = {
-    val bloom = buildGramBloom(evalSet, textCol, n, bitsPerGram, probes)
-    val exactLit = typedlit(bloom.hashes.sorted.toSeq)
+    require(bitsPerGram > 0 && probes > 0)
+    val spark = evalSet.sparkSession
+    import spark.implicits._
+    // Unlike contaminatedDocsBloom, the exact hash set DOES come to the
+    // driver here — it must ride in the plan as a literal for the
+    // predicate to stay stateless (bounded eval sets only, per the
+    // scaladoc). Collected as primitive longs, not boxed Rows.
+    val hashes = evalGrams(evalSet, textCol, n).as[Long].collect()
+    val (nb, mask) = bloomSizing(hashes.length.toLong, bitsPerGram)
+    val words = new Array[Long]((nb / 64).toInt)
+    hashes.foreach(setBits(words, _, mask, probes))
+    val bloom = GramBloom(words.toSeq, mask, probes)
+    val exactLit = typedlit(hashes.sorted.toSeq)
+    // coalesce: exists() is NULL for a null gram array (null text), and
+    // a null verdict would make filter(!pred) silently DROP null-text
+    // docs at ingest while the batch operator (explode drops the row)
+    // calls them clean — pin "no grams ⇒ not contaminated" on both paths.
     (ghs: Column) =>
-      exists(ghs, g => bloom.mightContain(g) && array_contains(exactLit, g))
+      coalesce(
+        exists(ghs, g => bloom.mightContain(g) && array_contains(exactLit, g)),
+        lit(false))
   }
 }

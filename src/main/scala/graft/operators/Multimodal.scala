@@ -104,15 +104,21 @@ object Multimodal {
     // width·bpp near 2^31, and an Int wrap here would turn the bounds
     // check into an out-of-bounds crash instead of the documented None
     // (these decoders feed messy corpora; one bad file must not fail
-    // the task)
+    // the task). The height bound DIVIDES rather than multiplying:
+    // rowBytesL·absH can itself exceed Long.MaxValue (width=2^30,
+    // bpp=32, height=Int.MinValue → 2^63 wraps negative and would slip
+    // a product-form guard), so compare absH against the row capacity
+    // of the buffer instead — division cannot overflow.
     val absH = math.abs(height.toLong)
     val bytesPerPx = bpp / 8
     val rowBytesL = ((width.toLong * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
-    if (dataOff < 0 || dataOff.toLong + rowBytesL * absH > b.length) return None
+    if (dataOff < 0 || dataOff > b.length ||
+      absH > (b.length.toLong - dataOff) / rowBytesL) return None
     val rowBytes = rowBytesL.toInt // ≤ b.length after the guard
+    val nRows = absH.toInt // ≤ b.length / rowBytesL ≤ b.length / 4
     var sum = 0.0; var sq = 0.0
     var row = 0
-    while (row < absH) {
+    while (row < nRows) {
       val base = dataOff + row * rowBytes
       var i = 0
       val nb = width * bytesPerPx

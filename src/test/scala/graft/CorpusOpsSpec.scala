@@ -163,6 +163,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("contaminationPredicate: null/empty text is 'not contaminated', matching the batch operator") {
+    import graft.operators.{Dedup, TextOps}
+    import graft.functions.Hashing
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // contaminated
+      (2L, null.asInstanceOf[String]), // null text → null gram array
+      (3L, ""), // empty gram array
+      (4L, "totally clean words that overlap nothing in the benchmark here")
+    ).toDF("doc_id", "text")
+    // batch truth: explode drops null/empty-gram rows → only doc 1 flagged
+    val batch = Dedup.contaminatedDocs(corpus, eval_, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L))
+    val pred = Dedup.contaminationPredicate(eval_, "text")
+    val ghs = TextOps.shingleHashesFromTokenHashes(
+      transform(TextOps.tokens(col("text")), tk => Hashing.h60(tk)), 8)
+    val flagged = corpus.filter(pred(ghs)).collect().map(_.getLong(0)).toSet
+    assert(flagged == batch, "predicate must flag exactly the batch set")
+    // the ingest-filter direction: !pred must KEEP null-text docs, not
+    // silently drop them through a NULL verdict
+    val kept = corpus.filter(!pred(ghs)).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), "null-text docs must survive !pred")
+  }
+
   test("leakageSafeSplit: whole clusters move together, test set nested under frac growth") {
     import graft.operators.Dedup
     val df = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "text")

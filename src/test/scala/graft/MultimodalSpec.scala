@@ -145,6 +145,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 2 && out.forall(_.format == "opaque"))
   }
 
+  test("BMP whose rowBytes×height product overflows Long degrades to opaque") {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // width=2^30 at 32 bpp → rowBytes = 2^32; height=Int.MinValue →
+    // |height| = 2^31; the product is exactly 2^63, which wraps negative
+    // in Long and would pass a product-form bounds check — the division
+    // guard must reject it (and the row loop must not spin on a wrapped
+    // Int counter)
+    val evil = new Array[Byte](256)
+    evil(0) = 'B'; evil(1) = 'M'
+    System.arraycopy(le32(54), 0, evil, 10, 4)            // dataOff
+    System.arraycopy(le32(1 << 30), 0, evil, 18, 4)       // width = 2^30
+    System.arraycopy(le32(Int.MinValue), 0, evil, 22, 4)  // height = -2^31
+    evil(28) = 32                                         // bpp
+    val out = Multimodal.decodeMedia(
+      Seq(Multimodal.MediaRow(1L, evil, "image/bmp", 0, 1)).toDS()).collect()
+    assert(out.length == 1 && out.head.format == "opaque")
+  }
+
   test("approx_count_distinct stays within the configured error of exact") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val both = ev.agg(
