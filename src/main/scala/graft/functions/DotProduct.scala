@@ -68,6 +68,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.centroidArgmaxFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
   }
@@ -87,6 +88,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
 
+  val centroidArgmaxFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_centroid_argmax"),
+    new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_centroid_argmax"),
+    (exprs: Seq[Expression]) => CentroidArgmax(exprs.head, exprs(1), exprs(2)))
+
   val bottomKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bottom_k"),
     new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
@@ -105,6 +111,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_centroid_argmax",
+      exprs => CentroidArgmax(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k", BottomK.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
@@ -112,6 +121,17 @@ object GraftFunctions {
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd max-cosine centroid assignment (requires [[register]]);
+    * centroids sorted by id so ties resolve to the lowest id — see
+    * [[CentroidArgmax]].
+    */
+  def centroidArgmax(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    call_function("graft_centroid_argmax", vec,
+      org.apache.spark.sql.functions.typedlit(sorted.map(_._2.toSeq)),
+      org.apache.spark.sql.functions.typedlit(sorted.map(_._1)))
+  }
 
   /** KMV bottom-k sketch aggregate (requires [[register]]). */
   def bottomK(c: Column, k: Int): Column =

@@ -20,6 +20,44 @@ class SimilaritySpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("centroidArgmax: ties and all-NaN rows to lowest id, null vec to null") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // centroid 9 duplicates centroid 3 → exact cosine tie → lowest id 3
+    val cents = Seq(3 -> Array(1.0, 0.0), 7 -> Array(0.0, 1.0), 9 -> Array(1.0, 0.0))
+    val df = Seq(
+      (1L, Some(Seq(2.0, 0.1))), // x-dominant: tie between 3 and 9 → 3
+      (2L, Some(Seq(0.0, 5.0))), // → 7
+      (3L, Some(Seq(0.0, 0.0))), // zero vector: every negcos NaN → 3
+      (4L, Option.empty[Seq[Double]])).toDF("id", "v")
+    val out = df.select(col("id"),
+        GraftFunctions.centroidArgmax(col("v").cast("array<double>"), cents).as("cl"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out == Map(1L -> 3, 2L -> 7, 3L -> 3, 4L -> -1))
+  }
+
+  test("centroidArgmax: bit-identical to the composable array_min-over-structs form") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val dotF = GraftFunctions.dotFast _
+    val rnd = new scala.util.Random(7)
+    val cents = (0 until 6).map(i => i -> Array.fill(16)(rnd.nextGaussian()))
+    val df = (1L to 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "v")
+      .withColumn("__v", col("v").cast("array<double>"))
+      .withColumn("__n", sqrt(call_function("graft_dot", col("__v"), col("__v"))))
+    val composable = array_min(array(cents.map { case (cl, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((-(dotF(col("__v"), typedlit(c.toSeq)) / (col("__n") * lit(cn))))
+        .as("negcos"), lit(cl).as("cl"))
+    }.toIndexedSeq: _*)).getField("cl")
+    val mismatches = df.select(
+        GraftFunctions.centroidArgmax(col("__v"), cents).as("a"),
+        composable.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
   test("exact blocked near-dup pairs == naive all-pairs cross join (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = pairSet(
