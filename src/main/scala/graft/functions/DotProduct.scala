@@ -69,6 +69,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunctionDescriptor)
     ext.injectFunction(GraftFunctions.centroidArgmaxFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.centroidCellsFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
   }
@@ -93,6 +94,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_centroid_argmax"),
     (exprs: Seq[Expression]) => CentroidArgmax(exprs.head, exprs(1), exprs(2)))
 
+  val centroidCellsFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_centroid_cells"),
+    new ExpressionInfo(classOf[CentroidCellsByDist].getName, "graft_centroid_cells"),
+    (exprs: Seq[Expression]) => CentroidCellsByDist(exprs.head, exprs(1)))
+
   val bottomKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bottom_k"),
     new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
@@ -114,6 +120,9 @@ object GraftFunctions {
       "graft_centroid_argmax",
       exprs => CentroidArgmax(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_centroid_cells",
+      exprs => CentroidCellsByDist(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k", BottomK.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
@@ -132,6 +141,14 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(sorted.map(_._2.toSeq)),
       org.apache.spark.sql.functions.typedlit(sorted.map(_._1)))
   }
+
+  /** All IVF cell ids (0-based matrix row) sorted by squared-distance
+    * score ascending, ties to the lower cell (requires [[register]]) —
+    * see [[CentroidCellsByDist]].
+    */
+  def centroidCells(vec: Column, centroids: Seq[Array[Double]]): Column =
+    call_function("graft_centroid_cells", vec,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq)))
 
   /** KMV bottom-k sketch aggregate (requires [[register]]). */
   def bottomK(c: Column, k: Int): Column =
