@@ -213,7 +213,8 @@ object Dedup {
     * EXACT results.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 60, maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     // Bulk signature path: the aggregate inside withSimhash also acts as
@@ -238,11 +239,20 @@ object Dedup {
     // narrow (id, sh) rows instead, and the signature branch it
     // duplicates is one cheap token fold. Hamming-filter BEFORE distinct
     // so the dedup shuffle sees only qualifying pairs.
+    // The same hard clustering makes a bare (band, band_bits) key a
+    // one-reducer funnel: that 1795-id bucket is ~1.6M ordered pairs
+    // through a single task no matter the cluster size. 1-bucket-theta
+    // replication WITHIN each band bucket (left side into all `blocks`
+    // sub-blocks, right side keyed by its own id hash) spreads each
+    // bucket's quadratic compare over `blocks` reducers; every pair
+    // still meets at exactly one key, (band, band_bits, blk(id_b)).
     val a = bands.select(col(idCol).as("id_a"), col("sh").as("sha"),
-      col("band"), col("band_bits"))
+        col("band"), col("band_bits"))
+      .withColumn("__blk", explode(array((0 until blocks).map(lit): _*)))
     val b = bands.select(col(idCol).as("id_b"), col("sh").as("shb"),
-      col("band"), col("band_bits"))
-    a.join(b, Seq("band", "band_bits"))
+        col("band"), col("band_bits"))
+      .withColumn("__blk", pmod(xxhash64(col("id_b")), lit(blocks)).cast("int"))
+    a.join(b, Seq("band", "band_bits", "__blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
