@@ -2415,6 +2415,39 @@ object Queries {
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
+  /** Streaming near-duplicate dedup at ingest: MinHash-LSH band buckets
+    * claimed in stream state, greedy first-wins (see
+    * `Streams.nearDupFlags`). The greedy decision has a CLOSED FORM the
+    * oracle can compute: with all docs in one pass ordered by id, a doc
+    * is kept iff it is the MINIMUM claimant of every one of its band
+    * buckets (buckets are claimed by every toucher, kept or dropped, so
+    * "seen before" ≡ "a smaller id shares the bucket") — plus every
+    * shingle-less doc, which pairs with nothing. The streaming run must
+    * reproduce that set exactly; cross-batch state is spec-pinned
+    * separately with a two-batch MemoryStream (`StreamingSpec`).
+    */
+  val qStreamNearDup = QDef(
+    (s, d) => graft.streaming.Streams.nearDupDedupAvailableNow(
+        s, d, MinhashN, MinhashK, RowsPerBand)
+      .orderBy("doc_id"),
+    Some {
+      val bandRows = minhashBandsSql
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          firsts AS (SELECT band, band_hash, min(doc_id) AS first_doc
+                     FROM bands GROUP BY 1, 2),
+          verdict AS (SELECT b.doc_id,
+                             bool_and(f.first_doc = b.doc_id) AS kept
+                      FROM bands b
+                      JOIN firsts f ON f.band = b.band AND f.band_hash = b.band_hash
+                      GROUP BY b.doc_id)
+          SELECT doc_id FROM verdict WHERE kept
+          UNION ALL
+          SELECT doc_id FROM sig WHERE mh_0 IS NULL
+          ORDER BY doc_id"""
+    })
+
   /** Set operators INTERSECT / EXCEPT (SQL set semantics — distinct
     * rows), absent from the reference but part of the generic surface:
     * customers holding both finished- and open-status orders, and those
@@ -2775,6 +2808,7 @@ object Queries {
     "q_cube" -> qCube,
     "q_ngram_counts" -> qNgramCounts,
     "q_stream_sessionize" -> qStreamSessionize,
+    "q_stream_neardup" -> qStreamNearDup,
     "q_set_ops" -> qSetOps,
     "q_embedding_centroids" -> qEmbeddingCentroids,
     "q_winnow_fingerprints" -> qWinnowFingerprints,

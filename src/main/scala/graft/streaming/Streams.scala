@@ -231,4 +231,110 @@ object Streams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  // -- Streaming near-duplicate dedup at ingest (MinHash-LSH band state) ---
+
+  /** One LSH band bucket touched by one document. */
+  case class BandRow(doc_id: Long, band: Int, band_hash: Long, n_bands: Int)
+  /** Per-(doc, bucket) claim verdict: `fresh` iff this doc is the
+    * bucket's FIRST claimant ever (no prior batch, lowest doc id within
+    * this batch).
+    */
+  case class BandFlag(doc_id: Long, fresh: Boolean, n_bands: Int)
+
+  /** (doc, band, band_hash) rows for streaming (or batch) near-dup
+    * dedup: MinHash signatures → LSH band buckets — all stateless
+    * per-row expressions, so the SAME plan fragment runs under a
+    * streaming source unchanged. A document too short to produce any
+    * shingle gets a PRIVATE always-fresh bucket (band −1, keyed by its
+    * own id) so it is always kept — the same contract as batch fuzzy
+    * dedup, where a shingle-less doc pairs with nothing and survives.
+    * (The signature subtree is evaluated once per consumer branch —
+    * bucket explode + short-doc filter — the price of staying a pure
+    * streaming projection; checkpointing is a batch-only tool.)
+    */
+  def lshBandRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.operators.Dedup.withMinhash(
+      docs.select(col(idCol), col(textCol)), textCol, idCol, n, k)
+    val nBands = k / rowsPerBand
+    val bucketRows = graft.operators.Dedup.lshBuckets(sig, idCol, k, rowsPerBand)
+      .select(col(idCol).as("doc_id"), col("band"), col("band_hash"),
+        lit(nBands).as("n_bands"))
+    val shortDocs = sig.filter(col("mh_0").isNull)
+      .select(col(idCol).as("doc_id"), lit(-1).as("band"),
+        col(idCol).cast("long").as("band_hash"), lit(1).as("n_bands"))
+    bucketRows.unionByName(shortDocs).as[BandRow]
+  }
+
+  /** The stateful core of streaming near-dup dedup: one state boolean
+    * per LSH band bucket ("has this bucket ever been claimed"). Rows
+    * within a bucket group fold in doc-id order, so the batch-internal
+    * winner is deterministic (lowest id — the batch operators' tie rule).
+    *
+    * The decision this enables is GREEDY FIRST-WINS: a doc is kept iff
+    * every one of its band buckets is fresh, i.e. iff no earlier doc
+    * (kept or dropped, this batch or any before) touched any of them.
+    * That is the one-pass streaming counterpart of batch
+    * LSH → connected components → lowest-id survivor; the two agree on
+    * the common cases (a fresh doc, an exact/near copy of one kept doc)
+    * and diverge only on chain topologies a single pass cannot see
+    * (batch CC merges A–B, B–C into one cluster even when A∩C = ∅). The
+    * streaming-side guarantee is still exactly what dedup-at-ingest
+    * needs: NO TWO KEPT DOCS ARE LSH CANDIDATES of each other within
+    * the state horizon.
+    *
+    * State is one boolean per distinct bucket — 8-byte key + flag, the
+    * smallest state the decision permits. The documents fixture has no
+    * event-time column, so eviction is left to the caller (production:
+    * wire `GroupStateTimeout`/RocksDB TTL the same way
+    * [[dedupStream]] bounds its horizon with a watermark).
+    */
+  def nearDupFlags(bands: Dataset[BandRow]): Dataset[BandFlag] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Boolean]) => {
+          val seen = state.exists
+          if (!seen) state.update(true)
+          val rs = rows.toArray.sortBy(_.doc_id)
+          rs.iterator.zipWithIndex.map { case (r, i) =>
+            BandFlag(r.doc_id, fresh = !seen && i == 0, r.n_bands)
+          }
+        })
+  }
+
+  /** q_stream_neardup: near-duplicate dedup AT INGEST over the documents
+    * table as a real stream — kept doc ids, one row per survivor.
+    *
+    * A doc's verdict aggregates its band flags (kept iff ALL fresh);
+    * since every band row of a doc rides the same input row, the
+    * aggregation is BATCH-LOCAL inside foreachBatch — cross-batch memory
+    * lives only in [[nearDupFlags]]'s bucket state. The foreachBatch
+    * body here collects kept ids for the harness (bounded: survivors of
+    * one micro-batch); a production deployment writes the kept rows to
+    * the curated sink instead — same query, different sink body.
+    */
+  def nearDupDedupAvailableNow(spark: SparkSession, dir: String,
+      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
+    import spark.implicits._
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val flags = nearDupFlags(
+      lshBandRows(documentsStream(spark, dir), "text", "doc_id", n, k, rowsPerBand))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ckpt")
+    val q = flags.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: Dataset[BandFlag], _: Long) =>
+        val ids = batch.groupBy(col("doc_id"), col("n_bands"))
+          .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+          .filter(col("n_fresh") === col("n_bands"))
+          .select(col("doc_id")).as[Long].collect()
+        kept.synchronized { val _ = kept ++= ids }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    kept.toSeq.toDF("doc_id")
+  }
 }

@@ -197,4 +197,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(predFlagged == batchContaminated)
   }
+
+  test("streaming near-dup dedup: first wins across micro-batches, kept set is candidate-pair-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val flags = Streams.nearDupFlags(Streams.lshBandRows(docs, "text", "doc_id"))
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft-neardup-spec")
+    val q = flags.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Streams.BandFlag], _: Long) =>
+          val ids = b.groupBy(col("doc_id"), col("n_bands"))
+            .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+            .filter(col("n_fresh") === col("n_bands"))
+            .select(col("doc_id")).as[Long].collect()
+          kept.synchronized { val _ = kept ++= ids }
+          ()
+      }.start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    input.addData((1L, base),
+      (2L, "one two three four five six seven eight nine"))
+    q.processAllAvailable()
+    // batch 2: a near-copy of batch-1's doc 1 (one appended token — the
+    // shared shingles put it in at least one of doc 1's band buckets), a
+    // genuinely fresh doc, and a shingle-less doc
+    input.addData((3L, base + " iota"),
+      (4L, "totally different words with no overlap whatsoever here yes"),
+      (5L, "hi"))
+    q.processAllAvailable()
+    q.stop()
+    val ks = kept.toSet
+    assert(ks.contains(1L) && ks.contains(2L), "batch-1 docs are first, must be kept")
+    assert(ks.contains(4L), "fresh batch-2 doc must be kept")
+    assert(ks.contains(5L), "shingle-less doc pairs with nothing, must be kept")
+    assert(!ks.contains(3L), "near-copy of a batch-1 doc must be dropped by batch-1 state")
+    // the at-ingest guarantee: the SURVIVING corpus has no LSH candidate
+    // pair at all (batch operator as the checker)
+    val allDocs = Seq((1L, base), (2L, "one two three four five six seven eight nine"),
+      (3L, base + " iota"), (4L, "totally different words with no overlap whatsoever here yes"),
+      (5L, "hi")).toDF("doc_id", "text")
+    val survivors = allDocs.filter(col("doc_id").isin(ks.toSeq: _*))
+    assert(graft.operators.Dedup.minhashLshPairs(survivors, "text", "doc_id").count() == 0,
+      "no two kept docs may be LSH candidates of each other")
+  }
 }
