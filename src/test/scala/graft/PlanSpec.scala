@@ -245,11 +245,24 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.operators.Similarity.semanticDedup(emb, "vec_id",
       "embedding", cents, 0.9)
     val p = df.queryExecution.executedPlan.toString
-    // centroids are typedlit constants through the codegen'd dot: the
-    // assignment itself plans as scan → project. The exchanges present
-    // belong to the intra-cluster self-join + anti-join, all keyed.
-    assert(p.contains("graft_dot"), "codegen'd dot missing from assignment:\n" + p.take(800))
+    // the assignment is ONE constant-size codegen'd kernel (not an
+    // unrolled per-centroid expansion); the exchanges present belong to
+    // the intra-cluster self-join + anti-join, all keyed.
+    assert(p.contains("graft_centroid_argmax"),
+      "centroid-argmax kernel missing from assignment:\n" + p.take(800))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "unkeyed join in semanticDedup:\n" + p.take(800))
+    // the intra-cluster compare must join on (cluster, __blk) — a bare
+    // cluster key caps reduce parallelism at the cluster count
+    assert(p.contains("__blk"), "sub-block key missing from the pair join:\n" + p.take(800))
+  }
+
+  test("simhashNearDupPairs: band join carries the sub-block key") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val df = graft.operators.Dedup.simhashNearDupPairs(docs, "text", "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__blk"), "sub-block key missing from the band join:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "unkeyed join in simhash pairs:\n" + p.take(800))
   }
 }
