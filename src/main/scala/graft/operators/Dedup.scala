@@ -226,7 +226,7 @@ object Dedup {
     * EXACT results.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60, maxHamming: Int = 3, blocks: Int = 8): DataFrame = {
+      bits: Int = 60, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     require(blocks > 0, "blocks must be positive")
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
@@ -259,6 +259,11 @@ object Dedup {
     // sub-blocks, right side keyed by its own id hash) spreads each
     // bucket's quadratic compare over `blocks` reducers; every pair
     // still meets at exactly one key, (band, band_bits, blk(id_b)).
+    // Default is a moderate 4: replication inflates the left side's
+    // size estimate ×blocks, and past the broadcast threshold AQE
+    // trades the hash join for a sort-merge — raise it for corpora
+    // whose band buckets outgrow a single reducer, where the shuffle
+    // join is the only option anyway.
     val a = bands.select(col(idCol).as("id_a"), col("sh").as("sha"),
         col("band"), col("band_bits"))
       .withColumn("__blk", explode(array((0 until blocks).map(lit): _*)))

@@ -249,23 +249,32 @@ object Streams {
     * shingle gets a PRIVATE always-fresh bucket (band −1, keyed by its
     * own id) so it is always kept — the same contract as batch fuzzy
     * dedup, where a shingle-less doc pairs with nothing and survives.
-    * (The signature subtree is evaluated once per consumer branch —
-    * bucket explode + short-doc filter — the price of staying a pure
-    * streaming projection; checkpointing is a batch-only tool.)
+    * The short-doc branch is a `when` over ONE band array (band hashes
+    * computed exactly like `Dedup.lshBuckets`), not a union of two
+    * filters — a union would evaluate the signature pipeline once per
+    * branch, and checkpointing it away is a batch-only tool.
     */
   def lshBandRows(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val sig = graft.operators.Dedup.withMinhash(
       docs.select(col(idCol), col(textCol)), textCol, idCol, n, k)
     val nBands = k / rowsPerBand
-    val bucketRows = graft.operators.Dedup.lshBuckets(sig, idCol, k, rowsPerBand)
-      .select(col(idCol).as("doc_id"), col("band"), col("band_hash"),
-        lit(nBands).as("n_bands"))
-    val shortDocs = sig.filter(col("mh_0").isNull)
-      .select(col(idCol).as("doc_id"), lit(-1).as("band"),
-        col(idCol).cast("long").as("band_hash"), lit(1).as("n_bands"))
-    bucketRows.unionByName(shortDocs).as[BandRow]
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        graft.functions.Hashing.h60(concat_ws("_", parts: _*)).as("band_hash"))
+    }
+    sig
+      .select(col(idCol).as("doc_id"),
+        explode(when(col("mh_0").isNull, // null iff the shingle set is empty
+          array(struct(lit(-1).as("band"),
+            col(idCol).cast("long").as("band_hash"))))
+          .otherwise(array(bandStructs: _*))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+      .withColumn("n_bands", when(col("band") === -1, 1).otherwise(nBands))
+      .as[BandRow]
   }
 
   /** The stateful core of streaming near-dup dedup: one state boolean
