@@ -270,7 +270,12 @@ object Dedup {
     val b = bands.select(col(idCol).as("id_b"), col("sh").as("shb"),
         col("band"), col("band_bits"))
       .withColumn("__blk", pmod(xxhash64(col("id_b")), lit(blocks)).cast("int"))
-    a.join(b, Seq("band", "band_bits", "__blk"))
+    // shuffle_hash pins the shuffled hash join: the replicated side's
+    // ×blocks size estimate otherwise straddles the broadcast threshold,
+    // and AQE's fallback is a sort-merge whose per-partition sorts cost
+    // more than the whole compare (measured +50% suite-context; the
+    // shuffled hash join IS the intended 100 TB plan for this key).
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_bits", "__blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
