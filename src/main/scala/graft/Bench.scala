@@ -32,9 +32,26 @@ object Bench {
 
   /** Timings for one benched query: median of the successful reps plus
     * the raw per-rep list, so a reader of bench_out.json can tell
-    * run-to-run spread from a real shift without a re-run.
+    * run-to-run spread from a real shift without a re-run. `gcMs` /
+    * `peakHeapMb` are per-rep: driver-JVM GC wall time spent during the
+    * rep and the peak heap reached within it — a rep whose seconds spike
+    * WITH its gc_ms is memory pressure, one that spikes without is
+    * scheduling/page-cache (the round-8 flagship [14, 62] s spread was
+    * undecidable from seconds alone).
     */
-  private case class Timed[A](median: Double, raw: Seq[Double], first: Option[A], err: Option[String])
+  private case class Timed[A](median: Double, raw: Seq[Double],
+    gcMs: Seq[Long], peakHeapMb: Seq[Long], first: Option[A], err: Option[String])
+
+  private def totalGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+  }
 
   /** Median wall seconds over the SUCCESSFUL executions of `run` (first
     * successful result kept). A rep that throws contributes no timing —
@@ -46,12 +63,19 @@ object Bench {
   private def timeMedian[A](reps: Int)(run: => A): Timed[A] = {
     var first: Option[A] = None
     var err: Option[String] = None
+    val gcs = scala.collection.mutable.ArrayBuffer[Long]()
+    val heaps = scala.collection.mutable.ArrayBuffer[Long]()
     val ts = (0 until math.max(1, reps)).flatMap { _ =>
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = totalGcMs()
       val t0 = System.nanoTime()
       try {
         val r = run
         if (first.isEmpty) first = Some(r)
-        Some((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        gcs += totalGcMs() - gc0
+        heaps += heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+        Some(sec)
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (err.isEmpty)
@@ -59,7 +83,7 @@ object Bench {
           None
       }
     }
-    Timed(if (ts.isEmpty) -1.0 else median(ts), ts, first, err)
+    Timed(if (ts.isEmpty) -1.0 else median(ts), ts, gcs.toSeq, heaps.toSeq, first, err)
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +122,14 @@ object Bench {
     // The noop sink evaluates every output column of every row and
     // discards them with zero serialization cost, so Sort/Window/Project
     // all survive in the physical plan.
-    val measured = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated subset for local iteration
+    // (unset → full suite; the driver never sets it). SPARK_GRAFT_SKIP_E1
+    // skips the flagships for the same reason.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val skipE1 = sys.env.contains("SPARK_GRAFT_SKIP_E1")
+    val measured = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val r = name -> timeMedian(reps) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
@@ -128,17 +159,21 @@ object Bench {
         .collect()
         .map(_.getAs[Long]("n")).sum
     }
-    val e1 = timeMedian(e1Reps) { runE1(Seq("borough")) }
+    val skipped = Timed[Long](-1.0, Nil, Nil, Nil, None, None)
+    val e1 = if (skipE1) skipped
+      else timeMedian(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1.first.getOrElse(-1L)
     releasePersisted()
-    val e1Seg = timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
+    val e1Seg = if (skipE1) skipped
+      else timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
     releasePersisted()
     // Chunked-window configuration: EXACT reference (borough-keyed)
     // window semantics, evaluated per daily chunk with bounded-history
     // replication — window parallelism = #chunks instead of 5. The
     // measured time includes the chunk-census validation pass and the
     // joined-frame materialization the chunked shape requires.
-    val e1Chunk = timeMedian(e1Reps) { runE1(Seq("borough"), Some(24L)) }
+    val e1Chunk = if (skipE1) skipped
+      else timeMedian(e1Reps) { runE1(Seq("borough"), Some(24L)) }
 
     val flagships = Seq("flagship_e1" -> e1.median,
       "flagship_e1_segmented" -> e1Seg.median,
@@ -148,12 +183,18 @@ object Bench {
       .mkString("{", ",", "}")
     // Raw per-rep times for every measurement: lets the judge separate
     // JVM/machine noise (wide spread, stable median) from a real shift
-    // (all reps moved) without re-running the suite.
-    val rawJson = (measured.map { case (n, t) => n -> t.raw }.toSeq ++
-        Seq("flagship_e1" -> e1.raw, "flagship_e1_segmented" -> e1Seg.raw,
-          "flagship_e1_chunked" -> e1Chunk.raw))
-      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+    // (all reps moved) without re-running the suite. gc_ms / peak_heap_mb
+    // decide WHY an outlier rep happened (GC-bound vs external).
+    val allTimed: Seq[(String, Timed[_])] = measured.toSeq ++
+      Seq("flagship_e1" -> e1, "flagship_e1_segmented" -> e1Seg,
+        "flagship_e1_chunked" -> e1Chunk)
+    def repMap[T](f: Timed[_] => Seq[T]): String = allTimed
+      .map { case (k, t) => "\"" + k + "\":" + f(t).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val rawJson = repMap(_.raw)
+    val gcJson = repMap(_.gcMs)
+    val heapJson = repMap(_.peakHeapMb)
+    val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allErrors = errors ++
       e1.err.map("flagship_e1" -> _) ++
       e1Seg.err.map("flagship_e1_segmented" -> _) ++
@@ -163,7 +204,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     println(line)
     // Also persist the line to a file: the driver captures only a
     // truncated stdout tail, so a long per-query map can be cut mid-JSON

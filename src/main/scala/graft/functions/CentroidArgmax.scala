@@ -77,21 +77,24 @@ case class CentroidArgmax(vec: Expression, cents: Expression, ids: Expression)
     */
   def argmax(v: ArrayData): Int = {
     val k = matrix.length
+    // ‖v‖ is loop-invariant over centroids: computed ONCE per row, same
+    // left-to-right fold as before so the hoist is bit-identical.
+    var n = 0.0
+    val nv = v.numElements()
+    var i = 0
+    while (i < nv) { val x = v.getDouble(i); n += x * x; i += 1 }
+    val vNorm = math.sqrt(n)
     var best = 0.0
     var bestId = 0
     var first = true
     var j = 0
     while (j < k) {
       val c = matrix(j)
-      val m = math.min(v.numElements(), c.length)
+      val m = math.min(nv, c.length)
       var dot = 0.0
-      var i = 0
-      while (i < m) { dot += v.getDouble(i) * c(i); i += 1 }
-      var n = 0.0
       i = 0
-      val nv = v.numElements()
-      while (i < nv) { val x = v.getDouble(i); n += x * x; i += 1 }
-      val neg = -(dot / (math.sqrt(n) * centNorms(j)))
+      while (i < m) { dot += v.getDouble(i) * c(i); i += 1 }
+      val neg = -(dot / (vNorm * centNorms(j)))
       if (first || neg < best ||
         (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(neg))) {
         best = neg; bestId = idArr(j); first = false

@@ -72,6 +72,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.centroidCellsFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
   }
 }
 
@@ -109,6 +110,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TopKScored].getName, "graft_top_k"),
     TopKScored.fromExprs _)
 
+  val gramTopRunFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_gram_top_run"),
+    new ExpressionInfo(classOf[GramTopRun].getName, "graft_gram_top_run"),
+    (exprs: Seq[Expression]) => GramTopRun(exprs.head, exprs(1)))
+
   /** Idempotently register graft's functions in the session's registry
     * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
@@ -126,6 +132,9 @@ object GraftFunctions {
       "graft_bottom_k", BottomK.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_top_run",
+      exprs => GramTopRun(exprs.head, exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -160,4 +169,11 @@ object GraftFunctions {
   def topK(score: Column, payload: Column, k: Int): Column =
     call_function("graft_top_k", score, payload,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Modal word-n-gram count over a token array (requires [[register]])
+    * — see [[GramTopRun]].
+    */
+  def gramTopRun(toks: Column, n: Int): Column =
+    call_function("graft_gram_top_run", toks,
+      org.apache.spark.sql.functions.lit(n))
 }

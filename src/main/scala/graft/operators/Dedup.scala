@@ -19,6 +19,19 @@ import graft.functions.Hashing
   *  - n-gram Jaccard joins on shingle hash and counts co-occurrences;
   *    a frequency cap on hot shingles bounds the worst-case join fan-out
   *    (stop-shingle removal — the standard skew guard).
+  *
+  * EAGER-EXECUTION CAVEAT (API contract, not an implementation detail):
+  * [[exactIncremental]], [[minhashLshPairs]], [[simhashNearDupPairs]],
+  * [[connectedComponents]], and [[contaminatedDocsBloom]] call
+  * `localCheckpoint(eager = true)` internally for lineage discipline, so
+  * unlike ordinary DataFrame transformations they RUN SPARK JOBS AT CALL
+  * TIME and their checkpointed blocks live on executors only. Two
+  * consequences: (1) they cannot be called on a streaming DataFrame
+  * (use the [[graft.streaming.Streams]] twins); (2) losing an executor
+  * after the call fails the downstream job instead of recomputing — on a
+  * multi-executor cluster where loss matters, set
+  * `spark.sparkContext.setCheckpointDir` and swap reliable
+  * `checkpoint()` for the same truncation with HDFS durability.
   */
 object Dedup {
 

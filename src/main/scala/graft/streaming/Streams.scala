@@ -234,8 +234,21 @@ object Streams {
 
   // -- Streaming near-duplicate dedup at ingest (MinHash-LSH band state) ---
 
-  /** One LSH band bucket touched by one document. */
-  case class BandRow(doc_id: Long, band: Int, band_hash: Long, n_bands: Int)
+  /** One LSH band bucket touched by one document. `ts` is the document's
+    * event time (ingest time in production; a constant for historical
+    * corpora with no time column) — it drives the watermark that bounds
+    * bucket state in [[nearDupFlags]].
+    */
+  case class BandRow(doc_id: Long, band: Int, band_hash: Long, n_bands: Int,
+    ts: java.sql.Timestamp)
+  /** Per-bucket state: event-time of the bucket's most recent claimant.
+    * A bucket whose `lastTouchMs + horizon` has fallen behind the
+    * watermark is EXPIRED — logically absent even if the physical
+    * timeout has not fired yet (timeouts only fire for groups with no
+    * data in the batch, so a re-touched stale bucket must be expired
+    * in-function).
+    */
+  case class BucketState(lastTouchMs: Long)
   /** Per-(doc, bucket) claim verdict: `fresh` iff this doc is the
     * bucket's FIRST claimant ever (no prior batch, lowest doc id within
     * this batch).
@@ -253,13 +266,23 @@ object Streams {
     * computed exactly like `Dedup.lshBuckets`), not a union of two
     * filters — a union would evaluate the signature pipeline once per
     * branch, and checkpointing it away is a batch-only tool.
+    *
+    * `tsCol`: the event-time column carried into [[BandRow.ts]] (ingest
+    * time in a live deployment). `None` — for historical corpora with no
+    * time column — stamps every row with one constant timestamp, so the
+    * watermark never advances and no bucket is ever evicted (the
+    * pre-eviction behavior, appropriate for a bounded backfill).
     */
   def lshBandRows(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): Dataset[BandRow] = {
+      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2,
+      tsCol: Option[String] = None): Dataset[BandRow] = {
     import docs.sparkSession.implicits._
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val tsExpr = tsCol.map(col)
+      .getOrElse(to_timestamp(lit("2020-01-01 00:00:00")))
     val sig = graft.operators.Dedup.withMinhash(
-      docs.select(col(idCol), col(textCol)), textCol, idCol, n, k)
+      docs.select(Seq(col(idCol), col(textCol)) ++
+        tsCol.map(c => col(c)): _*), textCol, idCol, n, k)
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -267,20 +290,21 @@ object Streams {
         graft.functions.Hashing.h60(concat_ws("_", parts: _*)).as("band_hash"))
     }
     sig
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), tsExpr.as("ts"),
         explode(when(col("mh_0").isNull, // null iff the shingle set is empty
           array(struct(lit(-1).as("band"),
             col(idCol).cast("long").as("band_hash"))))
           .otherwise(array(bandStructs: _*))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"), col("ts"))
       .withColumn("n_bands", when(col("band") === -1, 1).otherwise(nBands))
       .as[BandRow]
   }
 
-  /** The stateful core of streaming near-dup dedup: one state boolean
-    * per LSH band bucket ("has this bucket ever been claimed"). Rows
-    * within a bucket group fold in doc-id order, so the batch-internal
-    * winner is deterministic (lowest id — the batch operators' tie rule).
+  /** The stateful core of streaming near-dup dedup: one small state
+    * record per LSH band bucket ("when was this bucket last claimed").
+    * Rows within a bucket group fold in doc-id order, so the
+    * batch-internal winner is deterministic (lowest id — the batch
+    * operators' tie rule).
     *
     * The decision this enables is GREEDY FIRST-WINS: a doc is kept iff
     * every one of its band buckets is fresh, i.e. iff no earlier doc
@@ -294,36 +318,84 @@ object Streams {
     * needs: NO TWO KEPT DOCS ARE LSH CANDIDATES of each other within
     * the state horizon.
     *
-    * State is one boolean per distinct bucket — 8-byte key + flag, the
-    * smallest state the decision permits. The documents fixture has no
-    * event-time column, so eviction is left to the caller (production:
-    * wire `GroupStateTimeout`/RocksDB TTL the same way
-    * [[dedupStream]] bounds its horizon with a watermark).
+    * State is one `lastTouchMs` long per distinct bucket — 8-byte key +
+    * timestamp, the smallest state the eviction contract permits — and
+    * it is BOUNDED: the watermark on [[BandRow.ts]] drives
+    * `EventTimeTimeout`, so a bucket untouched for `horizonMs` of event
+    * time is physically dropped from the state store. State size tracks
+    * the dedup horizon (buckets touched in the last `horizonMs`), never
+    * the corpus — the same property [[dedupStream]] gets from
+    * `dropDuplicatesWithinWatermark`. Because a timeout only fires for
+    * groups with NO data in a batch, a stale bucket that IS re-touched
+    * is expired in-function instead: state older than the horizon
+    * relative to `getCurrentWatermarkMs` counts as absent, so both
+    * eviction paths agree.
+    *
+    * Horizon semantics: a near-dup arriving MORE than `horizonMs` of
+    * event time after its bucket's last claimant is KEPT (the bucket was
+    * forgotten) — dedup-at-ingest trades completeness-beyond-the-horizon
+    * for bounded state, exactly like the exact-dedup sibling. With the
+    * constant-`ts` stamping of [[lshBandRows]] (`tsCol = None`) the
+    * watermark never advances and nothing is ever evicted — bounded
+    * backfills get full-corpus greedy semantics.
     */
-  def nearDupFlags(bands: Dataset[BandRow]): Dataset[BandFlag] = {
+  def nearDupFlags(bands: Dataset[BandRow],
+      horizonMs: Long = 30L * 24 * 3600 * 1000): Dataset[BandFlag] = {
     import bands.sparkSession.implicits._
-    bands.groupByKey(b => (b.band, b.band_hash))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Boolean]) => {
-          val seen = state.exists
-          if (!seen) state.update(true)
-          val rs = rows.toArray.sortBy(_.doc_id)
-          rs.iterator.zipWithIndex.map { case (r, i) =>
-            BandFlag(r.doc_id, fresh = !seen && i == 0, r.n_bands)
+    bands
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .groupByKey(b => (b.band, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val seen = state.getOption.exists(_.lastTouchMs + horizonMs >= wm)
+            val rs = rows.toArray.sortBy(_.doc_id)
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val touch = if (seen) math.max(state.get.lastTouchMs, maxTs) else maxTs
+            state.update(BucketState(touch))
+            // input rows are never below the watermark, so touch+horizon
+            // is a valid (future) timeout timestamp
+            state.setTimeoutTimestamp(touch + horizonMs)
+            rs.iterator.zipWithIndex.map { case (r, i) =>
+              BandFlag(r.doc_id, fresh = !seen && i == 0, r.n_bands)
+            }
           }
         })
   }
 
+  /** Per-batch kept-doc aggregation shared by the harness and sink
+    * variants: a doc survives iff ALL its band flags are fresh. Every
+    * band row of a doc rides the same input row, so the aggregation is
+    * BATCH-LOCAL — cross-batch memory lives only in [[nearDupFlags]]'s
+    * bucket state.
+    */
+  private def keptIds(batch: Dataset[BandFlag]): DataFrame =
+    batch.groupBy(col("doc_id"), col("n_bands"))
+      .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+      .filter(col("n_fresh") === col("n_bands"))
+      .select(col("doc_id"))
+
   /** q_stream_neardup: near-duplicate dedup AT INGEST over the documents
     * table as a real stream — kept doc ids, one row per survivor.
     *
-    * A doc's verdict aggregates its band flags (kept iff ALL fresh);
-    * since every band row of a doc rides the same input row, the
-    * aggregation is BATCH-LOCAL inside foreachBatch — cross-batch memory
-    * lives only in [[nearDupFlags]]'s bucket state. The foreachBatch
-    * body here collects kept ids for the harness (bounded: survivors of
-    * one micro-batch); a production deployment writes the kept rows to
-    * the curated sink instead — same query, different sink body.
+    * ORACLE-EQUIVALENCE ASSUMPTION: the greedy first-wins closed form in
+    * the SQL oracle ranks claimants by doc id GLOBALLY, which matches
+    * this query only when the AvailableNow file source delivers all docs
+    * in ONE micro-batch (the fixture directory holds a single
+    * `documents.parquet`, and no maxFilesPerTrigger is set, so it does).
+    * With multiple batches, batch arrival order outranks id order and
+    * the kept set is the (still candidate-pair-free) multi-batch greedy
+    * set instead — the StreamingSpec fixture covers that path.
+    *
+    * The foreachBatch body collects kept ids for the harness (bounded:
+    * survivors of one micro-batch); [[nearDupDedupToSink]] is the
+    * production shape. The temp checkpoint is deleted on completion —
+    * AvailableNow over a fixed directory is a one-shot run, not a
+    * resumable ingest.
     */
   def nearDupDedupAvailableNow(spark: SparkSession, dir: String,
       n: Int = 3, k: Int = 12, rowsPerBand: Int = 2): DataFrame = {
@@ -332,18 +404,52 @@ object Streams {
     val flags = nearDupFlags(
       lshBandRows(documentsStream(spark, dir), "text", "doc_id", n, k, rowsPerBand))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ckpt")
+    try {
+      val q = flags.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: Dataset[BandFlag], _: Long) =>
+          val ids = keptIds(batch).as[Long].collect()
+          kept.synchronized { val _ = kept ++= ids }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    kept.toSeq.toDF("doc_id")
+  }
+
+  /** Production near-dup-dedup-at-ingest: kept doc ids land in
+    * `destDir/batch_id=<id>` parquet, one idempotent overwrite per
+    * micro-batch (the [[ingestAvailableNow]] exactly-once sink pattern),
+    * against a CALLER-OWNED durable checkpoint so the ingest resumes
+    * where it left off. `tsCol` should be the ingest-time column so
+    * [[nearDupFlags]]'s horizon actually evicts; downstream joins the
+    * kept-id table back to the raw corpus (or inlines the doc payload —
+    * swap `keptIds` for a kept-rows projection).
+    */
+  def nearDupDedupToSink(docs: DataFrame, destDir: String,
+      checkpointDir: String, textCol: String = "text",
+      idCol: String = "doc_id", tsCol: Option[String] = None,
+      n: Int = 3, k: Int = 12, rowsPerBand: Int = 2,
+      horizonMs: Long = 30L * 24 * 3600 * 1000): Unit = {
+    val flags = nearDupFlags(
+      lshBandRows(docs, textCol, idCol, n, k, rowsPerBand, tsCol), horizonMs)
     val q = flags.writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: Dataset[BandFlag], _: Long) =>
-        val ids = batch.groupBy(col("doc_id"), col("n_bands"))
-          .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
-          .filter(col("n_fresh") === col("n_bands"))
-          .select(col("doc_id")).as[Long].collect()
-        kept.synchronized { val _ = kept ++= ids }
-        ()
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[BandFlag], batchId: Long) =>
+        keptIds(batch).write.mode("overwrite")
+          .parquet(s"$destDir/batch_id=$batchId"): Unit
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    kept.toSeq.toDF("doc_id")
+  }
+
+  /** Best-effort recursive delete for harness-scoped temp dirs. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -242,4 +242,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.minhashLshPairs(survivors, "text", "doc_id").count() == 0,
       "no two kept docs may be LSH candidates of each other")
   }
+
+  test("streaming near-dup state is watermark-bounded: buckets past the horizon evict, a late near-dup is kept") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // 1-hour horizon: buckets untouched for >1h of event time are forgotten
+    val flags = Streams.nearDupFlags(
+      Streams.lshBandRows(docs, "text", "doc_id", tsCol = Some("ts")),
+      horizonMs = 3600L * 1000)
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft-neardup-evict-spec")
+    val q = flags.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Streams.BandFlag], _: Long) =>
+          val ids = b.groupBy(col("doc_id"), col("n_bands"))
+            .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+            .filter(col("n_fresh") === col("n_bands"))
+            .select(col("doc_id")).as[Long].collect()
+          kept.synchronized { val _ = kept ++= ids }
+          ()
+      }.start()
+    def record(): Unit = {
+      q.processAllAvailable()
+      Option(q.lastProgress).foreach { p =>
+        if (p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators(0).numRowsTotal
+      }
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: doc 1 claims its buckets at 10:00
+    input.addData((1L, base, ts("2024-01-01 10:00:00")))
+    record()
+    // batch 2: doc 2 is a near-copy 5 min later — inside the horizon,
+    // dropped; doc 3 (fresh text, 20:00) advances the watermark to 19:00
+    input.addData((2L, base + " iota", ts("2024-01-01 10:05:00")),
+      (3L, "one two three four five six seven eight nine", ts("2024-01-01 20:00:00")))
+    record()
+    // batch 3: doc 4 repeats doc 2's text at 19:30 — its buckets were
+    // last touched 10:05, horizon 1h, watermark 19:00 → expired, so the
+    // LATE NEAR-DUP IS KEPT (the documented horizon trade-off)
+    input.addData((4L, base + " iota", ts("2024-01-01 19:30:00")))
+    record()
+    // batches 4+5: march the watermark a day forward; every bucket from
+    // docs 1-4 times out PHYSICALLY (state rows shrink to the two live docs)
+    input.addData((5L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen", ts("2024-01-02 10:00:00")))
+    record()
+    input.addData((6L, "red orange yellow green blue indigo violet ultraviolet", ts("2024-01-02 09:30:00")))
+    record()
+    q.stop()
+
+    val ks = kept.toSet
+    assert(ks.contains(1L), "first claimant kept")
+    assert(!ks.contains(2L), "near-dup inside the horizon dropped")
+    assert(ks.contains(3L), "fresh doc kept")
+    assert(ks.contains(4L), "near-dup PAST the horizon kept — bucket evicted")
+    assert(ks.contains(5L) && ks.contains(6L))
+    // physical eviction: after the day-2 batches only doc 5 + doc 6
+    // buckets remain (6 bands each); everything from day 1 timed out.
+    // Five docs with shingles × 6 bands ≈ 30 distinct buckets ever
+    // created, so a NoTimeout run would end ≳24 — bounded-state ends at 12.
+    assert(stateRows.nonEmpty)
+    assert(stateRows.last == 12,
+      s"state must shrink to the two live docs' buckets, got ${stateRows.toList}")
+    // and some reading DECREASED vs its predecessor — timeouts physically
+    // removed rows mid-stream (observed progression e.g. 6, 6, 12, 6, 12)
+    assert(stateRows.toList.sliding(2).exists { case List(a, b) => b < a; case _ => false },
+      s"no physical state shrink observed: ${stateRows.toList}")
+  }
 }
