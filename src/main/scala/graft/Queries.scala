@@ -921,8 +921,9 @@ object Queries {
     * try/except ValueError: continue). Every 13th row carries a malformed
     * timestamp so the skip path is exercised, not just declared.
     *
-    * PERF NOTE (inline justification for the bench): ~2.2× DuckDB at
-    * sf0.1, constant-dominated. Measured r9: 0.62 s at sf0.01 vs
+    * PERF NOTE (inline justification for the bench): ~2.2-3.8× DuckDB
+    * at sf0.1 (the ratio swings with DuckDB's sub-second denominator),
+    * constant-dominated. Measured r9: 0.62 s at sf0.01 vs
     * 0.94 s at sf0.1 — 10× the data costs 1.5×, i.e. ≥0.55 s of the
     * 0.94 s is fixed job overhead. The per-row work (json assembly +
     * ONE schema'd from_json reparse — see the evalOnce note below for
@@ -1957,8 +1958,9 @@ object Queries {
     * real cross-document duplicate segments, so first-occurrence
     * selection and document reassembly are both exercised).
     *
-    * PERF NOTE (inline justification for the bench): ~2.7× DuckDB at
-    * sf0.1, constant-dominated, shape is right. Measured r9: 0.96 s at
+    * PERF NOTE (inline justification for the bench): ~2.7-3.8× DuckDB
+    * at sf0.1 (the ratio swings with DuckDB's sub-second denominator),
+    * constant-dominated, shape is right. Measured r9: 0.96 s at
     * sf0.01 vs 1.37 s at sf0.1 — 10× the data costs 1.4×, so ≥0.9 s of
     * the 1.37 s is the fixed floor of its 3-job pipeline (explode →
     * window-over-gram-hash → re-assemble), not data work. The scaling
