@@ -102,6 +102,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.SortThroughProject.install(spark)
 
     // Isolation between measurements: a few operators eagerly
     // localCheckpoint compact intermediates (lineage discipline); each

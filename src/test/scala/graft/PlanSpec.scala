@@ -265,4 +265,72 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "unkeyed join in simhash pairs:\n" + p.take(800))
   }
+
+  test("SortThroughProject: global sort samples the scan, not the computed projection") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // q_round_decimal shape: expensive computed columns + orderBy on
+    // pass-through keys → the rule must leave Sort BELOW the Project, so
+    // the range-sampling job reads three base columns instead of
+    // evaluating the decimal quantize twice
+    val swapped = li.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 0.0137, 2).as("r2"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("q2"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .queryExecution.optimizedPlan
+    assert(swapped.isInstanceOf[Project] &&
+      swapped.children.head.isInstanceOf[Sort],
+      "sort must be pushed below the computing projection:\n" + swapped)
+    // sort key renamed through a bare alias still swaps (exprId mapped)
+    val renamed = li.select(col("l_orderkey").as("ok"),
+        (col("l_extendedprice") * 2).as("p2")).orderBy("ok")
+      .queryExecution.optimizedPlan
+    assert(renamed.isInstanceOf[Project] &&
+      renamed.children.head.isInstanceOf[Sort],
+      "rename-through sort key must still swap:\n" + renamed)
+    // NEGATIVE: the projection drops a variable-width column it consumed
+    // (md5 over a string) — swapping would push the wide text through the
+    // range exchange; the rule must leave the plan alone
+    val kept = li.select(col("l_orderkey"), md5(col("l_returnflag")).as("h"))
+      .orderBy("l_orderkey")
+      .queryExecution.optimizedPlan
+    assert(kept.isInstanceOf[Sort],
+      "dropped variable-width input must block the swap:\n" + kept)
+    // NEGATIVE: computed sort key stays put (pushing it down would not
+    // save the double evaluation anyway)
+    val computedKey = li.select((col("l_extendedprice") * 3).as("k3"),
+        col("l_orderkey")).orderBy("k3")
+      .queryExecution.optimizedPlan
+    assert(computedKey.isInstanceOf[Sort],
+      "computed sort key must block the swap:\n" + computedKey)
+    // NEGATIVE: a NARROWING projection (five numeric inputs folded into
+    // one value) must not swap — the range exchange would carry the wide
+    // pre-projection row (the sf0.1 n-gram Jaccard sort measured +0.8 s)
+    val narrowing = li.select(col("l_orderkey"),
+        (col("l_quantity") + col("l_extendedprice") + col("l_discount")
+          + col("l_tax")).as("v")).orderBy("l_orderkey")
+      .queryExecution.optimizedPlan
+    assert(narrowing.isInstanceOf[Sort],
+      "narrowing projection must block the swap:\n" + narrowing)
+    // NEGATIVE: projection above a shuffle (aggregate) — sampling reads
+    // materialized stage output either way, so the swap buys nothing
+    val overAgg = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"))
+      .select(col("l_returnflag"), (col("s") * 2).as("s2"))
+      .orderBy("l_returnflag")
+      .queryExecution.optimizedPlan
+    assert(overAgg.isInstanceOf[Sort],
+      "shuffle below the projection must block the swap:\n" + overAgg)
+    // row-level equivalence with the rule on vs off
+    def q = li.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 0.0137, 2).as("r2"))
+      .orderBy("l_orderkey", "l_linenumber")
+    val on = q.collect().toSeq
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq()
+      assert(q.collect().toSeq == on, "rule must not change results")
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }

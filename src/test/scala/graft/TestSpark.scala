@@ -13,6 +13,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.SortThroughProject.install(s)
     s
   }
 }
