@@ -95,11 +95,18 @@ object Bench {
     // numbers swung ±35% on identical code (r3: 14.4 s, r4 pre-fix:
     // 19.3 s).
     val e1Reps = sys.env.getOrElse("SPARK_GRAFT_E1_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v Spark confs for
+    // config A/B experiments (e.g. "spark.sql.adaptive.enabled=false").
+    // Unset → the production defaults below; the driver never sets it.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.SortThroughProject.install(spark)
