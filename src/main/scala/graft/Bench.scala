@@ -37,10 +37,17 @@ object Bench {
     * rep and the peak heap reached within it — a rep whose seconds spike
     * WITH its gc_ms is memory pressure, one that spikes without is
     * scheduling/page-cache (the round-8 flagship [14, 62] s spread was
-    * undecidable from seconds alone).
+    * undecidable from seconds alone). `loadAvg` is the system 1-minute
+    * load average sampled at rep end: driver-run totals have measured up
+    * to 1.9× the committed isolated numbers on single queries
+    * (BENCH_r09 q_leakage_split 7.17 s vs 3.76 s isolated) because the
+    * sandbox runs concurrent work during driver benches — with the load
+    * in the artifact, an inflated run diagnoses itself (load ≫ cores
+    * next to the slow rep) instead of needing out-of-band knowledge.
     */
   private case class Timed[A](median: Double, raw: Seq[Double],
-    gcMs: Seq[Long], peakHeapMb: Seq[Long], first: Option[A], err: Option[String])
+    gcMs: Seq[Long], peakHeapMb: Seq[Long], loadAvg: Seq[Double],
+    first: Option[A], err: Option[String])
 
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -65,6 +72,7 @@ object Bench {
     var err: Option[String] = None
     val gcs = scala.collection.mutable.ArrayBuffer[Long]()
     val heaps = scala.collection.mutable.ArrayBuffer[Long]()
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
     val ts = (0 until math.max(1, reps)).flatMap { _ =>
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = totalGcMs()
@@ -75,6 +83,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         gcs += totalGcMs() - gc0
         heaps += heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+        loads += math.rint(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage * 10) / 10
         Some(sec)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -83,7 +93,8 @@ object Bench {
           None
       }
     }
-    Timed(if (ts.isEmpty) -1.0 else median(ts), ts, gcs.toSeq, heaps.toSeq, first, err)
+    Timed(if (ts.isEmpty) -1.0 else median(ts), ts, gcs.toSeq, heaps.toSeq,
+      loads.toSeq, first, err)
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,7 +178,7 @@ object Bench {
         .collect()
         .map(_.getAs[Long]("n")).sum
     }
-    val skipped = Timed[Long](-1.0, Nil, Nil, Nil, None, None)
+    val skipped = Timed[Long](-1.0, Nil, Nil, Nil, Nil, None, None)
     val e1 = if (skipE1) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1.first.getOrElse(-1L)
@@ -202,6 +213,7 @@ object Bench {
     val rawJson = repMap(_.raw)
     val gcJson = repMap(_.gcMs)
     val heapJson = repMap(_.peakHeapMb)
+    val loadJson = repMap(_.loadAvg)
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allErrors = errors ++
       e1.err.map("flagship_e1" -> _) ++
@@ -212,7 +224,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    // stream_progress: the stream queries' micro-batch duration
+    // decomposition (addBatch vs walCommit vs the rest, summed over the
+    // final rep's batches) — makes their fixed floor a number in the
+    // artifact: addBatch ≪ wall seconds means query start/stop +
+    // checkpoint I/O dominates, not the data path.
+    val streamJson = graft.streaming.StreamMetrics.asJson
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     // The full-precision line goes to a file; stdout gets a COMPACT line.
     // The driver keeps only the last 2000 chars of stdout and parses the
     // JSON it finds there — the full 105-query map with raw/gc detail is
@@ -234,7 +253,18 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
     val gcMax = allTimed.flatMap(_._2.gcMs).foldLeft(0L)(math.max)
     val heapMax = allTimed.flatMap(_._2.peakHeapMb).foldLeft(0L)(math.max)
-    val suffix = s""","errors":$errJson,"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    // The compact line's error map is CAPPED (first 3 entries, each
+    // message truncated) so the suffix length stays bounded even when
+    // many queries fail — the full map is in the bench_out.json file.
+    // An uncapped suffix with ~100 failures would alone overflow the
+    // driver's 2000-char stdout tail and push the char budget negative,
+    // reproducing the mid-JSON truncation in exactly the failure case
+    // the artifact most needs to convey.
+    val errCompact = allErrors.take(3)
+      .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v.take(100)) }
+      .mkString("{", ",", "}")
+    val loadMax = allTimed.flatMap(_._2.loadAvg).foldLeft(0.0)(math.max)
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()

@@ -24,6 +24,7 @@ object Verify {
     // optional 3rd arg: comma-separated query-name subset (local
     // iteration on one query without a 100-query dump; the driver
     // passes two args and gets the full suite)
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [onlyCsv]")
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

@@ -32,8 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * string, which can permute distinct grams but never changes equal-run
   * lengths, and only those are returned.
   *
-  * `n` must be a foldable positive literal. Null token elements are not
-  * expected (the tokenizer never produces them).
+  * `n` must be a foldable positive literal. The tokenizer path never
+  * produces null token elements, but the function is registered on the
+  * session for arbitrary string arrays, so null elements are handled
+  * defensively rather than by NPE: a window containing a null token is
+  * not an n-gram (skipped), and an array whose every window has a null
+  * returns null like the too-short case. (The oracle never sees nulls
+  * — its input is the tokenizer — so this is a documented choice, not
+  * an oracle-pinned semantic.)
   */
 case class GramTopRun(toks: Expression, n: Expression)
   extends Expression with ExpectsInputTypes {
@@ -66,11 +72,33 @@ case class GramTopRun(toks: Expression, n: Expression)
     if (g <= 0) return null
     val ng = nGram
     val ts = new Array[UTF8String](total)
+    var nulls = 0
     var i = 0
-    while (i < total) { ts(i) = arr.getUTF8String(i); i += 1 }
-    val idx = new Array[Integer](g)
-    i = 0
-    while (i < g) { idx(i) = Integer.valueOf(i); i += 1 }
+    while (i < total) {
+      if (arr.isNullAt(i)) nulls += 1 else ts(i) = arr.getUTF8String(i)
+      i += 1
+    }
+    // windows containing a null token are not n-grams; the common
+    // (tokenizer) case has none, so keep the dense fast path
+    val idx: Array[Integer] =
+      if (nulls == 0) {
+        val a = new Array[Integer](g)
+        i = 0
+        while (i < g) { a(i) = Integer.valueOf(i); i += 1 }
+        a
+      } else {
+        val b = new java.util.ArrayList[Integer](g)
+        i = 0
+        while (i < g) {
+          var ok = true
+          var k = 0
+          while (ok && k < ng) { if (ts(i + k) == null) ok = false; k += 1 }
+          if (ok) b.add(Integer.valueOf(i))
+          i += 1
+        }
+        if (b.isEmpty) return null
+        b.toArray(new Array[Integer](b.size()))
+      }
     java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
         val ai = a.intValue(); val bi = b.intValue()
@@ -86,7 +114,7 @@ case class GramTopRun(toks: Expression, n: Expression)
     var best = 1
     var run = 1
     i = 1
-    while (i < g) {
+    while (i < idx.length) {
       val a = idx(i - 1).intValue(); val b = idx(i).intValue()
       var eq = true
       var k = 0

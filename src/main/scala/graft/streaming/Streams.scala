@@ -79,6 +79,7 @@ object Streams {
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMetrics.record(q)
     spark.table(queryName)
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
@@ -102,6 +103,7 @@ object Streams {
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMetrics.record(q)
     spark.table(queryName)
       .select(col("user_id"), col("__sw.start").as("session_start"),
         col("n_events"), col("sum_value"))
@@ -229,6 +231,7 @@ object Streams {
       .queryName(queryName).outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMetrics.record(q)
     spark.table(queryName)
   }
 
@@ -331,19 +334,29 @@ object Streams {
     * relative to `getCurrentWatermarkMs` counts as absent, so both
     * eviction paths agree.
     *
-    * Horizon semantics: a near-dup arriving MORE than `horizonMs` of
-    * event time after its bucket's last claimant is KEPT (the bucket was
-    * forgotten) — dedup-at-ingest trades completeness-beyond-the-horizon
-    * for bounded state, exactly like the exact-dedup sibling. With the
-    * constant-`ts` stamping of [[lshBandRows]] (`tsCol = None`) the
-    * watermark never advances and nothing is ever evicted — bounded
-    * backfills get full-corpus greedy semantics.
+    * Horizon semantics: a near-dup arriving MORE than
+    * `horizonMs + latenessMs` of event time after its bucket's last
+    * claimant is KEPT (the bucket was forgotten); one arriving within
+    * `horizonMs` is dropped; in between, retention depends on how far
+    * the watermark lags max event time — dedup-at-ingest trades
+    * completeness-beyond-the-horizon for bounded state, exactly like
+    * the exact-dedup sibling. `latenessMs` is the ALLOWED-LATENESS
+    * bound (watermark delay): rows more than `latenessMs` of event
+    * time behind the stream's max are dropped by the watermark before
+    * they reach the state function. It is deliberately DECOUPLED from
+    * the horizon — with `delay = horizonMs` (one knob for both) the
+    * watermark lags by a full horizon and buckets survive up to
+    * 2×`horizonMs`, silently dropping near-dups the contract says to
+    * keep. With the constant-`ts` stamping of [[lshBandRows]]
+    * (`tsCol = None`) the watermark never advances and nothing is ever
+    * evicted — bounded backfills get full-corpus greedy semantics.
     */
   def nearDupFlags(bands: Dataset[BandRow],
-      horizonMs: Long = 30L * 24 * 3600 * 1000): Dataset[BandFlag] = {
+      horizonMs: Long = 30L * 24 * 3600 * 1000,
+      latenessMs: Long = 3600L * 1000): Dataset[BandFlag] = {
     import bands.sparkSession.implicits._
     bands
-      .withWatermark("ts", s"$horizonMs milliseconds")
+      .withWatermark("ts", s"$latenessMs milliseconds")
       .groupByKey(b => (b.band, b.band_hash))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
@@ -406,6 +419,7 @@ object Streams {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ckpt")
     try {
       val q = flags.writeStream.outputMode(OutputMode.Append())
+        .queryName("q_stream_neardup_run")
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: Dataset[BandFlag], _: Long) =>
           val ids = keptIds(batch).as[Long].collect()
@@ -414,6 +428,7 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      StreamMetrics.record(q)
     } finally deleteRecursively(ckpt)
     kept.toSeq.toDF("doc_id")
   }
@@ -431,9 +446,11 @@ object Streams {
       checkpointDir: String, textCol: String = "text",
       idCol: String = "doc_id", tsCol: Option[String] = None,
       n: Int = 3, k: Int = 12, rowsPerBand: Int = 2,
-      horizonMs: Long = 30L * 24 * 3600 * 1000): Unit = {
+      horizonMs: Long = 30L * 24 * 3600 * 1000,
+      latenessMs: Long = 3600L * 1000): Unit = {
     val flags = nearDupFlags(
-      lshBandRows(docs, textCol, idCol, n, k, rowsPerBand, tsCol), horizonMs)
+      lshBandRows(docs, textCol, idCol, n, k, rowsPerBand, tsCol),
+      horizonMs, latenessMs)
     val q = flags.writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[BandFlag], batchId: Long) =>

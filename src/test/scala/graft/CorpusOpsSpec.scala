@@ -331,4 +331,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cents(0)._2.toSeq == Seq(10.0, 0.0))
     assert(cents(1)._2.toSeq == Seq(2.0, 4.0))
   }
+
+  test("graft_gram_top_run: null array elements are skipped, not NPE'd") {
+    // the session SQL function accepts arbitrary string arrays
+    // (containsNull = true), so null tokens must degrade gracefully:
+    // a window containing a null is not an n-gram
+    val rows = spark.sql(
+      """SELECT
+        |  graft_gram_top_run(array('a','b','a','b'), 2)            AS dense,
+        |  graft_gram_top_run(array('a','b',NULL,'a','b','a','b'), 2) AS holed,
+        |  graft_gram_top_run(array(NULL, 'a'), 2)                  AS all_holed,
+        |  graft_gram_top_run(array('a'), 2)                        AS too_short,
+        |  graft_gram_top_run(CAST(NULL AS array<string>), 2)       AS null_arr
+        |""".stripMargin).head()
+    assert(rows.getInt(0) == 2)     // windows: 'a b','b a','a b' -> modal 'a b' x2
+    assert(rows.getInt(1) == 3)     // valid windows skip the two null-touching starts: 'a b' x3, 'b a' x1
+    assert(rows.isNullAt(2), "every window holds a null -> no n-grams -> null")
+    assert(rows.isNullAt(3))
+    assert(rows.isNullAt(4))
+    // codegen and interpreted paths agree on the null-holed array
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"), null,
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("a"), UTF8String.fromString("b")))
+    val expr = graft.functions.GramTopRun(
+      Literal.create(arr, ArrayType(StringType, containsNull = true)), Literal(2))
+    assert(expr.eval(null) == rows.getInt(1))
+  }
 }

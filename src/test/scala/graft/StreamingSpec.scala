@@ -314,6 +314,52 @@ class StreamingSpec extends AnyFunSuite {
       s"no physical state shrink observed: ${stateRows.toList}")
   }
 
+  test("near-dup retention contract: an arrival between 1x and 2x the horizon is KEPT (lateness decoupled from horizon)") {
+    // With watermark delay = horizonMs (one knob for both), the watermark
+    // lags max event time by a full horizon and a bucket survives up to
+    // 2x horizonMs — an arrival 1.5h after the claimant (1h horizon)
+    // would be silently dropped. Decoupled lateness makes the documented
+    // contract hold: retention is in [horizon, horizon + lateness].
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val flags = Streams.nearDupFlags(
+      Streams.lshBandRows(docs, "text", "doc_id", tsCol = Some("ts")),
+      horizonMs = 3600L * 1000, latenessMs = 30L * 60 * 1000)
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft-neardup-lateness-spec")
+    val q = flags.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[Streams.BandFlag], _: Long) =>
+          val ids = b.groupBy(col("doc_id"), col("n_bands"))
+            .agg(sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+            .filter(col("n_fresh") === col("n_bands"))
+            .select(col("doc_id")).as[Long].collect()
+          kept.synchronized { val _ = kept ++= ids }
+          ()
+      }.start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: doc 1 claims its buckets at 10:00 -> wm advances to 09:30
+    input.addData((1L, base, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: fresh doc at 11:40 -> wm advances to 11:10, past
+    // 10:00 + 1h horizon, expiring doc 1's buckets
+    input.addData((2L, "one two three four five six seven eight nine", ts("2024-01-01 11:40:00")))
+    q.processAllAvailable()
+    // batch 3: near-copy of doc 1 at 11:30 — 1.5h after the claimant,
+    // BETWEEN 1x and 2x the horizon, and above the 11:10 watermark
+    input.addData((3L, base + " iota", ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ks = kept.toSet
+    assert(ks.contains(1L) && ks.contains(2L))
+    assert(ks.contains(3L),
+      "a near-dup arriving between 1x and 2x the horizon must be kept — " +
+        "its bucket expired at lastTouch + horizon, not lastTouch + 2x horizon")
+  }
+
   test("nearDupDedupToSink: kept ids land per-batch in parquet, bucket state survives restart via the checkpoint") {
     val src = Files.createTempDirectory("graft-neardup-src").toString
     val dest = Files.createTempDirectory("graft-neardup-dest").toString + "/kept"
