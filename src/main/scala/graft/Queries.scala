@@ -682,6 +682,21 @@ object Queries {
   /** F17: decimal rounding — `round(x, 2)` (half-away, both engines) and
     * a DECIMAL(18,2) quantize cast. The reference's ROUND_05UP mode has
     * no SQL twin; documented deviation (SURVEY.md §1.2).
+    *
+    * PERF NOTE (isolated 5-rep, sf0.1): warm reps 1.07-1.15 s, median
+    * 1.13 s vs DuckDB 0.48 s = ~2.4×. The cost is NOT the rounding —
+    * it is the full-table global ORDER BY (600k rows × 4 output
+    * columns through a range exchange + UnsafeRow materialization),
+    * whose no-sort floor is ~0.5 s; DuckDB sorts the same rows
+    * in-process with no exchange. [[graft.plans.SortThroughProject]]
+    * already removed the double projection eval (sampling pass sorts
+    * the scan, quantize runs once above the sort) — the residual gap
+    * is the exchange floor, and it amortizes with scale: sf0.01→sf0.1
+    * (10× data) costs 3.4× (0.32→1.13 s), sub-linear against the
+    * n·log n sort. An earlier 0.8 s steady-state figure (rule
+    * scaladoc) predated the DECIMAL(18,2) quantize column and is not
+    * reproducible under the bench protocol; 1.1 s is the honest
+    * number.
     */
   val qRoundDecimal = QDef(
     // q2 quantizes through DECIMAL(18,2) then casts back to DOUBLE on both

@@ -17,7 +17,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * through the range exchange. Sorting first samples only the scan,
   * evaluates the projection ONCE (above the sort), and shuffles the
   * narrower base columns. Measured on q_round_decimal at sf0.1:
-  * 1.3 s → 0.8 s steady-state (no-sort floor 0.5 s).
+  * 1.3 s → ~1.1 s warm steady-state under the bench protocol
+  * (isolated 5-rep medians; no-sort floor 0.5 s). An earlier 0.8 s
+  * figure came from a pre-quantize-column variant of the query and
+  * does not reproduce — the query-site PERF NOTE in Queries.scala
+  * carries the current reconciled numbers.
   *
   * Spark has no built-in rule for this direction (ColumnPruning only
   * narrows the child; the Project stays below the Sort). The physical

@@ -333,4 +333,109 @@ class PlanSpec extends AnyFunSuite {
       assert(q.collect().toSeq == on, "rule must not change results")
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("SortThroughProject: property — random project/sort/filter/agg stacks are rule-on == rule-off") {
+    // The six negative pins above freeze the KNOWN guard conditions;
+    // this property protects the ones nobody thought of: any future
+    // edit to `widens`/`droppedRefs`/the match pattern must preserve
+    // row-for-row equality on arbitrary operator stacks, not just the
+    // shapes the pins enumerate. All columns are LONG (a float
+    // aggregate could legally differ between plan shapes via summation
+    // order) and every generated sort ends in a unique tie-break key,
+    // so equality is exact and deterministic by construction.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    sealed trait Op
+    case class Compute(src: Int, kind: Int) extends Op
+    case class Prune(mask: Int) extends Op
+    case class Rename(i: Int) extends Op
+    case class FilterOp(src: Int, m: Int) extends Op
+    case class SortOp(k1: Int, k2: Int, desc: Boolean) extends Op
+    case class AggOp(key: Int) extends Op
+
+    // (frame, numeric column names, unique-per-row tie-break column)
+    case class St(df: DataFrame, cols: Vector[String], uniq: String, n: Int)
+
+    def base: St = {
+      val df = spark.range(200).select(col("id"),
+        (col("id") % 7).as("a"), (col("id") % 13).as("b"),
+        ((col("id") * 37) % 101).as("c"))
+      St(df, Vector("a", "b", "c"), "id", 0)
+    }
+
+    def step(s: St, op: Op): St = op match {
+      case Compute(src, kind) =>
+        val in = col(s.cols(math.abs(src) % s.cols.size))
+        val e: Column = math.abs(kind) % 3 match {
+          case 0 => in * 2 + 1
+          case 1 => (in * 37) % 101
+          case _ => (in + 3) * (in % 5 + 1)
+        }
+        val nm = s"c${s.n}"
+        St(s.df.withColumn(nm, e), s.cols :+ nm, s.uniq, s.n + 1)
+      case Prune(mask) =>
+        val kept = s.cols.zipWithIndex.collect {
+          case (c, i) if ((mask >>> (i % 30)) & 1) == 1 => c
+        }
+        val cols2 = if (kept.isEmpty) Vector(s.cols(math.abs(mask) % s.cols.size)) else kept
+        val sel = (s.uniq +: cols2).distinct
+        St(s.df.select(sel.map(col): _*), cols2, s.uniq, s.n)
+      case Rename(i) =>
+        val from = s.cols(math.abs(i) % s.cols.size)
+        val to = from + "r"
+        St(s.df.withColumnRenamed(from, to), s.cols.map(c => if (c == from) to else c),
+          if (s.uniq == from) to else s.uniq, s.n)
+      case FilterOp(src, m) =>
+        val in = col(s.cols(math.abs(src) % s.cols.size))
+        St(s.df.filter(in % 5 < (math.abs(m) % 4 + 1)), s.cols, s.uniq, s.n)
+      case SortOp(k1, k2, desc) =>
+        val a = s.cols(math.abs(k1) % s.cols.size)
+        val b = s.cols(math.abs(k2) % s.cols.size)
+        val head = if (desc) col(a).desc else col(a).asc
+        val keys = head +: (Seq(b).filter(_ != a).map(col(_).asc) :+ col(s.uniq).asc)
+        St(s.df.orderBy(keys: _*), s.cols, s.uniq, s.n)
+      case AggOp(key) =>
+        val k = s.cols(math.abs(key) % s.cols.size)
+        val others = s.cols.filter(_ != k).take(2)
+        val aggs = count(lit(1)).as(s"n${s.n}") +:
+          others.map(c => sum(col(c)).as(s"s_$c"))
+        St(s.df.groupBy(k).agg(aggs.head, aggs.tail: _*),
+          k +: (s"n${s.n}" +: others.map("s_" + _)).toVector, k, s.n + 1)
+    }
+
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)).map { case (a, b) => Compute(a, b) },
+      1 -> Gen.choose(1, (1 << 8) - 1).map(Prune(_)),
+      1 -> Gen.choose(0, 9).map(Rename(_)),
+      2 -> Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)).map { case (a, b) => FilterOp(a, b) },
+      3 -> Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9), Gen.oneOf(true, false))
+        .map { case (a, b, d) => SortOp(a, b, d) },
+      1 -> Gen.choose(0, 9).map(AggOp(_)))
+    val stackGen: Gen[List[Op]] = Gen.choose(2, 6).flatMap(Gen.listOfN(_, opGen))
+
+    def run(ops: List[Op]): (Seq[org.apache.spark.sql.Row], String) = {
+      val st = ops.foldLeft(base)(step)
+      // deterministic final order: every column then the unique key
+      val fin = st.df.orderBy((st.cols.map(col(_).asc) :+ col(st.uniq).asc): _*)
+      (fin.collect().toSeq, fin.queryExecution.optimizedPlan.toString)
+    }
+
+    val withRule = spark.experimental.extraOptimizations
+    assert(withRule.contains(graft.plans.SortThroughProject),
+      "precondition: the rule must be installed in the test session")
+    var fired = 0
+    val prop = Prop.forAll(stackGen) { ops =>
+      val (onRows, onPlan) = run(ops)
+      val (offRows, offPlan) =
+        try { spark.experimental.extraOptimizations = Seq(); run(ops) }
+        finally spark.experimental.extraOptimizations = withRule
+      if (onPlan != offPlan) fired += 1
+      onRows == offRows
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+    assert(fired > 0, "vacuous property: the rule never rewrote any generated plan")
+  }
 }
