@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's stdout in forked runs instead of routing program output
+// through the sbt logger: the logger prefixes every line with "[info] ",
+// and the driver's bench harness keeps the last 2000 chars of stdout and
+// tries to parse the JSON line it finds there — every round so far its
+// artifact recorded "parsed": null with the compact line present but
+// "[info] "-prefixed. Raw inherited stdout emits the line verbatim, so a
+// plain line-wise json parse succeeds. (sbt's own "[success] ..." epilog
+// still follows; the JSON stays the last program-emitted line.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

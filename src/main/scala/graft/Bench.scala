@@ -37,7 +37,11 @@ object Bench {
     * rep and the peak heap reached within it — a rep whose seconds spike
     * WITH its gc_ms is memory pressure, one that spikes without is
     * scheduling/page-cache (the round-8 flagship [14, 62] s spread was
-    * undecidable from seconds alone). `loadAvg` is the system 1-minute
+    * undecidable from seconds alone). peakHeapMb is the SUM of per-pool
+    * peaks (reset at rep start); under G1 the pools peak at different
+    * instants (Eden shrinks as Old grows), so the sum can read ABOVE
+    * -Xmx — it is an upper bound on occupancy, comparable across reps,
+    * not an instantaneous heap reading. `loadAvg` is the system 1-minute
     * load average sampled at rep end: driver-run totals have measured up
     * to 1.9× the committed isolated numbers on single queries
     * (BENCH_r09 q_leakage_split 7.17 s vs 3.76 s isolated) because the
@@ -179,11 +183,19 @@ object Bench {
         .map(_.getAs[Long]("n")).sum
     }
     val skipped = Timed[Long](-1.0, Nil, Nil, Nil, Nil, None, None)
-    val e1 = if (skipE1) skipped
+    // SPARK_GRAFT_E1_VARIANTS: comma subset of plain,segmented,chunked
+    // for single-variant scale runs (unset → all three; driver never
+    // sets it). The sf1 decade reps run 1-4 min each, so re-measuring
+    // one variant must not pay for the other two.
+    val e1Variants = sys.env.get("SPARK_GRAFT_E1_VARIANTS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("plain", "segmented", "chunked"))
+    def wantE1(v: String) = !skipE1 && e1Variants.contains(v)
+    val e1 = if (!wantE1("plain")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1.first.getOrElse(-1L)
     releasePersisted()
-    val e1Seg = if (skipE1) skipped
+    val e1Seg = if (!wantE1("segmented")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough", "SegmentID")) }
     releasePersisted()
     // Chunked-window configuration: EXACT reference (borough-keyed)
@@ -191,7 +203,7 @@ object Bench {
     // replication — window parallelism = #chunks instead of 5. The
     // measured time includes the chunk-census validation pass and the
     // joined-frame materialization the chunked shape requires.
-    val e1Chunk = if (skipE1) skipped
+    val e1Chunk = if (!wantE1("chunked")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough"), Some(24L)) }
 
     val flagships = Seq("flagship_e1" -> e1.median,

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measurement tool for the dedup-family decade table (PLANS.md): counts
+  * the emitted/candidate pairs behind each pair-driven decade member so
+  * wall-time growth can be normalized by output size (sec/Mpair).
+  *
+  * - `lsh_candidate_pairs`: rows of `q_lsh_candidate_pairs` — the exact
+  *   edge set consumed by q_neardup_clusters / q_dedup_fuzzy /
+  *   q_leakage_split (all three build on Dedup.minhashLshPairs with the
+  *   same parameters, Queries.scala).
+  * - `simhash_neardup_pairs`: rows of `q_simhash_neardup_pairs` — its own
+  *   verified pair output.
+  *
+  * Usage: runMain graft.PairCensus <sfDir> — prints one `name=count` line
+  * per census. Counting collapses sorts/projections (fine: cardinality,
+  * not content, is the quantity here).
+  */
+object PairCensus {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: PairCensus <sfDir>")
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (q <- Seq("q_lsh_candidate_pairs", "q_simhash_neardup_pairs"))
+      println(s"$q=${SparkEntry.queries(q)(spark, dir).count()}")
+    spark.stop()
+  }
+}

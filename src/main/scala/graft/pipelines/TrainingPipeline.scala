@@ -77,7 +77,19 @@ object TrainingPipeline {
     val ordered = Seq("date", "RequestID") // deterministic tie-break (O1 fix)
     val windowed = chunkSpanHours match {
       case Some(h) =>
-        TrailingFeatures.withTrailingChunked(joined.localCheckpoint(true),
+        // DISK_ONLY, not the MEMORY_AND_DISK default: the materialized
+        // joined frame is ~10× the feature columns and lands WHILE the
+        // upstream dropDuplicates hash-aggregate is still running — at
+        // MEMORY_AND_DISK its blocks fill the protected storage half of
+        // unified memory and the aggregate's 32 concurrent tasks cannot
+        // acquire their minimum pages (sf1/167M rows on a 16 GB JVM:
+        // every rep died with AGGREGATE_OUT_OF_MEMORY,
+        // BENCH_e1_sf1_16g_fail.json). Local disk + OS page cache serve
+        // the three downstream scans; on a cluster this is the same
+        // executor-local-disk pattern as shuffle data.
+        TrailingFeatures.withTrailingChunked(
+          joined.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY),
           "Vol", partitionCols = windowKeyCols, orderCols = ordered,
           chunkCol = floor(unix_micros(col("date")) / (h * 3600L * 1000000L)),
           lags = Seq(1), rolls = Seq(3, 24))
