@@ -13,13 +13,15 @@ import org.apache.spark.sql.SparkSession
   * - `simhash_neardup_pairs`: rows of `q_simhash_neardup_pairs` — its own
   *   verified pair output.
   *
-  * Usage: runMain graft.PairCensus <sfDir> — prints one `name=count` line
-  * per census. Counting collapses sorts/projections (fine: cardinality,
-  * not content, is the quantity here).
+  * Usage: runMain graft.PairCensus <sfDir> [queryName...] — prints one
+  * `name=count` line per census (default: the two pair generators above;
+  * pass explicit query names to count any SparkEntry query's output
+  * cardinality, e.g. q_ngram_jaccard_pairs). Counting collapses sorts/
+  * projections (fine: cardinality, not content, is the quantity here).
   */
 object PairCensus {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: PairCensus <sfDir>")
+    require(args.length >= 1, "usage: PairCensus <sfDir> [queryName...]")
     val dir = args(0)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -28,7 +30,9 @@ object PairCensus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q_lsh_candidate_pairs", "q_simhash_neardup_pairs"))
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_lsh_candidate_pairs", "q_simhash_neardup_pairs")
+    for (q <- names)
       println(s"$q=${SparkEntry.queries(q)(spark, dir).count()}")
     spark.stop()
   }
