@@ -1040,7 +1040,7 @@ object Queries {
       val supp = t(s, d, "supplier")
         .select(col("s_suppkey"), sx.cast("double").as("x"), sy.cast("double").as("y"))
       graft.geo.SpatialJoin.nearest(cust, "c_custkey", supp, "s_suppkey",
-          "x", "y", cellSize = 20000.0)
+          "x", "y")
         .select(col("c_custkey"), col("nearest_id"), col("dist_sq").cast("long").as("dist_sq"))
         .orderBy("c_custkey")
     },
@@ -1093,7 +1093,7 @@ object Queries {
         .select(col("c_custkey"), cx.cast("double").as("x"), cy.cast("double").as("y"))
       graft.geo.SpatialJoin.nearestEdge(cust, "c_custkey",
           synthEdges(s, d), "s_suppkey",
-          "x", "y", "ax", "ay", "bx", "by", cellSize = 20000.0)
+          "x", "y", "ax", "ay", "bx", "by")
         .select(col("c_custkey"), col("nearest_edge"),
           round(col("dist_sq"), 6).as("dist_sq"))
         .orderBy("c_custkey")
@@ -1133,7 +1133,7 @@ object Queries {
         .select(col("c_custkey"), cx.cast("double").as("x"), cy.cast("double").as("y"))
       val edges = synthEdges(s, d)
       val ne = SpatialJoin.nearestEdge(cust, "c_custkey", edges, "s_suppkey",
-        "x", "y", "ax", "ay", "bx", "by", cellSize = 20000.0)
+        "x", "y", "ax", "ay", "bx", "by")
       // Re-derive the lookup side rather than reusing `edges`: ne's plan
       // already contains the same edges subtree, and joining a plan
       // against its own lineage leans on Spark's ambiguous-self-join

@@ -30,6 +30,63 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  /** Density-adaptive grid resolution from ONE bounded aggregate over
+    * the small (right) side: `cell = extent / sqrt(n)`, floored at a
+    * quarter of the mean per-object axis span when the objects are
+    * extended (edges), so supercover replication stays O(10) cells per
+    * edge however fine the point spacing gets.
+    *
+    * Why this and not a constant: the round-10 sf1 decade run caught a
+    * fixed `cellSize = 20000` turning quadratic — the synthetic
+    * coordinate EXTENT is scale-invariant (154k × 154k at every SF)
+    * while density grows with SF, so at sf1 each of the ~81 cells held
+    * ~1.9k left points × ~1.5k replicated edges ≈ 225M candidate pairs
+    * (~100× the sf0.1 pair count for 10× the rows; the rep OOM-crashed
+    * a 16 GB JVM after 340 s). `extent/sqrt(n)` keeps EXPECTED right
+    * objects per cell at O(1) at any density, so candidate pairs stay
+    * ~9·nLeft and the decade costs ~10× for 10× data. Guard safety is
+    * unchanged — cell size affects only which rows take the brute
+    * residual path, never the answer — and the expected nearest-object
+    * distance (~0.5·extent/sqrt(n) for uniform points) stays under one
+    * cell, so the residual remains empty-to-tiny.
+    *
+    * The aggregate is a driver-side action on the API's declared small
+    * side (same boundedness class as the broadcast it already rides);
+    * callers with a pre-known resolution pass `cellSize` explicitly and
+    * skip the extra job.
+    */
+  private[graft] def autoCellSize(right: DataFrame,
+      xs: Seq[Column], ys: Seq[Column]): Double = {
+    val span =
+      if (xs.length > 1) greatest(abs(xs(1) - xs(0)), abs(ys(1) - ys(0)))
+      else lit(0.0)
+    def lo(cs: Seq[Column]) = if (cs.length > 1) least(cs: _*) else cs.head
+    def hi(cs: Seq[Column]) = if (cs.length > 1) greatest(cs: _*) else cs.head
+    val row = right.agg(
+      min(lo(xs)).cast("double").as("xmin"),
+      max(hi(xs)).cast("double").as("xmax"),
+      min(lo(ys)).cast("double").as("ymin"),
+      max(hi(ys)).cast("double").as("ymax"),
+      avg(span).as("span"),
+      count(lit(1)).as("n")).head()
+    val n = row.getAs[Long]("n")
+    if (n == 0 || row.isNullAt(0)) return 1.0
+    val extent = math.max(row.getAs[Double]("xmax") - row.getAs[Double]("xmin"),
+      row.getAs[Double]("ymax") - row.getAs[Double]("ymin"))
+    val meanSpan = Option(row.getAs[Any]("span")).fold(0.0)(_.asInstanceOf[Double])
+    val cell = math.max(extent / math.sqrt(n.toDouble), meanSpan / 4.0)
+    if (cell > 0.0) cell else 1.0
+  }
+
+  /** [[nearest]] with the grid resolution derived from the right side's
+    * own extent and count ([[autoCellSize]]) — the scale-safe default.
+    */
+  def nearest(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      x: String, y: String): DataFrame =
+    nearest(left, leftId, right, rightId, x, y,
+      autoCellSize(right, Seq(col(x)), Seq(col(y))))
+
   /** Exact nearest neighbor of each left point among the right points.
     *
     * @param left     (leftId, x, y)
@@ -173,6 +230,17 @@ object SpatialJoin {
     * @param edges  (edgeId, ax, ay, bx, by) — the small side
     * @return (leftId, nearest_edge, dist_sq)
     */
+  /** [[nearestEdge]] with the grid resolution derived from the edge
+    * table's extent, count, and mean edge span ([[autoCellSize]]) — the
+    * scale-safe default.
+    */
+  def nearestEdge(left: DataFrame, leftId: String,
+      edges: DataFrame, edgeId: String,
+      x: String, y: String,
+      ax: String, ay: String, bx: String, by: String): DataFrame =
+    nearestEdge(left, leftId, edges, edgeId, x, y, ax, ay, bx, by,
+      autoCellSize(edges, Seq(col(ax), col(bx)), Seq(col(ay), col(by))))
+
   def nearestEdge(left: DataFrame, leftId: String,
       edges: DataFrame, edgeId: String,
       x: String, y: String,

@@ -106,6 +106,76 @@ class GeoSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L)
   }
 
+  test("J5: autoCellSize = extent/sqrt(n) for points, span-floored for edges") {
+    import org.apache.spark.sql.functions.col
+    // 10×10 exact grid in [0,900]²: extent 900, n=100 → cell 90.
+    val grid = (for (i <- 0 to 9; j <- 0 to 9)
+      yield (i * 100.0, j * 100.0)).toDF("x", "y")
+    val c = SpatialJoin.autoCellSize(grid, Seq(col("x")), Seq(col("y")))
+    assert(math.abs(c - 90.0) < 1e-9, s"points: got $c, want 90")
+    // 4× the density in the same extent → half the cell.
+    val dense = (for (i <- 0 to 19; j <- 0 to 19)
+      yield (i * 900.0 / 19, j * 900.0 / 19)).toDF("x", "y")
+    val cd = SpatialJoin.autoCellSize(dense, Seq(col("x")), Seq(col("y")))
+    assert(math.abs(cd - 45.0) < 1e-9, s"dense points: got $cd, want 45")
+    // Edges whose mean span dominates spacing: cell floors at span/4 so
+    // supercover replication stays O(10) cells/edge.
+    val edges = (0 until 100).map { i =>
+      (i % 10 * 100.0, i / 10 * 100.0, i % 10 * 100.0 + 800.0, i / 10 * 100.0)
+    }.toDF("ax", "ay", "bx", "by")
+    val ce = SpatialJoin.autoCellSize(edges,
+      Seq(col("ax"), col("bx")), Seq(col("ay"), col("by")))
+    assert(math.abs(ce - 200.0) < 1e-9, s"edges: got $ce, want span floor 800/4")
+    // Degenerate inputs fall back to a positive constant, no crash.
+    val one = Seq((5.0, 5.0)).toDF("x", "y")
+    assert(SpatialJoin.autoCellSize(one, Seq(col("x")), Seq(col("y"))) == 1.0)
+    val none = one.filter(col("x") < 0)
+    assert(SpatialJoin.autoCellSize(none, Seq(col("x")), Seq(col("y"))) == 1.0)
+  }
+
+  test("J5: auto-cell overloads match brute force (points and edges)") {
+    val rng = new scala.util.Random(11)
+    val rightPts = (1 to 40).map(i =>
+      (i.toLong, rng.nextDouble() * 1000, rng.nextDouble() * 1000))
+    val leftPts = (1 to 120).map(i =>
+      (i.toLong, rng.nextDouble() * 1000, rng.nextDouble() * 1000)) :+
+      (999L, 40000.0, 40000.0) // brute-residual row
+    val gotP = SpatialJoin.nearest(leftPts.toDF("id", "x", "y"), "id",
+        rightPts.toDF("id", "x", "y"), "id", "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotP.size == leftPts.size)
+    leftPts.foreach { case (lid, lx, ly) =>
+      val want = rightPts.map { case (rid, rx, ry) =>
+        (rid, (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
+      }.minBy { case (rid, d) => (d, rid) }._1
+      assert(gotP(lid) == want, s"auto nearest: left $lid got ${gotP(lid)}, want $want")
+    }
+    val edges = (1 to 20).map { i =>
+      val ax = rng.nextDouble() * 1000; val ay = rng.nextDouble() * 1000
+      (i.toLong, ax, ay, ax + rng.nextDouble() * 400 - 200, ay + rng.nextDouble() * 400 - 200)
+    }
+    def segDsq(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double = {
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      (px - qx) * (px - qx) + (py - qy) * (py - qy)
+    }
+    val gotE = SpatialJoin.nearestEdge(leftPts.toDF("id", "x", "y"), "id",
+        edges.toDF("eid", "ax", "ay", "bx", "by"), "eid",
+        "x", "y", "ax", "ay", "bx", "by")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotE.size == leftPts.size)
+    leftPts.foreach { case (pid, px, py) =>
+      val want = edges.map { case (eid, ax, ay, bx, by) =>
+        (eid, segDsq(px, py, ax, ay, bx, by))
+      }.minBy { case (eid, d) => (d, eid) }._1
+      assert(gotE(pid) == want, s"auto nearestEdge: point $pid got ${gotE(pid)}, want $want")
+    }
+  }
+
   test("J5 edges: nearest-EDGE join matches brute-force point-to-segment, incl. fallback") {
     def segDsq(px: Double, py: Double, ax: Double, ay: Double,
         bx: Double, by: Double): Double = {
