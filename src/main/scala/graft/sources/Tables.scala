@@ -33,18 +33,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's TimestampType (microseconds) rejects by default. Read
-    * nanos as long and convert (floor) to a microsecond timestamp — the
-    * session conf is set here so any session (including the driver's) can
-    * call this without special setup.
+  /** The events table's `ts` parquet type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (rejected by Spark's
+    * µs TimestampType by default), TIMESTAMP(MICROS, isAdjustedToUTC
+    * = false) (read as TIMESTAMP_NTZ under Spark 4's NTZ inference),
+    * and plain UTC micros. Normalize all three to TimestampType: nanos
+    * are read as long (session conf set here so any session, including
+    * the driver's, can call this without special setup) and floored to
+    * µs; NTZ is reinterpreted as UTC wall time — the engine runs with
+    * spark.sql.session.timeZone=UTC, so the cast is value-identical to
+    * what the DuckDB oracle computes from the same naive timestamps.
     */
   def events(spark: SparkSession, dir: String, widen: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    val df = if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val df = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     // Same opt-in widening as documents/embeddings below: the test
     // fixture is one row group = one map task, so per-row-expensive
     // consumers (JSON assembly/parse) would run on one core of 32.

@@ -55,13 +55,32 @@ object Streams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
-  /** Streaming scan of the events table (file source, micro-batched). */
+  /** Streaming scan of the events table (file source, micro-batched).
+    *
+    * The file-source requires a user schema, and the events table's
+    * parquet timestamp type has varied across driver testdata
+    * generations (TIMESTAMP(NANOS) → long under `nanosAsLong`;
+    * TIMESTAMP(MICROS) naive → TIMESTAMP_NTZ) — a hardcoded long
+    * schema read µs-precision files as µs-valued "nanos" and shrank
+    * every timestamp 1000×, collapsing event-time windows (caught by
+    * the oracle as a 3385-row aggregate dropping to 10). Probe the
+    * footer with a batch read (one driver-side metadata job at stream
+    * definition) and normalize to TimestampType the same way
+    * [[graft.sources.Tables.events]] does.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsNanosSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventsNanosSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // the table is a single file; the stream source needs a directory
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** T3 (windowed): hourly per-type aggregate over a stream, with a
