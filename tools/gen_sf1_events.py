@@ -7,10 +7,11 @@ round-10 section).
 Recipe mirrors the driver's OWN sf0.01 -> sf0.1 scaling, measured from
 the testdata: 10x rows AND 10x users (per-user event count stays ~67),
 identical 30-day span, uniform event-type mix, value ~ uniform 2-dp,
-props = {"k": <0..99>}, timestamps ns-precision random within the span
-and sorted (event_id = sort rank). timestamp[ns] schema matches the
-driver files exactly — including the TIMESTAMP(NANOS) quirk that
-`Tables.events` exists to handle.
+props = {"k": <0..99>}, timestamps random within the span and sorted
+(event_id = sort rank). Written as naive timestamp[us], matching the
+round-10 driver regeneration (rounds <=9 wrote TIMESTAMP(NANOS); both
+physical types are normalized by `Tables.events`/`Streams.eventsStream`,
+so either works — us keeps the decade's two endpoints type-identical).
 
 Usage: python3 tools/gen_sf1_events.py [outdir] (default /tmp/sf1)
 """
@@ -32,7 +33,7 @@ def main(outdir: str) -> None:
     ts = sorted(T0_NS + rng.randrange(SPAN_NS) for _ in range(N_ROWS))
     tbl = pa.table({
         'event_id': pa.array(range(N_ROWS), pa.int64()),
-        'ts': pa.array(ts, pa.timestamp('ns')),
+        'ts': pa.array([t // 1000 for t in ts], pa.timestamp('us')),
         'user_id': pa.array([rng.randrange(N_USERS) for _ in range(N_ROWS)], pa.int64()),
         'event_type': pa.array([TYPES[rng.randrange(5)] for _ in range(N_ROWS)], pa.string()),
         'value': pa.array([round(rng.uniform(0, 500), 2) for _ in range(N_ROWS)], pa.float64()),
