@@ -208,4 +208,35 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(sets.last.size == 2000, "fraction 1.0 keeps everything")
   }
+
+  test("J5 auto-cell nearest == brute argmin over random densities and extents") {
+    // The exactness contract the adaptive grid must keep at ANY density:
+    // whatever cell autoCellSize picks, guarded-grid + brute-residual
+    // equals the exhaustive argmin with the (dist², id) tie-break. Skews
+    // extents and counts across trials so the chosen cell varies ~40×.
+    import graft.geo.SpatialJoin
+    for (trial <- 1 to 4) {
+      val r = new scala.util.Random(7000 + trial)
+      val extent = math.pow(10.0, 1 + trial) // 100 … 100k
+      val nRight = 5 + r.nextInt(60)
+      val nLeft = 50 + r.nextInt(100)
+      val right = (1 to nRight).map(i =>
+        (i.toLong, r.nextDouble() * extent, r.nextDouble() * extent))
+      // left mixes in-extent points with outliers 3× beyond it
+      val left = (1 to nLeft).map { i =>
+        val m = if (i % 11 == 0) 3.0 else 1.0
+        (i.toLong, r.nextDouble() * extent * m, r.nextDouble() * extent * m)
+      }
+      val got = SpatialJoin.nearest(left.toDF("id", "x", "y"), "id",
+          right.toDF("id", "x", "y"), "id", "x", "y")
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got.size == nLeft, s"trial $trial: ${got.size} of $nLeft rows")
+      left.foreach { case (lid, lx, ly) =>
+        val want = right.map { case (rid, rx, ry) =>
+          (rid, (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry))
+        }.minBy { case (rid, d) => (d, rid) }._1
+        assert(got(lid) == want, s"trial $trial left $lid: got ${got(lid)}, want $want")
+      }
+    }
+  }
 }
