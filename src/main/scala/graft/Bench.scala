@@ -53,6 +53,28 @@ object Bench {
     gcMs: Seq[Long], peakHeapMb: Seq[Long], loadAvg: Seq[Double],
     first: Option[A], err: Option[String])
 
+  /** Single-thread CPU throughput probe: wall ms for a fixed 2×10⁸
+    * xorshift iterations. Host-level neighbors (CPU steal, cgroup
+    * throttling) are invisible to the container beyond loadavg, yet the
+    * round-10 re-measurements showed a SUSTAINED ~1.3× compute-throughput
+    * shift between windows (best-rep minima, not per-rep noise) — this
+    * probe turns that into a number two artifacts can compare directly:
+    * same code + same data + probe parity ⇒ real shift; probe inflated ⇒
+    * environment. Run before and after the suite (~0.3 s each).
+    */
+  private def cpuProbeMs(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    if (x == 42L) Console.err.println("") // defeat dead-code elimination
+    ms
+  }
+
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -150,6 +172,7 @@ object Bench {
     // skips the flagships for the same reason.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val skipE1 = sys.env.contains("SPARK_GRAFT_SKIP_E1")
+    val probeStart = cpuProbeMs()
     val measured = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -243,7 +266,8 @@ object Bench {
     // checkpoint I/O dominates, not the data path.
     val streamJson = graft.streaming.StreamMetrics.asJson
     val nCpus = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val probeJson = s"[$probeStart,${cpuProbeMs()}]"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     // The full-precision line goes to a file; stdout gets a COMPACT line.
     // The driver keeps only the last 2000 chars of stdout and parses the
     // JSON it finds there — the full 105-query map with raw/gc detail is
@@ -276,7 +300,7 @@ object Bench {
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v.take(100)) }
       .mkString("{", ",", "}")
     val loadMax = allTimed.flatMap(_._2.loadAvg).foldLeft(0.0)(math.max)
-    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()
