@@ -230,17 +230,6 @@ object SpatialJoin {
     * @param edges  (edgeId, ax, ay, bx, by) — the small side
     * @return (leftId, nearest_edge, dist_sq)
     */
-  /** [[nearestEdge]] with the grid resolution derived from the edge
-    * table's extent, count, and mean edge span ([[autoCellSize]]) — the
-    * scale-safe default.
-    */
-  def nearestEdge(left: DataFrame, leftId: String,
-      edges: DataFrame, edgeId: String,
-      x: String, y: String,
-      ax: String, ay: String, bx: String, by: String): DataFrame =
-    nearestEdge(left, leftId, edges, edgeId, x, y, ax, ay, bx, by,
-      autoCellSize(edges, Seq(col(ax), col(bx)), Seq(col(ay), col(by))))
-
   def nearestEdge(left: DataFrame, leftId: String,
       edges: DataFrame, edgeId: String,
       x: String, y: String,
@@ -274,4 +263,15 @@ object SpatialJoin {
       .select(col("__lid").as(leftId), col("__eid").as("nearest_edge"),
         col("__dsq").as("dist_sq"))
   }
+
+  /** [[nearestEdge]] with the grid resolution derived from the edge
+    * table's extent, count, and mean edge span ([[autoCellSize]]) — the
+    * scale-safe default.
+    */
+  def nearestEdge(left: DataFrame, leftId: String,
+      edges: DataFrame, edgeId: String,
+      x: String, y: String,
+      ax: String, ay: String, bx: String, by: String): DataFrame =
+    nearestEdge(left, leftId, edges, edgeId, x, y, ax, ay, bx, by,
+      autoCellSize(edges, Seq(col(ax), col(bx)), Seq(col(ay), col(by))))
 }
