@@ -75,6 +75,54 @@ object Bench {
     ms
   }
 
+  /** All-cores variant: wall ms for `availableProcessors` threads each
+    * running the single-thread probe loop concurrently. A cgroup CPU
+    * quota (or host-level core steal) that only binds under PARALLEL
+    * load is invisible to the 1-thread probe — with a full quota this
+    * wall time ≈ the single-thread time; at half quota it doubles. The
+    * (single, parallel) pair separates frequency/steal effects from
+    * quota effects with no host visibility required.
+    */
+  private def cpuProbeMtMs(): Long = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => { cpuProbeMs(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
+  }
+
+  /** Memory-bandwidth probe: wall ms for two sequential summation passes
+    * over a 256 MB long array. The register-only xorshift probes measured
+    * FULL speed in a window where same-code same-shape queries ran
+    * 1.4–2× slower (the round-10 archive bisect: artifact-era code on
+    * today's box reproduced today's slow times, exonerating both code
+    * and data for `q_cosine_topk`, whose cost is rows × dims flops) —
+    * the residual suspect class is the memory subsystem (host-level
+    * bandwidth/LLC contention, frequency on memory-bound ops), which
+    * only a streaming probe can see. The triad (cpu single, cpu
+    * parallel, mem stream) spans quota, steal, and bandwidth effects.
+    */
+  private def memProbeMs(): Long = {
+    val n = 32 * 1024 * 1024 // 256 MB of longs
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong; i += 1 }
+    var sum = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 2) {
+      i = 0
+      while (i < n) { sum += a(i); i += 1 }
+      pass += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    if (sum == 42L) Console.err.println("") // defeat dead-code elimination
+    ms
+  }
+
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -173,6 +221,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val skipE1 = sys.env.contains("SPARK_GRAFT_SKIP_E1")
     val probeStart = cpuProbeMs()
+    val probeMtStart = cpuProbeMtMs()
+    val probeMemStart = memProbeMs()
     val measured = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -267,7 +317,9 @@ object Bench {
     val streamJson = graft.streaming.StreamMetrics.asJson
     val nCpus = Runtime.getRuntime.availableProcessors()
     val probeJson = s"[$probeStart,${cpuProbeMs()}]"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val probeMtJson = s"[$probeMtStart,${cpuProbeMtMs()}]"
+    val probeMemJson = s"[$probeMemStart,${memProbeMs()}]"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     // The full-precision line goes to a file; stdout gets a COMPACT line.
     // The driver keeps only the last 2000 chars of stdout and parses the
     // JSON it finds there — the full 105-query map with raw/gc detail is
@@ -300,7 +352,7 @@ object Bench {
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v.take(100)) }
       .mkString("{", ",", "}")
     val loadMax = allTimed.flatMap(_._2.loadAvg).foldLeft(0.0)(math.max)
-    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()
