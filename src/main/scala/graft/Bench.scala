@@ -102,8 +102,8 @@ object Bench {
     * and data for `q_cosine_topk`, whose cost is rows × dims flops) —
     * the residual suspect class is the memory subsystem (host-level
     * bandwidth/LLC contention, frequency on memory-bound ops), which
-    * only a streaming probe can see. The triad (cpu single, cpu
-    * parallel, mem stream) spans quota, steal, and bandwidth effects.
+    * only a streaming probe can see. Together with [[chaseProbeMs]] the
+    * probe set spans quota, steal, bandwidth, and latency effects.
     */
   private def memProbeMs(): Long = {
     val n = 32 * 1024 * 1024 // 256 MB of longs
@@ -120,6 +120,41 @@ object Bench {
     }
     val ms = (System.nanoTime() - t0) / 1000000
     if (sum == 42L) Console.err.println("") // defeat dead-code elimination
+    ms
+  }
+
+  /** Memory-LATENCY probe: one full walk of a single-cycle random
+    * permutation over a 64 MB long array — 8.4M serially-dependent
+    * cache-missing loads, the access pattern of hash probes and
+    * UTF8String comparisons that dominates Spark's aggregation/join
+    * kernels. Tonight's slow window read healthy on BOTH the register
+    * probes and the sequential-stream probe while same-code same-shape
+    * queries ran 1.4–2× slower — sequential streams prefetch past a
+    * latency degradation (NUMA remoteness, TLB/hugepage regression,
+    * LLC contention) that dependent loads cannot hide. This fourth
+    * probe is the one that should move when that happens.
+    */
+  private def chaseProbeMs(): Long = {
+    val n = 8 * 1024 * 1024 // 64 MB of longs
+    val next = new Array[Long](n)
+    // Sattolo's algorithm: a uniform single-cycle permutation, so one
+    // walk of length n visits every slot exactly once
+    var i = 0
+    while (i < n) { next(i) = i.toLong; i += 1 }
+    var x = 0x9E3779B97F4A7C15L
+    i = n - 1
+    while (i > 0) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      val j = (((x % i) + i) % i).toInt // 0 <= j < i
+      val t = next(i); next(i) = next(j); next(j) = t
+      i -= 1
+    }
+    val t0 = System.nanoTime()
+    var p = 0L
+    i = 0
+    while (i < n) { p = next(p.toInt); i += 1 }
+    val ms = (System.nanoTime() - t0) / 1000000
+    if (p == -1L) Console.err.println("") // defeat dead-code elimination
     ms
   }
 
@@ -223,6 +258,7 @@ object Bench {
     val probeStart = cpuProbeMs()
     val probeMtStart = cpuProbeMtMs()
     val probeMemStart = memProbeMs()
+    val probeChaseStart = chaseProbeMs()
     val measured = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -319,7 +355,8 @@ object Bench {
     val probeJson = s"[$probeStart,${cpuProbeMs()}]"
     val probeMtJson = s"[$probeMtStart,${cpuProbeMtMs()}]"
     val probeMemJson = s"[$probeMemStart,${memProbeMs()}]"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val probeChaseJson = s"[$probeChaseStart,${chaseProbeMs()}]"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     // The full-precision line goes to a file; stdout gets a COMPACT line.
     // The driver keeps only the last 2000 chars of stdout and parses the
     // JSON it finds there — the full 105-query map with raw/gc detail is
@@ -352,7 +389,7 @@ object Bench {
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v.take(100)) }
       .mkString("{", ",", "}")
     val loadMax = allTimed.flatMap(_._2.loadAvg).foldLeft(0.0)(math.max)
-    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()
