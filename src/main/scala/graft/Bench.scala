@@ -51,7 +51,9 @@ object Bench {
     */
   private case class Timed[A](median: Double, raw: Seq[Double],
     gcMs: Seq[Long], peakHeapMb: Seq[Long], loadAvg: Seq[Double],
-    first: Option[A], err: Option[String])
+    first: Option[A], err: Option[String],
+    probeCpu: Seq[Long] = Nil, probeMem: Seq[Long] = Nil,
+    probeChase: Seq[Long] = Nil)
 
   /** Single-thread CPU throughput probe: wall ms for a fixed 2×10⁸
     * xorshift iterations. Host-level neighbors (CPU steal, cgroup
@@ -134,11 +136,11 @@ object Bench {
     * LLC contention) that dependent loads cannot hide. This fourth
     * probe is the one that should move when that happens.
     */
-  private def chaseProbeMs(): Long = {
-    val n = 8 * 1024 * 1024 // 64 MB of longs
+  /** Sattolo's algorithm: a uniform single-cycle permutation over
+    * 0..n-1, so one walk of length n visits every slot exactly once.
+    */
+  private def buildCycle(n: Int): Array[Long] = {
     val next = new Array[Long](n)
-    // Sattolo's algorithm: a uniform single-cycle permutation, so one
-    // walk of length n visits every slot exactly once
     var i = 0
     while (i < n) { next(i) = i.toLong; i += 1 }
     var x = 0x9E3779B97F4A7C15L
@@ -149,13 +151,90 @@ object Bench {
       val t = next(i); next(i) = next(j); next(j) = t
       i -= 1
     }
+    next
+  }
+
+  private def chaseProbeMs(): Long = {
+    val n = 8 * 1024 * 1024 // 64 MB of longs
+    val next = buildCycle(n)
     val t0 = System.nanoTime()
     var p = 0L
-    i = 0
+    var i = 0
     while (i < n) { p = next(p.toInt); i += 1 }
     val ms = (System.nanoTime() - t0) / 1000000
     if (p == -1L) Console.err.println("") // defeat dead-code elimination
     ms
+  }
+
+  /** PER-REP environment micro-probes, run OUTSIDE the timed region
+    * before every rep of every measurement (round 11): the suite-level
+    * before/after probe pair proved a degraded window exists but could
+    * not say WHICH queries it hit (the round-10 driver window showed
+    * q_unigram_surprisal at 5.7× its isolated time with healthy
+    * suite-edge probes — the degradation came and went mid-suite).
+    * Three miniature probes sized to ~100 ms total per rep so the whole
+    * suite pays ~30 s of untimed wall, none of it in any reported
+    * timing:
+    *  - cpu: 10⁷ xorshift iterations (~22 ms healthy) — register
+    *    throughput, 1/20 of [[cpuProbeMs]];
+    *  - mem: one sequential pass over a shared 128 MB long array
+    *    (~20 ms) — bandwidth;
+    *  - chase: 2²⁰ dependent loads continuing a walk of a shared 64 MB
+    *    single-cycle permutation (~35 ms healthy, ~170 ms in the
+    *    round-10 degraded window) — memory LATENCY, the probe that
+    *    historically moves. The permutation is built ONCE and the walk
+    *    resumes where the previous rep left off (it is a single cycle,
+    *    so every continuation touches fresh slots; array stays > LLC so
+    *    misses go to DRAM).
+    * A rep whose seconds spike WITH its chase probe is environment; one
+    * that spikes with flat probes is code/data — per rep, per query.
+    */
+  private object MiniProbe {
+    private val chaseN = 8 * 1024 * 1024 // 64 MB of longs
+    private lazy val chaseCycle = buildCycle(chaseN)
+    private var chasePos = 0L
+    private val memN = 16 * 1024 * 1024 // 128 MB of longs
+    private lazy val memArr = {
+      val a = new Array[Long](memN)
+      var i = 0
+      while (i < memN) { a(i) = i.toLong; i += 1 }
+      a
+    }
+    def cpuMs(): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 10000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      if (x == 42L) Console.err.println("")
+      ms
+    }
+    def memMs(): Long = {
+      val a = memArr
+      var sum = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < memN) { sum += a(i); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1000000
+      if (sum == 42L) Console.err.println("")
+      ms
+    }
+    def chaseMs(): Long = synchronized {
+      val a = chaseCycle
+      var p = chasePos
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 20)) { p = a(p.toInt); i += 1 }
+      val ms = (System.nanoTime() - t0) / 1000000
+      chasePos = p
+      if (p == -1L) Console.err.println("")
+      ms
+    }
+    /** One (cpu, mem, chase) reading; also warms all three on first use. */
+    def triad(): (Long, Long, Long) = (cpuMs(), memMs(), chaseMs())
   }
 
   private def totalGcMs(): Long = {
@@ -182,7 +261,14 @@ object Bench {
     val gcs = scala.collection.mutable.ArrayBuffer[Long]()
     val heaps = scala.collection.mutable.ArrayBuffer[Long]()
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    val pCpu = scala.collection.mutable.ArrayBuffer[Long]()
+    val pMem = scala.collection.mutable.ArrayBuffer[Long]()
+    val pChase = scala.collection.mutable.ArrayBuffer[Long]()
     val ts = (0 until math.max(1, reps)).flatMap { _ =>
+      // Environment reading for THIS rep, taken outside the timed
+      // region — see [[MiniProbe]].
+      val (pc, pm, pl) = MiniProbe.triad()
+      pCpu += pc; pMem += pm; pChase += pl
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = totalGcMs()
       val t0 = System.nanoTime()
@@ -203,7 +289,7 @@ object Bench {
       }
     }
     Timed(if (ts.isEmpty) -1.0 else median(ts), ts, gcs.toSeq, heaps.toSeq,
-      loads.toSeq, first, err)
+      loads.toSeq, first, err, pCpu.toSeq, pMem.toSeq, pChase.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -255,6 +341,15 @@ object Bench {
     // skips the flagships for the same reason.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val skipE1 = sys.env.contains("SPARK_GRAFT_SKIP_E1")
+    // Discard one warm-up invocation of each probe first: the recorded
+    // start probes otherwise run the first-ever (interpreted / mid-OSR)
+    // invocation while the end probes run fully JIT-compiled — a small
+    // systematic start-vs-end skew in exactly the comparison (probe
+    // parity ⇒ real shift) the protocol depends on. The MiniProbe triad
+    // warm-up also pays its one-time lazy array builds here, outside
+    // every measurement. cpuProbeMtMs needs no separate warm-up: its
+    // threads run the same compiled cpuProbeMs body.
+    locally { cpuProbeMs(); memProbeMs(); chaseProbeMs(); MiniProbe.triad(); () }
     val probeStart = cpuProbeMs()
     val probeMtStart = cpuProbeMtMs()
     val probeMemStart = memProbeMs()
@@ -335,6 +430,12 @@ object Bench {
     val gcJson = repMap(_.gcMs)
     val heapJson = repMap(_.peakHeapMb)
     val loadJson = repMap(_.loadAvg)
+    // Per-rep environment probes (full artifact only): lets a reader
+    // correlate any single slow rep with the machine's state at that
+    // instant instead of inferring from the suite-edge pair.
+    val probeCpuQJson = repMap(_.probeCpu)
+    val probeMemQJson = repMap(_.probeMem)
+    val probeChaseQJson = repMap(_.probeChase)
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allErrors = errors ++
       e1.err.map("flagship_e1" -> _) ++
@@ -356,7 +457,7 @@ object Bench {
     val probeMtJson = s"[$probeMtStart,${cpuProbeMtMs()}]"
     val probeMemJson = s"[$probeMemStart,${memProbeMs()}]"
     val probeChaseJson = s"[$probeChaseStart,${chaseProbeMs()}]"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"raw":$rawJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"load_avg":$loadJson,"probe_cpu_q_ms":$probeCpuQJson,"probe_mem_q_ms":$probeMemQJson,"probe_chase_q_ms":$probeChaseQJson,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"stream_progress":$streamJson,"heap_max_mb":$heapMaxMb,"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     // The full-precision line goes to a file; stdout gets a COMPACT line.
     // The driver keeps only the last 2000 chars of stdout and parses the
     // JSON it finds there — the full 105-query map with raw/gc detail is
@@ -389,7 +490,13 @@ object Bench {
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v.take(100)) }
       .mkString("{", ",", "}")
     val loadMax = allTimed.flatMap(_._2.loadAvg).foldLeft(0.0)(math.max)
-    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    // Range of the per-rep chase mini-probe across the whole suite: a
+    // wide range in the compact line says "the window degraded mid-
+    // suite, see probe_chase_q_ms in the full artifact for which reps".
+    val chaseQ = allTimed.flatMap(_._2.probeChase)
+    val chaseQRange =
+      if (chaseQ.isEmpty) "[]" else s"[${chaseQ.min},${chaseQ.max}]"
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"chase_q_ms_range":$chaseQRange,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()

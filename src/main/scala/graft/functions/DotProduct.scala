@@ -116,6 +116,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GramTopRun].getName, "graft_gram_top_run"),
     (exprs: Seq[Expression]) => GramTopRun(exprs.head, exprs(1)))
 
+  val lshBucketsFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lsh_buckets"),
+    new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+    (exprs: Seq[Expression]) => LshBuckets(exprs.head, exprs(1), exprs(2)))
+
   /** Idempotently register graft's functions in the session's registry
     * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
@@ -136,6 +141,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_top_run",
       exprs => GramTopRun(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      exprs => LshBuckets(exprs.head, exprs(1), exprs(2)), "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -170,6 +178,15 @@ object GraftFunctions {
   def topK(score: Column, payload: Column, k: Int): Column =
     call_function("graft_top_k", score, payload,
       org.apache.spark.sql.functions.lit(k))
+
+  /** All multi-table sign-LSH bucket ids, one long per table (requires
+    * [[register]]) — see [[LshBuckets]]. `planes` is the concatenated
+    * plane bank: table t's planes are rows t·nPlanes .. t·nPlanes+nPlanes−1.
+    */
+  def lshBuckets(vec: Column, planes: Seq[Array[Double]], nPlanes: Int): Column =
+    call_function("graft_lsh_buckets", vec,
+      org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq)),
+      org.apache.spark.sql.functions.lit(nPlanes))
 
   /** Modal word-n-gram count over a token array (requires [[register]])
     * — see [[GramTopRun]].
