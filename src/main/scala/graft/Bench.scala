@@ -393,7 +393,7 @@ object Bench {
     // one variant must not pay for the other two.
     val e1Variants = sys.env.get("SPARK_GRAFT_E1_VARIANTS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("plain", "segmented", "chunked"))
+      .getOrElse(Set("plain", "segmented", "chunked", "geo"))
     def wantE1(v: String) = !skipE1 && e1Variants.contains(v)
     val e1 = if (!wantE1("plain")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough")) }
@@ -409,10 +409,63 @@ object Bench {
     // joined-frame materialization the chunked shape requires.
     val e1Chunk = if (!wantE1("chunked")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough"), Some(24L)) }
+    releasePersisted()
+
+    // E3 geo flagship at the same reference scale (~1.7M points): the
+    // full GeoJSON build + serve path whose pieces are oracle-checked
+    // individually (q_wkt_reproject, q_geojson_features, q_nearest_edge,
+    // q_geojson_lines) — WKT parse → EPSG:2263→4326 inverse LCC →
+    // Point-feature JSON assembly reduced through the serve-side
+    // volume→color histogram, plus the point_to_linestring half: snap
+    // every point to its nearest of 5,000 street segments (grid-cell
+    // join, broadcast edges) and assemble LineString features. Feature
+    // strings are forced through max(length(...)) so ColumnPruning
+    // cannot drop the JSON assembly under the count.
+    def runGeo(): Long = {
+      import graft.geo.{GeoOps, SpatialJoin}
+      import pipelines.{DomainFixtures, GeoPipeline}
+      val traffic = DomainFixtures.traffic(spark, nHours, rowsPerHour)
+      val serveCounts = GeoPipeline.buildFeatures(traffic)
+        .withColumn("color", GeoPipeline.volumeColor(col("vol")))
+        .groupBy("Boro", "color")
+        .agg(count(lit(1)).as("n"), max(length(col("feature"))).as("max_len"))
+      val pts = traffic.select(col("RequestID"),
+        GeoOps.wktPointX(col("WktGeom")).as("x"),
+        GeoOps.wktPointY(col("WktGeom")).as("y"))
+      def edgeTable(id: String, ax: String, ay: String, bx: String, by: String) =
+        spark.range(5000).select(col("id").as(id),
+          (lit(913175L) + (col("id") * 6151L) % 154000L).cast("double").as(ax),
+          (lit(120000L) + (col("id") * 9973L) % 154000L).cast("double").as(ay),
+          (lit(913175L) + (col("id") * 6151L) % 154000L + lit(2000L)
+            + (col("id") * 31L) % 15000L).cast("double").as(bx),
+          (lit(120000L) + (col("id") * 9973L) % 154000L - lit(7000L)
+            + (col("id") * 53L) % 14000L).cast("double").as(by))
+      val ne = SpatialJoin.nearestEdge(pts, "RequestID",
+        edgeTable("edge_id", "ax", "ay", "bx", "by"), "edge_id",
+        "x", "y", "ax", "ay", "bx", "by")
+      // fresh subtree for the geometry lookup (the q_geojson_lines
+      // self-join-lineage rationale)
+      val edgeGeom = edgeTable("e_id", "e_ax", "e_ay", "e_bx", "e_by")
+      val lines = ne
+        .join(org.apache.spark.sql.functions.broadcast(edgeGeom),
+          ne("nearest_edge") === edgeGeom("e_id"))
+        .select(GeoOps.lineFeature(
+          array(array(round(col("e_ax") / 25000.0, 6), round(col("e_ay") / 25000.0, 6)),
+            array(round(col("e_bx") / 25000.0, 6), round(col("e_by") / 25000.0, 6))),
+          struct(col("RequestID").as("req"),
+            col("nearest_edge").as("edge"))).as("feature"))
+        .agg(count(lit(1)).as("n"), max(length(col("feature"))).as("max_len"))
+      val served = serveCounts.collect().map(_.getAs[Long]("n")).sum
+      val snapped = lines.collect().head.getAs[Long]("n")
+      served + snapped
+    }
+    val geo = if (skipE1 || !e1Variants.contains("geo")) skipped
+      else timeMedian(e1Reps) { runGeo() }
 
     val flagships = Seq("flagship_e1" -> e1.median,
       "flagship_e1_segmented" -> e1Seg.median,
-      "flagship_e1_chunked" -> e1Chunk.median)
+      "flagship_e1_chunked" -> e1Chunk.median,
+      "flagship_geo" -> geo.median)
     val qs = (results.toSeq ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -422,7 +475,7 @@ object Bench {
     // decide WHY an outlier rep happened (GC-bound vs external).
     val allTimed: Seq[(String, Timed[_])] = measured.toSeq ++
       Seq("flagship_e1" -> e1, "flagship_e1_segmented" -> e1Seg,
-        "flagship_e1_chunked" -> e1Chunk)
+        "flagship_e1_chunked" -> e1Chunk, "flagship_geo" -> geo)
     def repMap[T](f: Timed[_] => Seq[T]): String = allTimed
       .map { case (k, t) => "\"" + k + "\":" + f(t).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -440,12 +493,14 @@ object Bench {
     val allErrors = errors ++
       e1.err.map("flagship_e1" -> _) ++
       e1Seg.err.map("flagship_e1_segmented" -> _) ++
-      e1Chunk.err.map("flagship_e1_chunked" -> _)
+      e1Chunk.err.map("flagship_e1_chunked" -> _) ++
+      geo.err.map("flagship_geo" -> _)
     val errJson = allErrors
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
-      math.max(0, e1Seg.median) + math.max(0, e1Chunk.median)
+      math.max(0, e1Seg.median) + math.max(0, e1Chunk.median) +
+      math.max(0, geo.median)
     // stream_progress: the stream queries' micro-batch duration
     // decomposition (addBatch vs walCommit vs the rest, summed over the
     // final rep's batches) — makes their fixed floor a number in the

@@ -135,6 +135,14 @@ object Crs {
     * code stays small — two independent column expressions each embed the
     * full unrolled iteration (~2× the flops and a Janino compilation
     * measured in seconds). Same arithmetic, bit-identical results.
+    *
+    * CALLER WARNING: do not FILTER on the output columns' nullity —
+    * PushPredicateThroughProject alias-substitutes the predicate through
+    * every staged layer, doubling the iteration tree per layer (~2^Iters
+    * copies of xFt/yFt + trig in one predicate; measured 33× on the E3
+    * geo build). lon/lat are null exactly when xFt/yFt are null, so
+    * filter the INPUTS before calling (GeoPipeline.buildFeatures shows
+    * the shape).
     */
   def withLonLat(df: org.apache.spark.sql.DataFrame, xFt: Column, yFt: Column,
       lonName: String = "lon", latName: String = "lat",

@@ -68,7 +68,11 @@ object SpatialJoin {
       min(lo(ys)).cast("double").as("ymin"),
       max(hi(ys)).cast("double").as("ymax"),
       avg(span).as("span"),
-      count(lit(1)).as("n")).head()
+      // count NON-NULL coordinate rows, matching what min/max/avg see:
+      // a null-polluted right side would otherwise inflate n and shrink
+      // the cell below the real point density (perf-only — the guard
+      // keeps results exact either way)
+      count(xs.head).as("n")).head()
     val n = row.getAs[Long]("n")
     if (n == 0 || row.isNullAt(0)) return 1.0
     val extent = math.max(row.getAs[Double]("xmax") - row.getAs[Double]("xmin"),

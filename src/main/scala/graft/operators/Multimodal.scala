@@ -133,6 +133,60 @@ object Multimodal {
       width.toLong * absH, sum / n, math.sqrt(sq / n), b.length.toLong))
   }
 
+  private val pngSig =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  /** ImageIO's default stream cache is a TEMP FILE per decode — pure
+    * overhead when the payload is already a byte array in memory.
+    * JVM-global, set once per executor.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG via `javax.imageio` — the one real image codec a bare JVM
+    * ships (replaces the byte-fold fallback for the most common image
+    * format, round 11). Signature check first (cheap reject for the
+    * 99% non-PNG case), then a full decode and stats over every
+    * pixel-channel sample from the raster: 8-bit PNGs land on the same
+    * 0-255 scale as the BMP path; 16-bit on 0-65535 (the raster's
+    * native sample scale). `channels` is the raster band count (1 gray,
+    * 2 gray+alpha, 3 RGB, 4 RGBA — palette images expand to their
+    * component count). Returns None for non-PNG payloads AND for
+    * corrupt/truncated PNGs (ImageIO errors are caught): these decoders
+    * feed messy corpora, so one bad file degrades to the opaque
+    * fallback instead of failing the task.
+    */
+  private def decodePng(id: Long, b: Array[Byte]): Option[DecodedMedia] = {
+    if (b.length < 8) return None
+    var s = 0
+    while (s < 8) { if (b(s) != pngSig(s)) return None; s += 1 }
+    imageIoNoDiskCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      if (w <= 0 || h <= 0 || bands <= 0) return None
+      var sum = 0.0; var sq = 0.0
+      // row-at-a-time so the transfer buffer stays O(width·bands), not
+      // O(pixels) — the per-partition iteration already amortizes the
+      // decoder, the stats pass should not rebuffer the whole image
+      val buf = new Array[Int](w * bands)
+      var y = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, buf)
+        var j = 0
+        val nb = w * bands
+        while (j < nb) { val v = buf(j).toDouble; sum += v; sq += v * v; j += 1 }
+        y += 1
+      }
+      val n = w.toLong * h * bands
+      Some(DecodedMedia(id, "png", w, h, bands, 0, w.toLong * h,
+        sum / n, math.sqrt(sq / n), b.length.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** RIFF/WAVE PCM (format tag 1, 8/16-bit): walks the chunk list to
     * `fmt ` and `data`, then folds mean-|amplitude| and RMS over the
     * samples (16-bit LE signed, or 8-bit unsigned biased 128 — the two
@@ -180,8 +234,9 @@ object Multimodal {
   }
 
   /** REAL decode for the formats a bare JVM can parse — BMP pixel stats
-    * and WAV PCM stats from hand-parsed headers, no codec library —
-    * falling back to the deterministic byte-fold for anything else
+    * and WAV PCM stats from hand-parsed headers, PNG via the JDK's
+    * javax.imageio codec, no external library — falling back to the
+    * deterministic byte-fold for anything else
     * (`format = "opaque"`). Same distributed shape as [[decodeFeatures]]:
     * typed Dataset in, per-partition iteration (codec init amortizes per
     * partition), typed Dataset out; payloads never leave the executor.
@@ -191,7 +246,8 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.map { r =>
         val b = r.payload
-        decodeBmp(r.doc_id, b).orElse(decodeWav(r.doc_id, b)).getOrElse {
+        decodeBmp(r.doc_id, b).orElse(decodePng(r.doc_id, b))
+          .orElse(decodeWav(r.doc_id, b)).getOrElse {
           var sum = 0.0; var sq = 0.0
           var i = 0
           while (i < b.length) {

@@ -23,16 +23,24 @@ object GeoPipeline {
 
   /** Traffic rows → (RequestID, borough, ts, vol, lon, lat, feature). */
   def buildFeatures(traffic: DataFrame): DataFrame = {
-    val x = GeoOps.wktPointX(col("WktGeom"))
-    val y = GeoOps.wktPointY(col("WktGeom"))
     val base = traffic
       .withColumn("vol", graft.operators.Relational.safeNumeric(col("Vol")))
       .withColumn("ts", make_timestamp(
         col("Yr"), col("M"), col("D"), col("HH"), lit(0), lit(0)))
-    Crs.withLonLat(base, x, y)
+      // Drop unparseable-WKT rows on the PARSED inputs, not on lon/lat
+      // after the inverse: null propagates through the CRS arithmetic
+      // (non-null x/y always yields non-null lon/lat), so the filters
+      // are equivalent — but a lon.isNotNull filter below the inverse
+      // gets alias-substituted through withLonLat's staged projections,
+      // doubling the unrolled latitude iteration per layer (~2^Iters
+      // copies of the regex parse + trig in ONE predicate; measured
+      // 49.5 s for 41k rows, 1.5 s with the pre-filter).
+      .withColumn("__x_ft", GeoOps.wktPointX(col("WktGeom")))
+      .withColumn("__y_ft", GeoOps.wktPointY(col("WktGeom")))
+      .filter(col("__x_ft").isNotNull && col("__y_ft").isNotNull)
+    Crs.withLonLat(base, col("__x_ft"), col("__y_ft"))
       .withColumn("lon", round(col("lon"), 6))
       .withColumn("lat", round(col("lat"), 6))
-      .filter(col("lon").isNotNull && col("lat").isNotNull)
       .withColumn("feature", GeoOps.pointFeature(col("lon"), col("lat"),
         struct(col("RequestID").as("RequestID"),
           col("Boro").as("Borough"),

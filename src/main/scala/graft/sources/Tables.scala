@@ -46,6 +46,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String, widen: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below interprets naive wall time in the
+    // SESSION timezone — only under UTC are its epoch values identical
+    // to the tz-independent nanos path (timestamp_micros). Pin it here,
+    // like nanosAsLong, so a non-UTC caller session gets the same
+    // instants as the engine's own sessions instead of shifted epochs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     val df = raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -70,7 +70,18 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // Same session-timezone pin as [[graft.sources.Tables.events]]: the
+    // NTZ cast is only epoch-identical to the nanos path under UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Footer probe needs the file to exist; a stream defined over a
+    // directory populated LATER (the production ingest shape) falls back
+    // to the nanos/long schema instead of throwing at definition time.
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          eventsNanosSchema.find(_.name == "ts").get.dataType
+      }
     val schema = StructType(eventsNanosSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema)

@@ -45,6 +45,27 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("F16 property: forward∘inverse < 1e-9° over the full EPSG:2263 domain") {
+    // The worked-example and 9-point grid tests pin exact values; this
+    // closes the loop over the WHOLE projection domain (EPSG registry
+    // extent for 2263 — Long Island / NYC / lower Hudson, padded past
+    // the official bbox to stress the latitude iteration): any
+    // (lon, lat) in the box must survive forward→inverse to within
+    // 1e-9° (~0.1 µm on the ground), i.e. the fixed 7-iteration depth
+    // is converged everywhere the projection is used, not just at the
+    // sampled corners.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val lonGen = Gen.choose(-74.8, -71.5)
+    val latGen = Gen.choose(40.3, 41.5)
+    val prop = Prop.forAll(lonGen, latGen) { (lon, lat) =>
+      val (e, n) = Crs.Epsg2263.forward(lon, lat)
+      val (lon2, lat2) = Crs.Epsg2263.inverse(e, n)
+      math.abs(lon - lon2) < 1e-9 && math.abs(lat - lat2) < 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, s"roundtrip property failed: ${res.status}")
+  }
+
   test("F16: Column-expression inverse agrees with the Scala reference impl") {
     val pts = Seq((913175.0, 120000.0), (990000.0, 200000.0), (1067000.0, 272000.0))
     val got = pts.toDF("x", "y")

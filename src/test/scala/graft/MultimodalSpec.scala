@@ -100,6 +100,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(d2.mean_value - mean) < 1e-12)
   }
 
+  /** Hand-assemble an 8-bit RGB PNG (2×2) from the spec primitives the
+    * JDK exposes — Deflater for IDAT, CRC32 per chunk — so the test is
+    * INDEPENDENT of the javax.imageio codec under test (an
+    * ImageIO.write round-trip would verify the codec against itself).
+    * Scanlines use filter type 0 (None).
+    */
+  private def tinyPng(pixels: Seq[Int]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val body = tag.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      be32(data.length) ++ body ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 0) // 2x2, 8-bit, RGB
+    val raw = (Array[Byte](0) ++ pixels.slice(0, 6).map(_.toByte)) ++
+      (Array[Byte](0) ++ pixels.slice(6, 12).map(_.toByte)) // filter 0 per row
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodeMedia parses a hand-assembled PNG: dimensions + exact pixel mean/rms") {
+    val pixels = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val ds = Seq(Multimodal.MediaRow(9L, tinyPng(pixels), "image/png", 2, 1)).toDS()
+    val d = Multimodal.decodeMedia(ds).collect().head
+    assert(d.format == "png")
+    assert(d.width == 2 && d.height == 2 && d.channels == 3 && d.n_samples == 4)
+    val mean = pixels.sum.toDouble / 12
+    val rms = math.sqrt(pixels.map(v => v.toDouble * v).sum / 12)
+    assert(math.abs(d.mean_value - mean) < 1e-12, s"mean=${d.mean_value} want $mean")
+    assert(math.abs(d.rms - rms) < 1e-12)
+  }
+
+  test("corrupt PNG (signature + IHDR only, no image data) degrades to opaque, never crashes") {
+    // Mid-IDAT truncation is NOT a reliable corrupt case — the JDK's
+    // PNG reader tolerates it when every scanline already decoded. A
+    // file with no IDAT at all cannot yield pixels from any reader.
+    val whole = tinyPng(Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    val truncated = whole.take(8 + 12 + 13) // signature + IHDR chunk only
+    val ds = Seq(Multimodal.MediaRow(10L, truncated, "image/png", 2, 1)).toDS()
+    val d = Multimodal.decodeMedia(ds).collect().head
+    assert(d.format == "opaque") // signature matched, decode failed, fell back
+    assert(d.n_bytes == truncated.length)
+  }
+
   test("decodeMedia parses a real WAV: rate/channels + exact PCM stats") {
     val samples = Seq(0, 1000, -1000, 500, -250, 32767, -32768, 0)
     val ds = Seq(Multimodal.MediaRow(3L, tinyWav(samples), "audio/wav", 0, 1)).toDS()
