@@ -99,4 +99,48 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall=$recall (${lsh.size}/${exact.size}) — 8-plane sign-LSH should " +
         "catch near-identical twins")
   }
+
+  test("graft_lsh_buckets: bit-identical to the composable per-table lshBucket form") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val dim = 16
+    val nPlanes = 4
+    val nTables = 5
+    val planeBank = (0 until nTables).flatMap(t =>
+      Similarity.hyperplanes(nPlanes, dim, seedOffset = t * nPlanes))
+    val rows = (0L until 200L).map(i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 13.0 + d * 2.3))))
+    val df = rows.toDF("id", "v")
+    val kernel = df.select(col("id"),
+        GraftFunctions.lshBuckets(col("v"), planeBank, nPlanes).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composable = df.select(col("id") +: (0 until nTables).map(t =>
+        Similarity.lshBucket(col("v"),
+          planeBank.slice(t * nPlanes, (t + 1) * nPlanes)).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to nTables).map(r.getLong(_)))
+      .toMap
+    rows.foreach { case (id, _) =>
+      assert(kernel(id) == composable(id), s"id=$id kernel=${kernel(id)} comp=${composable(id)}")
+    }
+    // null vector → null buckets (nullability contract)
+    val n = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
+      .select(GraftFunctions.lshBuckets(col("v"), planeBank, nPlanes).as("bs"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("recallAtK: exact fraction, bound edge, and corpus-derived counts") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    // approx recovers 3 of the 4 exact pairs (+1 spurious pair that must
+    // not count toward recall)
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact, 0.75).collect().head
+    assert(r.getAs[Long]("n_queries") == 2 && r.getAs[Long]("n_exact") == 4)
+    assert(r.getAs[Double]("recall_bound") == 0.75)
+    assert(r.getAs[Boolean]("recall_ok")) // recall 0.75 >= bound 0.75
+    val strict = Similarity.recallAtK(approx, exact, 0.8).collect().head
+    assert(!strict.getAs[Boolean]("recall_ok")) // 0.75 < 0.8 flips the row
+  }
 }
