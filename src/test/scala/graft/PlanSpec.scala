@@ -221,6 +221,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "explode missing from chunkTokens plan")
   }
 
+  test("geo buildFeatures: no alias-substituted CRS inverse in any Filter (round-11 blow-up guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // Filtering on lon/lat nullity AFTER Crs.withLonLat lets
+    // PushPredicateThroughProject substitute the staged latitude
+    // iteration layer-by-layer into one predicate — ~2^Iters copies of
+    // the WKT regex + trig, measured 49.5 s for 41k rows (round 11).
+    // The fixed shape (filter the parsed inputs) keeps every Filter at
+    // ~110 expression nodes; the broken shape explodes to thousands.
+    val traffic = graft.pipelines.DomainFixtures.traffic(spark, 10, 4)
+    val feats = graft.pipelines.GeoPipeline.buildFeatures(traffic)
+    val sizes = feats.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.collect { case _ => 1 }.sum
+    }
+    assert(sizes.nonEmpty, "expected at least the WKT-parse null filter")
+    sizes.foreach(sz => assert(sz < 400,
+      s"a Filter grew to $sz expression nodes — the withLonLat " +
+        "alias-substitution blow-up is back"))
+  }
+
+  test("lshTopK: exactly one bucket kernel per join side, never re-expanded") {
+    // The plane bank must ride as ONE graft_lsh_buckets reference-object
+    // expression per side (corpus + query). The pre-round-11 composable
+    // form put nTables × nPlanes inlined literal dot products on each
+    // side and re-cloned them into inferred join-key filters (~7 s of
+    // cold Janino compile at the 32-table config).
+    val p = SparkEntry.queries("q_ann_lsh")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val n = "graft_lsh_buckets".r.findAllIn(p).length
+    assert(n >= 2 && n <= 4, s"expected 2 bucket kernels (+tolerated inferred-filter copies), found $n")
+  }
+
   test("dsirScores: corpus never shuffles — bucket counts and totals come back as broadcasts") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val p = graft.operators.TextOps.dsirScores(docs, "doc_id",
