@@ -73,6 +73,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.lshBucketsFunctionDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SortThroughProject)
   }
 }
