@@ -2281,6 +2281,61 @@ object Queries {
                     CAST(ncl AS BIGINT) AS neighbor_cluster
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Distributed spherical k-means (round 11): 2 full Lloyd iterations
+    * from the label-mean init (the deterministic seed
+    * q_embedding_centroids already hash-verifies), then the final
+    * assignment of every vector. Centroids quantize to 6 dp between
+    * rounds, so the oracle replays the ENTIRE iteration chain — init
+    * means → assign → means → assign → means → final assign — as a CTE
+    * pipeline with bit-matching arithmetic (the [[Similarity.kmeansFit]]
+    * reproducibility contract). Each Spark iteration is a map-only
+    * argmax projection + one (cluster, dim)-keyed mean; nothing scales
+    * with the corpus except the one aggregate.
+    */
+  val qKmeans = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = Similarity.labelCentroids(emb, "embedding", "label")
+      val cents = Similarity.kmeansFit(emb, "embedding", init, iters = 2)
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def assign(centCte: String, name: String) =
+        s"""${name}_s AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
+                          FROM v CROSS JOIN $centCte),
+            $name AS (SELECT vec_id, cl FROM (
+                        SELECT vec_id, cl,
+                               row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cl) AS rk
+                        FROM ${name}_s) WHERE rk = 1)"""
+      def means(assignCte: String, name: String) =
+        s"""${name}_d AS (SELECT b.cl, CAST(u.i - 1 AS INT) AS dim,
+                                 round(avg(u.e), 6) AS c
+                          FROM (SELECT vec_id, unnest(ev) AS e,
+                                       generate_subscripts(ev, 1) AS i FROM v) u
+                          JOIN $assignCte b USING (vec_id)
+                          GROUP BY b.cl, dim),
+            $name AS (SELECT cl, list(c ORDER BY dim) AS cv
+                      FROM ${name}_d GROUP BY cl)"""
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+          cd0 AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
+                         round(avg(e), 6) AS c
+                  FROM (SELECT label, unnest(embedding) AS e,
+                               generate_subscripts(embedding, 1) AS i
+                        FROM embeddings)
+                  GROUP BY cl, dim),
+          cent0 AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd0 GROUP BY cl),
+          ${assign("cent0", "best0")},
+          ${means("best0", "cent1")},
+          ${assign("cent1", "best1")},
+          ${means("best1", "cent2")},
+          ${assign("cent2", "fin")}
+          SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+          FROM fin ORDER BY vec_id"""
+    })
+
   /** Incremental exact dedup: batch 2 (doc_id % 3 ≠ 0) deduped within
     * itself AND against the index built from batch 1 (doc_id % 3 = 0).
     * The oracle reconstructs both stages: min-id per text within the
@@ -2901,6 +2956,7 @@ object Queries {
     "q_ntile" -> qNtile,
     "q_weighted_sample" -> qWeightedSample,
     "q_semantic_dedup" -> qSemanticDedup,
+    "q_kmeans" -> qKmeans,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,

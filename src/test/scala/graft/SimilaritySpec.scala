@@ -129,6 +129,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("kmeansFit: separable blobs converge to blob centers; empty cluster keeps its seed") {
+    val dim = 8
+    // three tight angular blobs: base direction per blob + small jitter
+    def blob(b: Int, i: Int): Array[Double] =
+      Array.tabulate(dim)(d => math.sin(b * 2.1 + d) + 0.05 * math.sin(i * 7.0 + d))
+    val rows = for (b <- 0 until 3; i <- 0 until 40)
+      yield ((b * 40 + i).toLong, b, blob(b, i))
+    val df = rows.map { case (id, b, v) => (id, b, v) }.toDF("vec_id", "blob", "v")
+    // init: jittered blob directions + one orphan centroid no vector is
+    // nearest to (the negated blob-0 direction — cosine ≈ −1 to blob 0)
+    val orphan = blob(0, 0).map(-_)
+    val init = (0 until 3).map(b => b -> blob(b, 17)) :+ (9 -> orphan)
+    val cents = Similarity.kmeansFit(df, "v", init, iters = 2)
+    // orphan cluster never assigned → keeps its seed verbatim
+    assert(cents.find(_._1 == 9).get._2.toSeq == orphan.toSeq)
+    // final assignment reproduces the blob structure exactly
+    val assigned = Similarity.kmeansAssign(df, "vec_id", "v", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, b, _) =>
+      assert(assigned(id) == b, s"vec $id of blob $b landed in ${assigned(id)}")
+    }
+    // fixpoint: one more iteration does not move the assignment
+    val cents3 = Similarity.kmeansFit(df, "v", init, iters = 3)
+    val assigned3 = Similarity.kmeansAssign(df, "vec_id", "v", cents3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned3 == assigned)
+  }
+
   test("recallAtK: exact fraction, bound edge, and corpus-derived counts") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
       .toDF("query_id", "neighbor_id")
