@@ -24,4 +24,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every query carries oracle SQL (102/102-green invariant, round 11)") {
+    // Since round 11 even the approximate queries emit deterministic
+    // certification rows with hash-checked oracles — a new query landing
+    // without one silently downgrades the driver's gate to a rows-only
+    // check, which this pins as a failure instead.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: ${missing.toSeq.sorted}")
+  }
 }
