@@ -2292,6 +2292,42 @@ object Queries {
     * argmax projection + one (cluster, dim)-keyed mean; nothing scales
     * with the corpus except the one aggregate.
     */
+  /** The q_kmeans CTE chain up to `fin` (every vector's final cluster)
+    * — shared with the composed q_cluster_sample oracle.
+    */
+  private lazy val kmeansChainSql: String = {
+    def assign(centCte: String, name: String) =
+      s"""${name}_s AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
+                        FROM v CROSS JOIN $centCte),
+          $name AS (SELECT vec_id, cl FROM (
+                      SELECT vec_id, cl,
+                             row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cl) AS rk
+                      FROM ${name}_s) WHERE rk = 1)"""
+    def means(assignCte: String, name: String) =
+      s"""${name}_d AS (SELECT b.cl, CAST(u.i - 1 AS INT) AS dim,
+                               round(avg(u.e), 6) AS c
+                        FROM (SELECT vec_id, unnest(ev) AS e,
+                                     generate_subscripts(ev, 1) AS i FROM v) u
+                        JOIN $assignCte b USING (vec_id)
+                        GROUP BY b.cl, dim),
+          $name AS (SELECT cl, list(c ORDER BY dim) AS cv
+                    FROM ${name}_d GROUP BY cl)"""
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        cd0 AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
+                       round(avg(e), 6) AS c
+                FROM (SELECT label, unnest(embedding) AS e,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings)
+                GROUP BY cl, dim),
+        cent0 AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd0 GROUP BY cl),
+        ${assign("cent0", "best0")},
+        ${means("best0", "cent1")},
+        ${assign("cent1", "best1")},
+        ${means("best1", "cent2")},
+        ${assign("cent2", "fin")}"""
+  }
+
   val qKmeans = QDef(
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2301,40 +2337,36 @@ object Queries {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderBy("vec_id")
     },
-    Some {
-      def assign(centCte: String, name: String) =
-        s"""${name}_s AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
-                          FROM v CROSS JOIN $centCte),
-            $name AS (SELECT vec_id, cl FROM (
-                        SELECT vec_id, cl,
-                               row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cos DESC, cl) AS rk
-                        FROM ${name}_s) WHERE rk = 1)"""
-      def means(assignCte: String, name: String) =
-        s"""${name}_d AS (SELECT b.cl, CAST(u.i - 1 AS INT) AS dim,
-                                 round(avg(u.e), 6) AS c
-                          FROM (SELECT vec_id, unnest(ev) AS e,
-                                       generate_subscripts(ev, 1) AS i FROM v) u
-                          JOIN $assignCte b USING (vec_id)
-                          GROUP BY b.cl, dim),
-            $name AS (SELECT cl, list(c ORDER BY dim) AS cv
-                      FROM ${name}_d GROUP BY cl)"""
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-          cd0 AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
-                         round(avg(e), 6) AS c
-                  FROM (SELECT label, unnest(embedding) AS e,
-                               generate_subscripts(embedding, 1) AS i
-                        FROM embeddings)
-                  GROUP BY cl, dim),
-          cent0 AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd0 GROUP BY cl),
-          ${assign("cent0", "best0")},
-          ${means("best0", "cent1")},
-          ${assign("cent1", "best1")},
-          ${means("best1", "cent2")},
-          ${assign("cent2", "fin")}
-          SELECT vec_id, CAST(cl AS BIGINT) AS cluster
-          FROM fin ORDER BY vec_id"""
-    })
+    Some(s"""$kmeansChainSql
+             SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+             FROM fin ORDER BY vec_id"""))
+
+  /** Cluster-balanced sampling — the kmeans payoff composed end-to-end:
+    * cluster the corpus ([[qKmeans]]'s exact chain), then keep at most
+    * 50 vectors per cluster with the deterministic h60 coin
+    * ([[Relational.capPerKey]], the q_domain_cap operator keyed on the
+    * LEARNED cluster instead of a metadata column). This is the
+    * mixture-balancing shape a pretraining pipeline runs at 100 TB:
+    * map-only assignment, one per-cluster windowed cap — no new
+    * operator, pure composition of two oracle-proven pieces, and the
+    * oracle is their composed SQL.
+    */
+  val qClusterSample = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = Similarity.labelCentroids(emb, "embedding", "label")
+      val cents = Similarity.kmeansFit(emb, "embedding", init, iters = 2)
+      val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", cents)
+      Relational.capPerKey(assigned, col("cluster"), col("vec_id"), 50)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some(s"""$kmeansChainSql
+             SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY cl
+                        ORDER BY ${h60sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+               FROM fin) WHERE rn <= 50 ORDER BY vec_id"""))
 
   /** Incremental exact dedup: batch 2 (doc_id % 3 ≠ 0) deduped within
     * itself AND against the index built from batch 1 (doc_id % 3 = 0).
@@ -2957,6 +2989,7 @@ object Queries {
     "q_weighted_sample" -> qWeightedSample,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_kmeans" -> qKmeans,
+    "q_cluster_sample" -> qClusterSample,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,
