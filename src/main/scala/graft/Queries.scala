@@ -2341,6 +2341,34 @@ object Queries {
              SELECT vec_id, CAST(cl AS BIGINT) AS cluster
              FROM fin ORDER BY vec_id"""))
 
+  /** Feature-hashing vectorizer (round 11): each document's dense signed
+    * bag-of-words vector, emitted in exploded sparse form — the non-zero
+    * (doc, dim_idx, weight) triples are exact integers, so the oracle
+    * replays tokens → md5 h60 → bucket/sign → sum with bit-matching
+    * arithmetic and the compare is a pure integer hash match.
+    */
+  val qHashedEmbedding = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      TextOps.hashedVectors(docs, "text", "doc_id", dim = 64)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "w")))
+        .filter(col("w") =!= 0.0)
+        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"),
+          col("w").cast("long").as("weight"))
+        .orderBy("doc_id", "dim_idx")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+                           FROM documents),
+             h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+             b AS (SELECT doc_id, h % 64 AS dim_idx,
+                          CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+                   FROM h)
+             SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+                    CAST(sum(s) AS BIGINT) AS weight
+             FROM b GROUP BY doc_id, dim_idx
+             HAVING sum(s) <> 0
+             ORDER BY doc_id, dim_idx"""))
+
   /** Cluster-balanced sampling — the kmeans payoff composed end-to-end:
     * cluster the corpus ([[qKmeans]]'s exact chain), then keep at most
     * 50 vectors per cluster with the deterministic h60 coin
@@ -2990,6 +3018,7 @@ object Queries {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_kmeans" -> qKmeans,
     "q_cluster_sample" -> qClusterSample,
+    "q_hashed_embedding" -> qHashedEmbedding,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,

@@ -74,6 +74,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
     ext.injectFunction(GraftFunctions.lshBucketsFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.hashedVectorFunctionDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SortThroughProject)
   }
 }
@@ -122,6 +123,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
     (exprs: Seq[Expression]) => LshBuckets(exprs.head, exprs(1), exprs(2)))
 
+  val hashedVectorFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hashed_vector"),
+    new ExpressionInfo(classOf[HashedVector].getName, "graft_hashed_vector"),
+    (exprs: Seq[Expression]) => HashedVector(exprs.head, exprs(1)))
+
   /** Idempotently register graft's functions in the session's registry
     * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
@@ -145,6 +151,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_buckets",
       exprs => LshBuckets(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hashed_vector",
+      exprs => HashedVector(exprs.head, exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -188,6 +197,13 @@ object GraftFunctions {
     call_function("graft_lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq)),
       org.apache.spark.sql.functions.lit(nPlanes))
+
+  /** Signed feature-hashing accumulator over a token-hash array
+    * (requires [[register]]) — see [[HashedVector]].
+    */
+  def hashedVector(tokenHashes: Column, dim: Int): Column =
+    call_function("graft_hashed_vector", tokenHashes,
+      org.apache.spark.sql.functions.lit(dim))
 
   /** Modal word-n-gram count over a token array (requires [[register]])
     * — see [[GramTopRun]].

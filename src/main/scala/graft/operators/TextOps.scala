@@ -23,6 +23,42 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Feature-hashing vectorizer (the "hashing trick"): every document →
+    * a dense `dim`-length signed bag-of-words vector, entirely
+    * in-engine — the bridge from a raw text corpus to the embedding
+    * operators (cosine top-k, k-means, semantic dedup) when no learned
+    * embeddings exist. tokens → codegen'd md5 h60 per token → one
+    * O(dim + tokens) [[graft.functions.HashedVector]] kernel per row.
+    * Map-only, no shuffle, no vocabulary state — the property that
+    * makes it the 100 TB featurizer: there is nothing to fit, broadcast,
+    * or synchronize.
+    *
+    * `normalize = true` L2-normalizes (for cosine consumers); the raw
+    * form is signed integer counts in double slots — exact, and
+    * value-checkable by an external engine (q_hashed_embedding).
+    */
+  def hashedVectors(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 256, normalize: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val dotF = graft.functions.GraftFunctions.dotFast _
+    val vecs = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
+      .withColumn("embedding",
+        graft.functions.GraftFunctions.hashedVector(col("__hts"), dim))
+    val out =
+      if (!normalize) vecs
+      else vecs
+        // materialize the norm FIRST: a `transform` lambda re-evaluates
+        // non-attribute subtrees per element (the HOF pitfall)
+        .withColumn("__l2", sqrt(dotF(col("embedding"), col("embedding"))))
+        .withColumn("embedding",
+          when(col("__l2") > 0.0,
+            transform(col("embedding"), x => x / col("__l2")))
+            .otherwise(col("embedding")))
+    out.select(col(idCol), col("embedding"))
+  }
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array
     * column; empty array when the document has fewer than n tokens.
     * (`sequence` would generate a DESCENDING range if size-n+1 < 1 —

@@ -17,6 +17,61 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
+  test("hashedVectors: kernel matches a plain-Scala reference; norm option unit-length") {
+    // plain-Scala reference of the h60 → bucket/sign → accumulate chain
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val dim = 32
+    def ref(text: String): Array[Double] = {
+      val out = new Array[Double](dim)
+      text.trim.split("\\s+").foreach { t =>
+        val h = h60(t)
+        out((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1.0 else -1.0)
+      }
+      out
+    }
+    val docs = Seq((1L, "spark rows and columns and rows"),
+      (2L, "  padded   whitespace  text "), (3L, "solo"))
+    val got = TextOps.hashedVectors(docs.toDF("doc_id", "text"), "text", "doc_id", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id).toSeq == ref(text).toSeq, s"doc $id mismatch")
+    }
+    val normed = TextOps.hashedVectors(docs.toDF("doc_id", "text"),
+        "text", "doc_id", dim, normalize = true)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    normed.foreach { v =>
+      val l2 = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(l2 - 1.0) < 1e-12, s"norm=$l2")
+    }
+  }
+
+  test("hashedVectors bridge: cosine top-1 over hashed vectors recovers the near-dup twin") {
+    // 30 distinct base texts + a near-identical twin of each (one token
+    // changed out of ~20): the hashed-vector space must put each twin
+    // first in its partner's neighbor list — the text→vector→ANN
+    // pipeline with no learned embeddings anywhere.
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 30).flatMap { i =>
+      val toks = Array.fill(20)(vocab(rng.nextInt(vocab.length))).toVector
+      val twin = toks.updated(rng.nextInt(20), s"novel$i")
+      Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, twin.mkString(" ")))
+    }
+    val vecs = TextOps.hashedVectors(rows.toDF("doc_id", "text"),
+      "text", "doc_id", dim = 128, normalize = true)
+    val top1 = Similarity.bruteTopK(vecs, vecs, "doc_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _) =>
+      val twin = if (id % 2 == 0) id + 1 else id - 1
+      assert(top1(id) == twin, s"doc $id nearest=${top1(id)} expected twin $twin")
+    }
+  }
+
   test("chunkTokens: full coverage, stride spacing, bounded size, short docs -> one chunk") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "a b c"), (3L, "solo")).toDF("id", "text")
