@@ -266,9 +266,10 @@ object Bench {
     val pChase = scala.collection.mutable.ArrayBuffer[Long]()
     val ts = (0 until math.max(1, reps)).flatMap { _ =>
       // Environment reading for THIS rep, taken outside the timed
-      // region — see [[MiniProbe]].
+      // region — see [[MiniProbe]]. Appended only on SUCCESS (below),
+      // so every per-rep array in the artifact stays index-aligned with
+      // `raw` even when a rep throws.
       val (pc, pm, pl) = MiniProbe.triad()
-      pCpu += pc; pMem += pm; pChase += pl
       heapPools.foreach(_.resetPeakUsage())
       val gc0 = totalGcMs()
       val t0 = System.nanoTime()
@@ -276,6 +277,7 @@ object Bench {
         val r = run
         if (first.isEmpty) first = Some(r)
         val sec = (System.nanoTime() - t0) / 1e9
+        pCpu += pc; pMem += pm; pChase += pl
         gcs += totalGcMs() - gc0
         heaps += heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
         loads += math.rint(java.lang.management.ManagementFactory
@@ -387,10 +389,11 @@ object Bench {
         .map(_.getAs[Long]("n")).sum
     }
     val skipped = Timed[Long](-1.0, Nil, Nil, Nil, Nil, None, None)
-    // SPARK_GRAFT_E1_VARIANTS: comma subset of plain,segmented,chunked
-    // for single-variant scale runs (unset → all three; driver never
+    // SPARK_GRAFT_E1_VARIANTS: comma subset of plain,segmented,chunked,
+    // geo for single-variant scale runs (unset → all four; driver never
     // sets it). The sf1 decade reps run 1-4 min each, so re-measuring
-    // one variant must not pay for the other two.
+    // one variant must not pay for the others. SPARK_GRAFT_SKIP_E1
+    // skips every flagship, the E3 geo build included.
     val e1Variants = sys.env.get("SPARK_GRAFT_E1_VARIANTS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("plain", "segmented", "chunked", "geo"))
@@ -459,7 +462,7 @@ object Bench {
       val snapped = lines.collect().head.getAs[Long]("n")
       served + snapped
     }
-    val geo = if (skipE1 || !e1Variants.contains("geo")) skipped
+    val geo = if (!wantE1("geo")) skipped
       else timeMedian(e1Reps) { runGeo() }
 
     val flagships = Seq("flagship_e1" -> e1.median,

@@ -52,7 +52,12 @@ case class HashedVector(hashes: Expression, dim: Expression)
     n
   }
 
-  /** Shared scalar kernel (used by both interpreted and generated paths). */
+  /** Shared scalar kernel (used by both interpreted and generated
+    * paths). floorMod, not %: the registered SQL surface accepts ANY
+    * array<long>, and a negative hash under `%` would index out(-k) —
+    * an opaque task-killing AIOOBE. For the non-negative h60 contract
+    * floorMod ≡ %, so the oracle arithmetic is unchanged.
+    */
   def vectorize(hs: ArrayData): ArrayData = {
     val out = new Array[Double](d)
     val n = hs.numElements()
@@ -60,8 +65,8 @@ case class HashedVector(hashes: Expression, dim: Expression)
     while (i < n) {
       if (!hs.isNullAt(i)) {
         val h = hs.getLong(i)
-        val idx = (h % d).toInt
-        out(idx) += (if ((h / d) % 2 == 0) 1.0 else -1.0)
+        val idx = java.lang.Math.floorMod(h, d.toLong).toInt
+        out(idx) += (if (java.lang.Math.floorMod(h / d, 2L) == 0L) 1.0 else -1.0)
       }
       i += 1
     }

@@ -149,8 +149,10 @@ object Multimodal {
     * pixel-channel sample from the raster: 8-bit PNGs land on the same
     * 0-255 scale as the BMP path; 16-bit on 0-65535 (the raster's
     * native sample scale). `channels` is the raster band count (1 gray,
-    * 2 gray+alpha, 3 RGB, 4 RGBA — palette images expand to their
-    * component count). Returns None for non-PNG payloads AND for
+    * 2 gray+alpha, 3 RGB, 4 RGBA); palette (indexed-color) PNGs are
+    * resolved THROUGH the color table to RGB (channels = 3) — their
+    * raster band holds palette indices, which are not pixel statistics.
+    * Returns None for non-PNG payloads AND for
     * corrupt/truncated PNGs (ImageIO errors are caught): these decoders
     * feed messy corpora, so one bad file degrades to the opaque
     * fallback instead of failing the task.
@@ -163,25 +165,53 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None
-      val raster = img.getRaster
       val w = img.getWidth
       val h = img.getHeight
-      val bands = raster.getNumBands
-      if (w <= 0 || h <= 0 || bands <= 0) return None
+      if (w <= 0 || h <= 0) return None
+      val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
       var sum = 0.0; var sq = 0.0
-      // row-at-a-time so the transfer buffer stays O(width·bands), not
-      // O(pixels) — the per-partition iteration already amortizes the
-      // decoder, the stats pass should not rebuffer the whole image
-      val buf = new Array[Int](w * bands)
-      var y = 0
-      while (y < h) {
-        raster.getPixels(0, y, w, 1, buf)
-        var j = 0
-        val nb = w * bands
-        while (j < nb) { val v = buf(j).toDouble; sum += v; sq += v * v; j += 1 }
-        y += 1
-      }
-      val n = w.toLong * h * bands
+      val (bands, n) =
+        if (indexed) {
+          // palette PNG (color type 3): the raster's single band holds
+          // COLOR-TABLE INDICES, not pixel values — resolve through the
+          // palette to RGB so an all-white image doesn't report the
+          // stats of "palette entry 0". Row-at-a-time RGB transfer.
+          val buf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, buf, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = buf(x)
+              var c = 0
+              while (c < 3) {
+                val v = ((rgb >> (16 - 8 * c)) & 0xff).toDouble
+                sum += v; sq += v * v; c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (3, w.toLong * h * 3)
+        } else {
+          val raster = img.getRaster
+          val bd = raster.getNumBands
+          if (bd <= 0) return None
+          // row-at-a-time so the transfer buffer stays O(width·bands),
+          // not O(pixels) — the per-partition iteration already
+          // amortizes the decoder, the stats pass should not rebuffer
+          // the whole image
+          val buf = new Array[Int](w * bd)
+          var y = 0
+          while (y < h) {
+            raster.getPixels(0, y, w, 1, buf)
+            var j = 0
+            val nb = w * bd
+            while (j < nb) { val v = buf(j).toDouble; sum += v; sq += v * v; j += 1 }
+            y += 1
+          }
+          (bd, w.toLong * h * bd)
+        }
       Some(DecodedMedia(id, "png", w, h, bands, 0, w.toLong * h,
         sum / n, math.sqrt(sq / n), b.length.toLong))
     } catch { case scala.util.control.NonFatal(_) => None }

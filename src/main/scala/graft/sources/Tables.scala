@@ -51,6 +51,11 @@ object Tables {
     // to the tz-independent nanos path (timestamp_micros). Pin it here,
     // like nanosAsLong, so a non-UTC caller session gets the same
     // instants as the engine's own sessions instead of shifted epochs.
+    // Deliberately NOT set-and-restored: the returned plan is LAZY, and
+    // the timezone must still hold when an action finally executes it —
+    // a scoped restore would hand back a plan whose correctness expired
+    // with the scope. Callers needing non-UTC sessions should use a
+    // separate session for events access.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     val df = raw.schema("ts").dataType match {

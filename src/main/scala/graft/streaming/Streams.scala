@@ -75,12 +75,17 @@ object Streams {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Footer probe needs the file to exist; a stream defined over a
     // directory populated LATER (the production ingest shape) falls back
-    // to the nanos/long schema instead of throwing at definition time.
+    // to a schema instead of throwing at definition time. The fallback
+    // is NTZ — the CURRENT testdata generation — and deliberately NOT
+    // the nanos/long schema: if nanos files later land under an NTZ
+    // schema the read fails LOUDLY (parquet type mismatch), whereas a
+    // long fallback would read µs files as "nanos" and silently shrink
+    // every timestamp 1000× (the exact corruption the probe exists to
+    // prevent; see the scaladoc above).
     val tsType =
       try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       catch {
-        case scala.util.control.NonFatal(_) =>
-          eventsNanosSchema.find(_.name == "ts").get.dataType
+        case scala.util.control.NonFatal(_) => TimestampNTZType
       }
     val schema = StructType(eventsNanosSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))

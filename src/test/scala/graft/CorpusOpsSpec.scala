@@ -49,6 +49,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hashed_vector from SQL: negative hashes bucket via floorMod, never crash") {
+    graft.functions.GraftFunctions.register(spark)
+    // the registered surface accepts ANY array<long>; -1 under plain %
+    // would index out(-1) and kill the task
+    val r = spark.sql(
+      "SELECT graft_hashed_vector(array(-1L, -100L, 5L), 64) AS v").head.getSeq[Double](0)
+    assert(r.length == 64)
+    assert(r.map(math.abs).sum == 3.0) // distinct buckets: 63, 28, 5
+    assert(r(63) == 1.0)  // -1: floorMod(-1,64)=63; -1/64=0 -> +1
+    assert(r(28) == -1.0) // -100: floorMod(-100,64)=28; -100/64=-1 -> -1
+    assert(r(5) == 1.0)
+  }
+
   test("hashedVectors bridge: cosine top-1 over hashed vectors recovers the near-dup twin") {
     // 30 distinct base texts + a near-identical twin of each (one token
     // changed out of ~20): the hashed-vector space must put each twin

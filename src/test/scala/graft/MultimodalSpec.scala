@@ -139,6 +139,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(d.rms - rms) < 1e-12)
   }
 
+  /** Hand-assemble an indexed-color (palette, color type 3) PNG: 2×2,
+    * 8-bit indices into a 2-entry PLTE. Indices are NOT pixel values —
+    * the decoder must resolve through the palette.
+    */
+  private def tinyPalettePng(palette: Seq[(Int, Int, Int)], indices: Seq[Int]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val body = tag.getBytes("US-ASCII") ++ data
+      crc.update(body)
+      be32(data.length) ++ body ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0) // 2x2, 8-bit, palette
+    val plte = palette.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val raw = (Array[Byte](0) ++ indices.slice(0, 2).map(_.toByte)) ++
+      (Array[Byte](0) ++ indices.slice(2, 4).map(_.toByte))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("palette PNG resolves through the color table — stats over RGB, not indices") {
+    // all-white image stored as palette index 1 (entry 0 is black):
+    // index stats would read mean 1.0; RGB stats must read 255.0
+    val png = tinyPalettePng(Seq((0, 0, 0), (255, 255, 255)), Seq(1, 1, 1, 1))
+    val ds = Seq(Multimodal.MediaRow(11L, png, "image/png", 2, 1)).toDS()
+    val d = Multimodal.decodeMedia(ds).collect().head
+    assert(d.format == "png" && d.width == 2 && d.height == 2)
+    assert(d.channels == 3)
+    assert(math.abs(d.mean_value - 255.0) < 1e-12, s"mean=${d.mean_value}")
+    assert(math.abs(d.rms - 255.0) < 1e-12)
+  }
+
   test("corrupt PNG (signature + IHDR only, no image data) degrades to opaque, never crashes") {
     // Mid-IDAT truncation is NOT a reliable corrupt case — the JDK's
     // PNG reader tolerates it when every scanline already decoded. A

@@ -129,7 +129,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
-  test("kmeansFit: separable blobs converge to blob centers; empty cluster keeps its seed") {
+  test("kmeansFit: separable blobs converge to blob centers; empty cluster drops (oracle-parity rule)") {
     val dim = 8
     // three tight angular blobs: base direction per blob + small jitter
     def blob(b: Int, i: Int): Array[Double] =
@@ -142,8 +142,11 @@ class SimilaritySpec extends AnyFunSuite {
     val orphan = blob(0, 0).map(-_)
     val init = (0 until 3).map(b => b -> blob(b, 17)) :+ (9 -> orphan)
     val cents = Similarity.kmeansFit(df, "v", init, iters = 2)
-    // orphan cluster never assigned → keeps its seed verbatim
-    assert(cents.find(_._1 == 9).get._2.toSeq == orphan.toSeq)
+    // orphan cluster never assigned → DROPPED, matching the oracle's
+    // mean CTE (an empty cluster produces no rows and vanishes); a kept
+    // stale center could attract vectors the SQL replay cannot see
+    assert(!cents.exists(_._1 == 9), s"orphan cluster survived: ${cents.map(_._1)}")
+    assert(cents.map(_._1) == Seq(0, 1, 2))
     // final assignment reproduces the blob structure exactly
     val assigned = Similarity.kmeansAssign(df, "vec_id", "v", cents)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
