@@ -2292,27 +2292,53 @@ object Queries {
     * argmax projection + one (cluster, dim)-keyed mean; nothing scales
     * with the corpus except the one aggregate.
     */
+  /** DuckDB rendering of one kmeans max-cosine assignment pass over
+    * relation `v(id, ev)` — ties to the lowest cluster, matching
+    * [[graft.functions.CentroidArgmax]].
+    */
+  private def kmAssignSql(id: String)(centCte: String, name: String) =
+    s"""${name}_s AS (SELECT $id, cl, ${cosineSql("ev", "cv")} AS cos
+                      FROM v CROSS JOIN $centCte),
+        $name AS (SELECT $id, cl FROM (
+                    SELECT $id, cl,
+                           row_number() OVER (PARTITION BY $id
+                               ORDER BY cos DESC, cl) AS rk
+                    FROM ${name}_s) WHERE rk = 1)"""
+
+  /** DuckDB rendering of one kmeans centroid-update pass (6-dp-rounded
+    * per-(cluster, dim) means — [[Similarity.kmeansFit]]'s quantized
+    * round; empty clusters produce no rows and drop, matching the Spark
+    * side's rule).
+    */
+  private def kmMeansSql(id: String)(assignCte: String, name: String) =
+    s"""${name}_d AS (SELECT b.cl, CAST(u.i - 1 AS INT) AS dim,
+                             round(avg(u.e), 6) AS c
+                      FROM (SELECT $id, unnest(ev) AS e,
+                                   generate_subscripts(ev, 1) AS i FROM v) u
+                      JOIN $assignCte b USING ($id)
+                      GROUP BY b.cl, dim),
+        $name AS (SELECT cl, list(c ORDER BY dim) AS cv
+                  FROM ${name}_d GROUP BY cl)"""
+
+  /** The 2-iteration kmeans chain from `cent0` to `fin` (every row's
+    * final cluster) — shared by q_kmeans / q_cluster_sample /
+    * q_text_clusters, which differ only in how `v` and `cent0` are
+    * built.
+    */
+  private def kmeansIterSql(id: String): String = {
+    val assign = kmAssignSql(id) _
+    val means = kmMeansSql(id) _
+    s"""${assign("cent0", "best0")},
+        ${means("best0", "cent1")},
+        ${assign("cent1", "best1")},
+        ${means("best1", "cent2")},
+        ${assign("cent2", "fin")}"""
+  }
+
   /** The q_kmeans CTE chain up to `fin` (every vector's final cluster)
     * — shared with the composed q_cluster_sample oracle.
     */
-  private lazy val kmeansChainSql: String = {
-    def assign(centCte: String, name: String) =
-      s"""${name}_s AS (SELECT vec_id, cl, ${cosineSql("ev", "cv")} AS cos
-                        FROM v CROSS JOIN $centCte),
-          $name AS (SELECT vec_id, cl FROM (
-                      SELECT vec_id, cl,
-                             row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, cl) AS rk
-                      FROM ${name}_s) WHERE rk = 1)"""
-    def means(assignCte: String, name: String) =
-      s"""${name}_d AS (SELECT b.cl, CAST(u.i - 1 AS INT) AS dim,
-                               round(avg(u.e), 6) AS c
-                        FROM (SELECT vec_id, unnest(ev) AS e,
-                                     generate_subscripts(ev, 1) AS i FROM v) u
-                        JOIN $assignCte b USING (vec_id)
-                        GROUP BY b.cl, dim),
-          $name AS (SELECT cl, list(c ORDER BY dim) AS cv
-                    FROM ${name}_d GROUP BY cl)"""
+  private lazy val kmeansChainSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         cd0 AS (SELECT label AS cl, CAST(i - 1 AS INT) AS dim,
                        round(avg(e), 6) AS c
@@ -2321,12 +2347,7 @@ object Queries {
                       FROM embeddings)
                 GROUP BY cl, dim),
         cent0 AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cd0 GROUP BY cl),
-        ${assign("cent0", "best0")},
-        ${means("best0", "cent1")},
-        ${assign("cent1", "best1")},
-        ${means("best1", "cent2")},
-        ${assign("cent2", "fin")}"""
-  }
+        ${kmeansIterSql("vec_id")}"""
 
   val qKmeans = QDef(
     (s, d) => {
@@ -2368,6 +2389,50 @@ object Queries {
              FROM b GROUP BY doc_id, dim_idx
              HAVING sum(s) <> 0
              ORDER BY doc_id, dim_idx"""))
+
+  /** ZERO-LEARNED-STATE text clustering, end to end (round 11): raw
+    * documents → feature-hashing vectors (64 dims, no vocabulary) →
+    * label-free min-id-distinct init → 2 Lloyd iterations → every
+    * document's cluster. Nothing in the pipeline was fitted outside the
+    * corpus itself, and every stage is deterministic, so the oracle
+    * replays the WHOLE thing — tokenize, md5 bucket/sign, dense-vector
+    * assembly, init selection, both quantized iterations, final
+    * assignment — and the compare is a hash match over all documents.
+    * The vectors are localCheckpoint'ed once: the fit re-reads them
+    * ~5× (init + 2×(assign + means) + final assign), and re-running
+    * the tokenize→md5 pipeline per pass is the known re-execution trap.
+    */
+  val qTextClusters = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val vecs = TextOps.hashedVectors(docs, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val init = Similarity.kmeansInitByMinId(vecs, "doc_id", "embedding", 8)
+      val cents = Similarity.kmeansFit(vecs, "embedding", init, iters = 2)
+      Similarity.kmeansAssign(vecs, "doc_id", "embedding", cents)
+        .select(col("doc_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+             toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+                      FROM documents),
+             hh AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+             w AS (SELECT doc_id, h % 64 AS dim_idx,
+                          CAST(sum(CASE WHEN (h // 64) % 2 = 0
+                                        THEN 1 ELSE -1 END) AS DOUBLE) AS wt
+                   FROM hh GROUP BY doc_id, dim_idx),
+             v AS (SELECT dd.doc_id, list(coalesce(w.wt, 0.0) ORDER BY dims.dim) AS ev
+                   FROM (SELECT DISTINCT doc_id FROM documents) dd
+                   CROSS JOIN dims
+                   LEFT JOIN w ON w.doc_id = dd.doc_id AND w.dim_idx = dims.dim
+                   GROUP BY dd.doc_id),
+             grp AS (SELECT ev, min(doc_id) AS id FROM v GROUP BY ev),
+             ord AS (SELECT ev, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cl
+                     FROM grp),
+             cent0 AS (SELECT cl, ev AS cv FROM ord WHERE cl < 8),
+             ${kmeansIterSql("doc_id")}
+             SELECT doc_id, CAST(cl AS BIGINT) AS cluster
+             FROM fin ORDER BY doc_id"""))
 
   /** Cluster-balanced sampling — the kmeans payoff composed end-to-end:
     * cluster the corpus ([[qKmeans]]'s exact chain), then keep at most
@@ -3019,6 +3084,7 @@ object Queries {
     "q_kmeans" -> qKmeans,
     "q_cluster_sample" -> qClusterSample,
     "q_hashed_embedding" -> qHashedEmbedding,
+    "q_text_clusters" -> qTextClusters,
     "q_chunk_docs" -> qChunkDocs,
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,
