@@ -2090,6 +2090,101 @@ object Queries {
              FROM toks JOIN counts USING (tok) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Exact-substring span dedup (ExactSubstr, fixed 8-token window):
+    * re-occurrences of any 8-token span seen earlier in the corpus are
+    * removed token-by-token; the oracle replays span hashes, corpus-
+    * wide first-occurrence selection, position coverage, and document
+    * reassembly in SQL.
+    */
+  val qDedupSpans = QDef(
+    (s, d) => TextOps.dedupSpans(wideT(s, d, "documents"), "doc_id",
+        col("text"), n = 8)
+      .orderBy("doc_id"),
+    Some {
+      val sh = shingleHashesSql("hts", 8)
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+          ht AS (SELECT doc_id, toks, list_transform(toks, t -> ${h60sql("t")}) AS hts FROM d),
+          shl AS (SELECT doc_id, $sh AS sh FROM ht),
+          spans AS (SELECT doc_id, unnest(range(0, len(sh))) AS pos,
+                           unnest(sh) AS h FROM shl),
+          dup AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                    FROM spans) WHERE rn > 1),
+          cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS ti FROM dup),
+          tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS ti,
+                         unnest(toks) AS tok FROM d)
+          SELECT t.doc_id,
+                 coalesce(string_agg(CASE WHEN c.ti IS NULL THEN t.tok END, ' '
+                     ORDER BY t.ti), '') AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN c.ti IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+          FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+          GROUP BY t.doc_id ORDER BY t.doc_id"""
+    })
+
+  /** Per-document bigram surprisal under the corpus's own add-0.5-
+    * smoothed bigram LM — the word-order-sensitive refinement of the
+    * CCNet perplexity signal. The oracle replays the full chain:
+    * 2-gram shingles, compact (doc, bigram, tf), LM counts derived
+    * from it, context counts from the LM, weighted-mean scoring.
+    */
+  val qBigramSurprisal = QDef(
+    (s, d) => TextOps.bigramSurprisal(wideT(s, d, "documents"), "doc_id",
+        col("text"), alpha = 0.5)
+      .orderBy("doc_id"),
+    Some(s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+             bg AS (SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS bg FROM d),
+             dtf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+             c12 AS (SELECT bg, split_part(bg, ' ', 1) AS w1, sum(tf) AS c12
+                     FROM dtf GROUP BY 1, 2),
+             ctx AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+             v AS (SELECT count(*) AS v FROM ctx)
+             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                    round(sum(tf * -ln((c12 + 0.5) / (c1 + 0.5 * v))) / sum(tf), 6) + 0.0 AS surprisal
+             FROM dtf JOIN c12 USING (bg) JOIN ctx USING (w1) CROSS JOIN v
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** BM25 top-k retrieval for a fixed query-term bag — the targeted-
+    * subset-selection step of a data pipeline ("pull the k documents
+    * most about these terms"). Per-doc tf for each query term is
+    * computed map-side on the token array (no explode, no posting
+    * list); corpus stats (N, avgdl, per-term df) collapse to one
+    * broadcast row; the result moves only through an O(k) TakeOrdered.
+    * The oracle replays the identical Okapi/Lucene formula in SQL with
+    * the same literal constants and the same left-associated term-score
+    * sum, so the 6-dp round sees bit-comparable doubles.
+    */
+  private val Bm25Terms = Seq("spark", "query", "window", "hash")
+  private val Bm25K = 25
+
+  val qBm25TopK = QDef(
+    (s, d) => TextOps.bm25TopK(wideT(s, d, "documents"), "doc_id",
+      col("text"), Bm25Terms, Bm25K),
+    Some {
+      val tfCols = Bm25Terms.indices.map(i =>
+        s"len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS tf_$i").mkString(",\n                    ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n                    ")
+      val termScores = Bm25Terms.indices.map(i =>
+        s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+        .mkString("\n                      + ")
+      s"""WITH f AS (
+               SELECT doc_id, len(toks) AS dl,
+                    $tfCols
+               FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+             s AS (
+               SELECT count(*) AS n, avg(dl) AS avgdl,
+                    $dfCols
+               FROM f),
+             scored AS (
+               SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+                      round($termScores, 6) + 0.0 AS bm25
+               FROM f CROSS JOIN s)
+             SELECT doc_id, doc_len, bm25 FROM scored WHERE bm25 > 0
+             ORDER BY bm25 DESC, doc_id LIMIT $Bm25K"""
+    })
+
   /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs → connected
     * components → keep the lowest-id member of every near-dup cluster.
     * The three stages are the already-oracle-checked operators composed
@@ -3089,6 +3184,9 @@ object Queries {
     "q_segment_dedup" -> qSegmentDedup,
     "q_dsir_scores" -> qDsirScores,
     "q_unigram_surprisal" -> qUnigramSurprisal,
+    "q_bm25_topk" -> qBm25TopK,
+    "q_bigram_surprisal" -> qBigramSurprisal,
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_quantized_topk" -> qQuantizedTopK,

@@ -475,6 +475,69 @@ object TextOps {
         sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Exact-substring span dedup (the fixed-window form of Lee et al.
+    * 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
+    * Language Models Better"): remove every RE-occurrence of any
+    * `n`-token span that appeared earlier in the corpus, at ARBITRARY
+    * offsets — the overlapping-window complement of [[dedupSegments]]'
+    * fixed boundaries (a duplicated phrase straddling a segment
+    * boundary is invisible there; here any duplicated run of ≥ n
+    * tokens contains a duplicated n-span at every offset and is
+    * caught). The published recipe builds a suffix array over the
+    * concatenated corpus — a shared-memory structure with no
+    * distributed construction; the sliding-window form keeps the
+    * ≥ n-token-run semantics while staying hash-shuffle-shaped.
+    *
+    * Rule: a span occurrence (doc, pos) of hash h is a DUPLICATE
+    * unless it is the corpus-wide first occurrence of h (minimum
+    * (doc, pos) lexicographically). A token is removed iff ≥ 1
+    * duplicate span covers it; first occurrences keep their text, so
+    * wholly-novel documents pass through untouched.
+    *
+    * Output: (id, clean_text, n_tokens, n_removed) — one row per
+    * input document.
+    *
+    * Scale shape: md5 once per TOKEN, span hashes in-row (rotl-xor
+    * zip — [[shingleHashesFromTokenHashes]]); first-occurrence
+    * selection is a row_number window over the 8-byte span hash
+    * (per-hash groups are duplicate-count-sized); covered positions
+    * fan out n× from DUPLICATE occurrences only, so that explode is
+    * proportional to dup volume, not corpus size; the rebuild is one
+    * doc-keyed aggregate. The token array is checkpointed once and
+    * feeds both the span stream and the rebuild (no cross-consumer
+    * CSE in Spark — the tokenize would otherwise run per consumer).
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toksD = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol), col("__toks"))
+      .localCheckpoint(true)
+    val spans = toksD
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
+      .select(col(idCol),
+        posexplode(shingleHashesFromTokenHashes(col("__hts"), n))
+          .as(Seq("__pos", "__h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val covered = spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__ti"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    toksD.select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
+      .join(covered, Seq(idCol, "__ti"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov").isNull,
+            struct(col("__ti"), col("__tok"))))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** DSIR-style importance scores (hashed n-gram importance resampling,
     * the published recipe of Xie et al. 2023, arXiv:2302.03169): token
     * unigrams are hashed into `buckets` counts; a doc's score is its
@@ -550,5 +613,100 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__s")), 6).as("surprisal"))
+  }
+
+  /** Per-document bigram surprisal (mean −ln p(w₂|w₁) under an add-
+    * `alpha`-smoothed bigram LM trained on the corpus itself) — the
+    * next-order refinement of [[unigramSurprisal]]: a doc full of
+    * common words in IMPLAUSIBLE order ("the of and a the") scores
+    * high here while the unigram model waves it through. Documents
+    * with fewer than 2 tokens contribute no bigrams and are absent
+    * from the output.
+    *
+    * Smoothing: p(w₂|w₁) = (c(w₁w₂)+α) / (c(w₁·)+α·V) where c(w₁·)
+    * counts bigrams STARTING with w₁ (derived from the bigram counts,
+    * so corner tokens are handled consistently) and V is the context
+    * vocabulary size.
+    *
+    * Scale shape — deliberately different from the unigram op: a
+    * bigram LM is vocab²-bounded, too big to assume broadcastable, so
+    * scoring is a SHUFFLE join keyed on the bigram between the
+    * checkpointed compact (doc, bigram, tf) relation and the LM
+    * derived FROM that same relation (the tfidf one-tokenize-pass
+    * discipline — without the checkpoint the explode pipeline runs
+    * once per consumer). Context counts and vocab collapse to
+    * unigram-vocab- and 1-row relations. At broadcastable corpus
+    * sizes AQE downgrades the bigram join to broadcast on its own.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val bg = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        explode(wordShinglesFromTokens(col("__toks"), 2)).as("__bg"))
+    val dtf = bg.groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val c12 = dtf.groupBy("__bg").agg(sum(col("__tf")).as("__c12"))
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+    val ctx = c12.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+    val vocab = ctx.agg(count(lit(1)).as("__v"))
+    dtf.join(c12.join(broadcast(ctx), "__w1"), "__bg")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__s",
+        -log((col("__c12") + alpha) / (col("__c1") + lit(alpha) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_bigrams"),
+        round(sum(col("__tf") * col("__s")) / sum(col("__tf")), 6).as("surprisal"))
+  }
+
+  /** BM25 top-`k` retrieval for a fixed bag of query terms (Okapi BM25
+    * with the Lucene `ln(1 + (N − df + 0.5)/(df + 0.5))` idf, so scores
+    * are always ≥ 0). The retrieval op of a training-data pipeline's
+    * "find documents about X" / targeted-subset-selection step.
+    *
+    * Scale shape — deliberately NOT the textbook inverted-index build:
+    * per-document term frequencies for the handful of query terms are
+    * computed map-side with `size(filter(toks, _ = term))` directly on
+    * the token array — no explode, no (doc, term) shuffle, no posting
+    * list. Corpus statistics (N, avgdl, per-term df) reduce to ONE row
+    * via a single aggregate, broadcast back with a 1-row cross join;
+    * scoring is then pure per-row arithmetic inside codegen, and the
+    * only data movement for the result is the O(k)-per-partition
+    * TakeOrdered. An inverted index pays off when queries are many and
+    * ad-hoc; for a pipeline pass with a known query, two map passes
+    * over the corpus beat building one.
+    *
+    * Output: (idCol, doc_len, bm25) — the k highest-scoring documents
+    * with at least one query-term occurrence, ties broken on id.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: Column,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    val withTf = terms.zipWithIndex.foldLeft(
+        df.select(col(idCol), tokens(textCol).as("__toks"))
+          .withColumn("__dl", size(col("__toks")))) {
+        case (acc, (term, i)) =>
+          acc.withColumn(s"__tf_$i",
+            size(filter(col("__toks"), x => x === lit(term))))
+      }.drop("__toks")
+    val dfAggs = avg(col("__dl")).as("__avgdl") +: terms.indices.map(i =>
+      sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i"))
+    val stats = withTf.agg(count(lit(1)).as("__n"), dfAggs: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("__n") - col(s"__df_$i") + 0.5) /
+        (col(s"__df_$i") + 0.5) + 1.0)
+      val tf = col(s"__tf_$i").cast("double")
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(score, 6))
+      .filter(col("bm25") > 0)
+      .select(col(idCol), col("__dl").cast("long").as("doc_len"), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
   }
 }

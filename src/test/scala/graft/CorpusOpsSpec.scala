@@ -150,6 +150,77 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(common.map(c => got(c._1)).distinct.size == 1)
   }
 
+  test("dedupSpans: later re-occurrences removed at arbitrary offsets, first occurrences untouched") {
+    val docs = Seq(
+      (1L, "a b c d"),              // spans abc@0, bcd@1 — both first
+      (2L, "z a b c z2"),           // abc@1 duplicates doc1@0 → tokens 1-3 removed
+      (3L, "a b c"),                // whole doc duplicates doc1@0 → emptied
+      (4L, "fresh words here now"), // wholly novel → untouched
+      (5L, "x y"))                  // < n tokens → no spans → untouched
+    val got = TextOps.dedupSpans(docs.toDF("id", "text"), "id", col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d", 4L, 0L)))
+    assert(got(2L) == (("z z2", 5L, 3L)))
+    assert(got(3L) == (("", 3L, 3L)))
+    assert(got(4L) == (("fresh words here now", 4L, 0L)))
+    assert(got(5L) == (("x y", 2L, 0L)))
+  }
+
+  test("bigramSurprisal: word order separates docs the unigram model cannot; <2-token docs absent") {
+    val common = (1L to 50L).map(i => (i, "the cat sat"))
+    val scrambled = Seq((98L, "sat the cat")) // same unigram multiset
+    val solo = Seq((99L, "x"))
+    val df = (common ++ scrambled ++ solo).toDF("id", "text")
+    val bg = TextOps.bigramSurprisal(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // single-token doc has no bigrams → absent
+    assert(!bg.contains(99L))
+    assert(bg(1L)._1 == 2L && bg(98L)._1 == 2L)
+    // the scrambled doc's rare "sat the" transition must raise its score
+    assert(bg(98L)._2 > bg(1L)._2 * 2,
+      s"scrambled=${bg(98L)._2} common=${bg(1L)._2}")
+    // ...while the unigram model, blind to order, scores them identically
+    val ug = TextOps.unigramSurprisal(df.filter(col("id").isin(1L, 98L)),
+        "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ug(1L) == ug(98L))
+  }
+
+  test("bm25TopK: matches a plain-Scala reference; zero-hit docs excluded; k respected") {
+    val docs = Seq(
+      (1L, "spark spark spark filter"),
+      (2L, "spark filter join join join join join join"),
+      (3L, "join join join join"),
+      (4L, "query spark"),
+      (5L, "the cat sat on the mat"))
+    val terms = Seq("spark", "query")
+    val got = TextOps.bm25TopK(docs.toDF("id", "text"), "id", col("text"),
+        terms, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // plain-Scala reference of the exact Okapi/Lucene chain, same
+    // literal constants and operation order as the Column expression
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = terms.map { term =>
+      val tf = toks(id).count(_ == term).toDouble
+      val dfT = toks.values.count(_.contains(term))
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val expected = docs.map(_._1)
+      .map(id => (id, toks(id).size.toLong,
+        BigDecimal(score(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .filter(_._3 > 0)
+      .sortBy { case (id, _, s) => (-s, id) }.take(3)
+    assert(got == expected)
+    // length normalization: doc 1 (tf=3, short) must outrank doc 2's
+    // single diluted hit; docs 3/5 (no query terms) must be absent
+    val rank = got.map(_._1)
+    assert(rank.indexOf(1L) < rank.indexOf(2L))
+    assert(!rank.contains(3L) && !rank.contains(5L))
+  }
+
   test("semanticDedup: intra-cluster near-dups drop to the lowest id, cross-cluster twins survive") {
     val e1 = Array(1.0, 0.0, 0.0, 0.0)
     val e2 = Array(0.0, 1.0, 0.0, 0.0)

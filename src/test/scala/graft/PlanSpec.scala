@@ -221,6 +221,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "explode missing from chunkTokens plan")
   }
 
+  test("bm25TopK: no posting list — zero hash exchanges, no explode, O(k) TakeOrdered") {
+    val docs = graft.sources.Tables.documents(spark, dir) // un-widened: no repartition
+    val p = graft.operators.TextOps.bm25TopK(docs, "doc_id",
+        org.apache.spark.sql.functions.col("text"),
+        Seq("spark", "query"), 10)
+      .queryExecution.executedPlan.toString
+    // per-term tf is computed on the token array in-row: the only data
+    // movement is the 1-row stats aggregate (SinglePartition exchange)
+    // broadcast back, and the top-k itself
+    assert(!p.contains("Exchange hashpartitioning"),
+      "unexpected key shuffle in bm25TopK:\n" + p.take(800))
+    assert(!p.contains("Generate"), "unexpected explode in bm25TopK")
+    assert(!p.contains("SortMergeJoin"), "stats join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered:\n" + p.take(800))
+  }
+
   test("geo buildFeatures: no alias-substituted CRS inverse in any Filter (round-11 blow-up guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     // Filtering on lon/lat nullity AFTER Crs.withLonLat lets
