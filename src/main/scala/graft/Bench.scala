@@ -396,7 +396,7 @@ object Bench {
     // skips every flagship, the E3 geo build included.
     val e1Variants = sys.env.get("SPARK_GRAFT_E1_VARIANTS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("plain", "segmented", "chunked", "geo"))
+      .getOrElse(Set("plain", "segmented", "chunked", "geo", "corpus"))
     def wantE1(v: String) = !skipE1 && e1Variants.contains(v)
     val e1 = if (!wantE1("plain")) skipped
       else timeMedian(e1Reps) { runE1(Seq("borough")) }
@@ -464,11 +464,42 @@ object Bench {
     }
     val geo = if (!wantE1("geo")) skipped
       else timeMedian(e1Reps) { runGeo() }
+    releasePersisted()
+
+    // Corpus-curation flagship: the full LLM-data pipeline (quality
+    // gates → exact dedup → MinHash-LSH + connected-components fuzzy
+    // dedup → exact-substring span dedup → bloom decontamination →
+    // sequence packing) end-to-end, the corpus counterpart of the E1/E3
+    // flagships. The sf documents table is amplified ×CORPUS_AMP with a
+    // CONTROLLED duplicate structure — per base doc one exact copy and
+    // (amp−2) near-dup variants — so the exact, fuzzy, and span stages
+    // each see duplicate work at a known rate instead of whatever the
+    // fixture happens to contain. Eval set: every 101st base doc, so
+    // decontamination has real hits (the doc's own copies share its
+    // 8-grams).
+    val corpusAmp = sys.env.getOrElse("SPARK_GRAFT_CORPUS_AMP", "4").toInt
+    def runCorpus(): Long = {
+      val base = sources.Tables.documents(spark, sfDir, widen = true)
+      val amplified = base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(corpusAmp - 1))).as("__j"))
+        .select((col("doc_id") * corpusAmp + col("__j")).as("doc_id"),
+          when(col("__j") <= 1, col("text"))
+            .otherwise(concat(col("text"), lit(" variant"),
+              col("__j").cast("string"))).as("text"))
+      val eval = base.filter(col("doc_id") % 101 === 0).select(col("text"))
+      pipelines.CorpusPipeline.curate(amplified, eval)
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+        .collect().head.getAs[Long]("n")
+    }
+    val corpus = if (!wantE1("corpus")) skipped
+      else timeMedian(e1Reps) { runCorpus() }
 
     val flagships = Seq("flagship_e1" -> e1.median,
       "flagship_e1_segmented" -> e1Seg.median,
       "flagship_e1_chunked" -> e1Chunk.median,
-      "flagship_geo" -> geo.median)
+      "flagship_geo" -> geo.median,
+      "flagship_corpus" -> corpus.median)
     val qs = (results.toSeq ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -478,7 +509,8 @@ object Bench {
     // decide WHY an outlier rep happened (GC-bound vs external).
     val allTimed: Seq[(String, Timed[_])] = measured.toSeq ++
       Seq("flagship_e1" -> e1, "flagship_e1_segmented" -> e1Seg,
-        "flagship_e1_chunked" -> e1Chunk, "flagship_geo" -> geo)
+        "flagship_e1_chunked" -> e1Chunk, "flagship_geo" -> geo,
+        "flagship_corpus" -> corpus)
     def repMap[T](f: Timed[_] => Seq[T]): String = allTimed
       .map { case (k, t) => "\"" + k + "\":" + f(t).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -497,13 +529,14 @@ object Bench {
       e1.err.map("flagship_e1" -> _) ++
       e1Seg.err.map("flagship_e1_segmented" -> _) ++
       e1Chunk.err.map("flagship_e1_chunked" -> _) ++
-      geo.err.map("flagship_geo" -> _)
+      geo.err.map("flagship_geo" -> _) ++
+      corpus.err.map("flagship_corpus" -> _)
     val errJson = allErrors
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median) +
-      math.max(0, geo.median)
+      math.max(0, geo.median) + math.max(0, corpus.median)
     // stream_progress: the stream queries' micro-batch duration
     // decomposition (addBatch vs walCommit vs the rest, summed over the
     // final rep's batches) — makes their fixed floor a number in the

@@ -162,4 +162,35 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("red", "orange", "yellow", "green"))
   }
+
+  test("corpus curation end-to-end: every stage drops exactly its own defect class") {
+    val boiler = "subscribe to our newsletter for updates and offers" // 8 tokens = one span
+    val evalText = "keep this secret eval passage away from training data at all costs"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the old mill by the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the old mill by the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and runs to the old mill by the river bank today tonight"), // near-dup of 1
+      (4L, "a completely different story of ships and seas is told in the harbor town every single morning"),
+      (5L, s"$boiler the wizard tale begins here now"),
+      (6L, s"$boiler another pirate saga starts tomorrow night friends"),
+      (7L, s"it is said the $evalText story"), // contaminated vs eval set
+      (8L, "lorem ipsum dolor sit amet consectetur"), // no markers → lang und
+      (9L, "the end is near")) // < 5 tokens
+      .toDF("doc_id", "text")
+    val eval = Seq(Tuple1(evalText)).toDF("text")
+    val out = graft.pipelines.CorpusPipeline.curate(docs, eval,
+        packBudget = 16, shards = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // survivors: 1 (rep of {1,2,3}), 4, 5 (first owner of the boiler
+    // span), 6 (boiler stripped, tail kept)
+    assert(out.keySet == Set(1L, 4L, 5L, 6L), s"got ${out.keySet}")
+    assert(out(1L)._2 == 20L)
+    assert(out(5L)._2 == 14L) // 8 boiler + 6 tail, untouched
+    assert(out(6L)._2 == 7L,  // boiler span removed, 7-token tail kept
+      s"doc 6 tokens = ${out(6L)._2}")
+    assert(out.values.forall(_._1 == "en"))
+    // packing invariants: offset inside the budget, sequence ids start at 0
+    assert(out.values.forall(v => v._5 >= 0 && v._5 < 16 && v._4 >= 0))
+  }
 }
