@@ -824,6 +824,48 @@ object Queries {
                    CAST(0.02 AS DOUBLE) AS rel_err_band, TRUE AS hll_ok
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Approximate grouped quantiles (Greenwald-Khanna sketch via
+    * `approx_percentile`), certified against exact rank-error bands —
+    * the same estimate-vs-band pattern as [[qApproxDistinct]]: the
+    * sketch value itself is engine-specific, so the checked row
+    * carries the EXACT percentiles at p ± 0.02 (both engines compute
+    * them, already proven bit-matching in q_percentile) plus a boolean
+    * asserting the approx value landed inside. accuracy=100 ⇒ rank
+    * error ≤ 0.01·N, so the ±0.02 band has 2× margin; an estimator
+    * regression flips the boolean and the hash goes red.
+    *
+    * This is the 100 TB quantile path: exact `percentile` materializes
+    * every group's values through a sort, while the GK sketch is a
+    * bounded-memory partial aggregate (map-side combine, one merge per
+    * group) — the certification is what lets a pipeline trust it.
+    */
+  val qApproxQuantiles = QDef(
+    (s, d) => {
+      def band(tag: String, lo: String, p: String, hi: String) = Seq(
+        round(expr(s"percentile(value, $lo)"), 6).as(s"${tag}_lo"),
+        round(expr(s"percentile(value, $hi)"), 6).as(s"${tag}_hi"),
+        expr(s"approx_percentile(value, $p, 100)")
+          .between(expr(s"percentile(value, $lo)"),
+            expr(s"percentile(value, $hi)")).as(s"${tag}_ok"))
+      val aggs = band("p50", "0.48", "0.5", "0.52") ++
+        band("p90", "0.88", "0.9", "0.92") ++
+        band("p99", "0.97", "0.99", "1.0")
+      t(s, d, "events").groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   round(quantile_cont(value, 0.48), 6) + 0.0 AS p50_lo,
+                   round(quantile_cont(value, 0.52), 6) + 0.0 AS p50_hi,
+                   TRUE AS p50_ok,
+                   round(quantile_cont(value, 0.88), 6) + 0.0 AS p90_lo,
+                   round(quantile_cont(value, 0.92), 6) + 0.0 AS p90_hi,
+                   TRUE AS p90_ok,
+                   round(quantile_cont(value, 0.97), 6) + 0.0 AS p99_lo,
+                   round(quantile_cont(value, 1.0), 6) + 0.0 AS p99_hi,
+                   TRUE AS p99_ok
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   // =====================================================================
   // §2.7 streaming: batch-equivalent windowed aggregation
   //
@@ -3114,6 +3156,7 @@ object Queries {
     "q_topk_agg" -> qTopKAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantiles" -> qApproxQuantiles,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,
