@@ -1863,6 +1863,50 @@ object Queries {
              SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
              FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** MMR diverse top-k (k=5, λ=0.7, query = vec 0's embedding): the
+    * greedy sequence is replayed in SQL as k chained CTEs — round i
+    * excludes the picks so far and maximizes
+    * λ·rel − (1−λ)·max-cosine-to-picked via a correlated subquery over
+    * the accumulated pick set. Literals are written `(1.0 - 0.7)` on
+    * BOTH sides (not `0.3` — a different double), norms multiply in the
+    * same outer×selected order, and ties break on id, so the rounded
+    * scores and the selection itself are engine-portable.
+    */
+  val qMmrSelect = QDef(
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Similarity.mmrSelect(emb, "vec_id", "embedding", query,
+          k = 5, lambda = 0.7)
+        .orderBy("rank")
+    },
+    Some {
+      val k = 5
+      val rounds = (1 to k).map { i =>
+        if (i == 1)
+          s"""s1 AS (SELECT id, v, 0.7 * rel AS score FROM r
+                   ORDER BY 0.7 * rel DESC, id LIMIT 1),
+            p1 AS (SELECT id, v FROM s1)"""
+        else
+          s"""s$i AS (SELECT id, v,
+                   0.7 * rel - (1.0 - 0.7) * (SELECT max(${cosineSql("o.v", "s.v")}) FROM p${i - 1} s) AS score
+                 FROM r o WHERE id NOT IN (SELECT id FROM p${i - 1})
+                 ORDER BY score DESC, id LIMIT 1),
+            p$i AS (SELECT id, v FROM p${i - 1} UNION ALL SELECT id, v FROM s$i)"""
+      }.mkString(",\n          ")
+      val sel = (1 to k)
+        .map(i => s"SELECT $i AS rank, id AS vec_id, round(score, 6) + 0.0 AS mmr_score FROM s$i")
+        .mkString("\n             UNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE id = 0),
+          r AS (SELECT id, v, ${cosineSql("qv", "v")} AS rel FROM e CROSS JOIN q),
+          $rounds
+          SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr_score
+          FROM ($sel) ORDER BY rank"""
+    })
+
   /** Shared oracle for the ANN recall-certification rows: DuckDB
     * recomputes the EXACT top-5 (the same brute-force CTE q_cosine_topk
     * hash-verifies) and derives `n_queries` / `n_exact` from it; the
@@ -3196,6 +3240,7 @@ object Queries {
     "q_simhash_neardup_pairs" -> qSimhashNearDupPairs,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
     "q_cosine_topk" -> qCosineTopK,
+    "q_mmr_select" -> qMmrSelect,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_exact" -> qAnnIvfExact,
     "q_ann_lsh" -> qAnnLsh,

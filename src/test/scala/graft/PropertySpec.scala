@@ -239,4 +239,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedupSpans matches a brute-force reference on random tiny-vocab corpora") {
+    // tiny vocab + short docs force heavy accidental span sharing, so
+    // overlap/coverage interactions (spans straddling spans, chains of
+    // dups, self-repeats within one doc) all occur by volume
+    val vocab = Array("a", "b", "c", "d")
+    val n = 3
+    for (trial <- 1 to 5) {
+      val docs = (0L until 30L).map { id =>
+        val len = 1 + rng.nextInt(12)
+        (id, (1 to len).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val first = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+      toks.foreach { case (id, ts) =>
+        (0 to ts.length - n).foreach { p =>
+          val s = ts.slice(p, p + n)
+          if (!first.contains(s)) first(s) = (id, p)
+        }
+      }
+      val expected = toks.map { case (id, ts) =>
+        val covered = Array.fill(ts.length)(false)
+        (0 to ts.length - n).foreach { p =>
+          if (first(ts.slice(p, p + n)) != ((id, p)))
+            (p until p + n).foreach(covered(_) = true)
+        }
+        id -> ((ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" "),
+          ts.length.toLong, covered.count(identity).toLong))
+      }.toMap
+      val got = graft.operators.TextOps
+        .dedupSpans(docs.toDF("id", "text"), "id", col("text"), n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }

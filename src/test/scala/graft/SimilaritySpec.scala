@@ -174,4 +174,44 @@ class SimilaritySpec extends AnyFunSuite {
     val strict = Similarity.recallAtK(approx, exact, 0.8).collect().head
     assert(!strict.getAs[Boolean]("recall_ok")) // 0.75 < 0.8 flips the row
   }
+
+  test("mmrSelect: matches a greedy plain-Scala reference; diverse pick beats redundant near-dups") {
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val corpus = Seq(
+      (1L, Array(1.0, 0.05, 0.0, 0.0)),  // most relevant
+      (2L, Array(1.0, 0.06, 0.0, 0.0)),  // near-dup of 1
+      (3L, Array(1.0, 0.07, 0.0, 0.0)),  // near-dup of 1
+      (4L, Array(0.6, 0.8, 0.0, 0.0)),   // less relevant, diverse
+      (5L, Array(0.3, 0.0, 0.95, 0.0)))  // least relevant, most diverse
+    val got = Similarity.mmrSelect(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", q, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // greedy reference with the same tie-breaks
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      def n(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+      d / (n(a) * n(b))
+    }
+    var sel = Vector.empty[(Long, Double)]
+    for (_ <- 1 to 3) {
+      val cands = corpus.filterNot(c => sel.exists(_._1 == c._1)).map { case (id, v) =>
+        val red = if (sel.isEmpty) 0.0
+          else sel.map(s => cos(v, corpus.find(_._1 == s._1).get._2)).max
+        val score = if (sel.isEmpty) 0.5 * cos(q, v)
+          else 0.5 * cos(q, v) - (1.0 - 0.5) * red
+        (id, score)
+      }
+      sel = sel :+ cands.minBy { case (id, s) => (-s, id) }
+    }
+    val expected = sel.zipWithIndex.map { case ((id, s), i) =>
+      ((i + 1).toLong, id,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got == expected)
+    // the property the operator exists for: plain cosine top-3 is the
+    // redundant {1, 2, 3}; MMR's second pick must be the orthogonal 5,
+    // not near-dup 2 (with λ=0.5 the highly-relevant near-dup still
+    // earns rank 3 — MMR reorders, it doesn't ban redundancy outright)
+    assert(got.map(_._2).take(2) == Seq(1L, 5L), s"picks were ${got.map(_._2)}")
+    assert(got.map(_._2).toSet != Set(1L, 2L, 3L))
+  }
 }
