@@ -2335,6 +2335,26 @@ object Queries {
                          generate_subscripts(ev, 1) AS i FROM s)
             ORDER BY vec_id, dim"""))
 
+  /** JL random projection 64 → 16 dims over the deterministic h60
+    * hyperplane bank: the oracle inlines the identical plane constants
+    * (Scala Double.toString round-trips, DuckDB parses back the same
+    * double) and replays the 16 sequential-fold dots per vector.
+    */
+  val qRandomProject = QDef(
+    (s, d) => Similarity.randomProject(t(s, d, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
+      .orderBy("vec_id", "dim"),
+    Some {
+      val planes = Similarity.hyperplanes(16, 64, 7000)
+      val dots = planes.map(p =>
+        s"round(list_dot_product(v, [${p.mkString(", ")}]), 6) + 0.0")
+        .mkString(",\n                 ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+          SELECT vec_id, unnest(range(0, 16)) AS dim,
+                 unnest([$dots]) AS p
+          FROM e ORDER BY vec_id, dim"""
+    })
+
   /** Exact cosine top-k over the int8-quantized vectors: the scale
     * cancels out of cosine, and integer dot products are exact in
     * double arithmetic — the quantized search is deterministically
@@ -3277,6 +3297,7 @@ object Queries {
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_embedding_quantize" -> qEmbeddingQuantize,
+    "q_random_project" -> qRandomProject,
     "q_quantized_topk" -> qQuantizedTopK,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_zorder_key" -> qZorderKey,

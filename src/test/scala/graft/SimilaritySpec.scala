@@ -175,6 +175,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!strict.getAs[Boolean]("recall_ok")) // 0.75 < 0.8 flips the row
   }
 
+  test("randomProject: matches plain-Scala dots over the shared plane bank; map-only plan") {
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => i * 0.25 - 1.0)),
+      (2L, Array.tabulate(8)(i => math.sin(i.toDouble))),
+      (3L, Array.fill(8)(0.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding",
+      inDim = 8, outDim = 4)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "projection must be map-only:\n" + p.take(600))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val planes = Similarity.hyperplanes(4, 8, 7000)
+    vecs.foreach { case (id, v) =>
+      planes.zipWithIndex.foreach { case (plane, d) =>
+        val want = BigDecimal(v.zip(plane).map { case (a, b) => a * b }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((id, d.toLong)) == want, s"vec $id dim $d")
+      }
+    }
+  }
+
   test("mmrSelect: matches a greedy plain-Scala reference; diverse pick beats redundant near-dups") {
     val q = Array(1.0, 0.0, 0.0, 0.0)
     val corpus = Seq(
