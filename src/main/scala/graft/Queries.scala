@@ -799,6 +799,29 @@ object Queries {
                    count(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered funnel over the event stream (view → click → purchase,
+    * earliest-first semantics: each stage counts only events strictly
+    * after the user's earliest qualifying previous-stage event). Every
+    * aggregate and join keys on the user — one partitioning serves the
+    * whole chain. The oracle replays the frontier CTEs.
+    */
+  val qFunnel = QDef(
+    (s, d) => Temporal.funnel(t(s, d, "events"), col("user_id"),
+        col("event_type"), col("ts"), Seq("view", "click", "purchase")),
+    Some("""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL SELECT CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
+            ORDER BY stage_idx"""))
+
   /** HLL approximate distinct, certified against a committed tolerance
     * band: the sketch estimate itself is engine-specific (DuckDB's HLL
     * would hash-mismatch Spark's), so the checked row carries the EXACT
@@ -3221,6 +3244,7 @@ object Queries {
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_quantiles" -> qApproxQuantiles,
+    "q_funnel" -> qFunnel,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

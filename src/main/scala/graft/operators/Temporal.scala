@@ -137,4 +137,42 @@ object Temporal {
     val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Ordered funnel: how many users performed `stages` in order —
+    * stage i+1 counts only events STRICTLY after the user's earliest
+    * qualifying stage-i event (the classic earliest-first funnel
+    * definition; each user counts once per stage reached).
+    *
+    * Output: (stage_idx, stage, n_users) — one row per stage,
+    * monotonically non-increasing counts.
+    *
+    * Scale shape: stage i is a type-filtered scan (predicate pushed to
+    * the source) aggregated by user and equi-joined to the stage-(i−1)
+    * frontier — every join and aggregate keys on the user, so a
+    * pre-partitioned/bucketed events table pays ONE partitioning for
+    * the whole chain. The frontier shrinks monotonically; no window,
+    * no self-join, no per-user event-list materialization (the
+    * collect_list-then-UDF shape this replaces blows memory on power
+    * users at corpus scale).
+    */
+  def funnel(df: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val first = df.filter(typeCol === stages.head)
+      .groupBy(userCol.as("__u")).agg(min(tsCol).as("__t"))
+    val frontiers = stages.tail.scanLeft(first) { (prev, stage) =>
+      df.filter(typeCol === stage)
+        .join(prev, userCol === col("__u"))
+        .filter(tsCol > col("__t"))
+        .groupBy(col("__u")).agg(min(tsCol).as("__t"))
+    }
+    frontiers.zip(stages).zipWithIndex
+      .map { case ((f, stage), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+      }
+      .reduce(_ union _)
+      .orderBy("stage_idx")
+  }
 }

@@ -105,4 +105,18 @@ class TemporalSpec extends AnyFunSuite {
     // tie at v=9.0 broken by id asc: id=2 then id=3
     assert(got == Seq(("g1", 2L, 1), ("g1", 3L, 2), ("g2", 5L, 1)))
   }
+
+  test("funnel: earliest-first strict ordering; out-of-order and same-instant events excluded") {
+    val events = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full path
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "click", 3L),    // pre-view click ignored
+      (3L, "view", 1L), (3L, "purchase", 2L),                    // skips click → stops at view
+      (4L, "purchase", 1L), (4L, "click", 2L),                   // never views
+      (5L, "view", 5L), (5L, "click", 5L))                       // same instant: strict > excludes
+      .toDF("user_id", "event_type", "t")
+    val got = Temporal.funnel(events, col("user_id"), col("event_type"),
+        col("t"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
+  }
 }
