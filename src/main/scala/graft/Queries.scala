@@ -822,6 +822,23 @@ object Queries {
             UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
             ORDER BY stage_idx"""))
 
+  /** Weekly cohort retention over the event stream — the funnel's
+    * companion report: distinct active users per (first-event cohort
+    * week, week offset). Dates ride as strings (engines agree on the
+    * dates, not on date-object rendering).
+    */
+  val qCohortRetention = QDef(
+    (s, d) => Temporal.cohortRetention(t(s, d, "events"),
+      col("user_id"), col("ts")),
+    Some("""WITH f AS (SELECT user_id,
+                              date_trunc('week', min(ts))::DATE AS cw
+                       FROM events GROUP BY 1)
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   date_diff('day', cw, date_trunc('week', e.ts)::DATE) // 7 AS week_offset,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** HLL approximate distinct, certified against a committed tolerance
     * band: the sketch estimate itself is engine-specific (DuckDB's HLL
     * would hash-mismatch Spark's), so the checked row carries the EXACT
@@ -3245,6 +3262,7 @@ object Queries {
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -175,4 +175,34 @@ object Temporal {
       .reduce(_ union _)
       .orderBy("stage_idx")
   }
+
+  /** Weekly cohort retention: users are cohorted by the Monday-
+    * truncated week of their FIRST event; each (cohort, offset) cell
+    * counts distinct users active `offset` weeks after their cohort
+    * week. Both timestamps are week-truncated before differencing, so
+    * the day gap is an exact multiple of 7 and the offset is integral
+    * in both engines.
+    *
+    * Output: (cohort_week "yyyy-MM-dd" string, week_offset, n_users) —
+    * string dates because engines disagree on date-object rendering,
+    * not on the dates themselves.
+    *
+    * Scale shape: the first-event table is user-cardinality (one
+    * min-aggregate), joined back on the user key — the same one-
+    * partitioning-serves-all chain as [[funnel]]; the retention matrix
+    * itself is (cohorts × offsets)-sized, trivially small.
+    */
+  def cohortRetention(df: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame = {
+    val firsts = df.groupBy(userCol.as("__u"))
+      .agg(date_trunc("week", min(tsCol)).cast("date").as("__cw"))
+    df.join(firsts, userCol === col("__u"))
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", tsCol).cast("date"), col("__cw")) / 7)
+          .cast("long"))
+      .groupBy(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(count_distinct(userCol).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -119,4 +119,20 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
   }
+
+  test("cohortRetention: cohort = Monday week of first event; offsets count distinct actives") {
+    // 2024-01-01 is a Monday
+    val events = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // u1 cohort 2024-01-01
+      (1L, ts("2024-01-04 11:00:00")), // same week — one distinct active
+      (1L, ts("2024-01-16 09:00:00")), // +2 weeks
+      (2L, ts("2024-01-10 08:00:00")), // u2 cohort 2024-01-08
+      (2L, ts("2024-01-15 20:00:00"))) // +1 week
+      .toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(events, col("user_id"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
 }
