@@ -2311,6 +2311,44 @@ object Queries {
              ORDER BY bm25 DESC, doc_id LIMIT $Bm25K"""
     })
 
+  /** PageRank (4 power iterations, d=0.85, no dangling redistribution
+    * — every pair endpoint has degree ≥ 1) over the LSH candidate-pair
+    * graph: centrality = "hub of a near-dup family". The oracle chains
+    * one CTE per iteration off the shared band-graph CTEs; literals
+    * are written `(1.0 - 0.85)` on both sides.
+    */
+  val qPagerank = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      Dedup.pageRank(docs, pairs, "doc_id", iters = 4)
+        .orderBy("doc_id")
+    },
+    Some {
+      val bandRows = minhashBandsSql
+      def iter(i: Int) =
+        s"""r$i AS (SELECT b.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inc, 0.0) AS r
+               FROM v b LEFT JOIN (
+                 SELECT e.dst, sum(p.r / dg.deg) AS inc
+                 FROM edges e JOIN r${i - 1} p ON e.src = p.id JOIN dg ON dg.src = e.src
+                 GROUP BY 1) c ON b.id = c.dst)"""
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    WHERE a.doc_id < b.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM documents),
+          v AS (SELECT doc_id AS id FROM documents),
+          r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v),
+          ${(1 to 4).map(iter).mkString(",\n          ")}
+          SELECT id AS doc_id, round(r, 9) + 0.0 AS rank FROM r4 ORDER BY doc_id"""
+    })
+
   /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs → connected
     * components → keep the lowest-id member of every near-dup cluster.
     * The three stages are the already-oracle-checked operators composed
@@ -3338,6 +3376,7 @@ object Queries {
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_fuzzy" -> qDedupFuzzy,
+    "q_pagerank" -> qPagerank,
     "q_embedding_quantize" -> qEmbeddingQuantize,
     "q_random_project" -> qRandomProject,
     "q_quantized_topk" -> qQuantizedTopK,

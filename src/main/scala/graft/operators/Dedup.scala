@@ -386,6 +386,55 @@ object Dedup {
       frontierSizes.toSeq)
   }
 
+  /** PageRank over an undirected pair graph (e.g. [[minhashLshPairs]]
+    * output) — centrality scoring for duplicate-graph analysis: a
+    * high-rank document is the hub of a large near-dup neighborhood
+    * (template pages, boilerplate families), which makes rank a useful
+    * survivor-selection or down-weighting signal beyond plain cluster
+    * membership. Fixed `iters` power iterations, damping `d`:
+    * r' = (1−d)/N + d·Σ_incoming r/deg. Deliberately NO dangling-mass
+    * redistribution: in an undirected pair graph every edge endpoint
+    * has degree ≥ 1, so the only "dangling" vertices are isolated ones
+    * whose rank is exactly (1−d)/N under either convention — the
+    * simpler recurrence is replayable CTE-for-CTE by an oracle.
+    *
+    * Scale shape: same iterative discipline as
+    * [[connectedComponents]] — edges checkpointed once, each
+    * iteration is one edges⋈ranks join + one dst-keyed sum, ranks
+    * eagerly checkpointed so the logical plan stays flat. Fixed
+    * iteration count ⇒ no convergence collect at all (the driver runs
+    * exactly `iters` jobs).
+    *
+    * Output: (idCol, rank) rounded to 9 dp (ranks are O(1/N); 9 dp
+    * keeps ~5 significant digits at the fixture scales while staying
+    * far above cross-engine float-sum noise).
+    */
+  def pageRank(vertices: DataFrame, pairs: DataFrame, idCol: String,
+      iters: Int = 4, damping: Double = 0.85): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val n = vertices.count()
+    val base = vertices.select(col(idCol).as("__id")).localCheckpoint(true)
+    var ranks = base.withColumn("__r", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("__id"))
+        .join(deg, "src")
+        .select(col("dst"), (col("__r") / col("__deg")).as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__in"))
+      ranks = base
+        .join(contribs, col("__id") === col("dst"), "left")
+        .select(col("__id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("__id").as(idCol), round(col("__r"), 9).as("rank"))
+  }
+
   /** Survivor selection: keep the lowest-id member of each near-dup
     * cluster (the exact-dedup policy extended to near-duplicates).
     */

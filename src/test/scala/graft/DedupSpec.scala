@@ -46,4 +46,35 @@ class DedupSpec extends AnyFunSuite {
     // 5,5 with intersection 4 would give 4/6)
     assert(p == Map((1L, 2L) -> 1.0), s"got $p")
   }
+
+  test("pageRank: matches a plain-Scala power iteration on a star + chain + isolate") {
+    import spark.implicits._
+    val verts = (1L to 7L).toDF("id")
+    // star hub 1 ← {2,3,4}, chain 5-6, isolated 7 (degree-ASYMMETRIC:
+    // a regular graph keeps PageRank uniform and would test nothing)
+    val pairList = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val pairsDf = pairList.toDF("id_a", "id_b")
+    val got = Dedup.pageRank(verts, pairsDf, "id", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: same recurrence, same literal arithmetic
+    val n = 7
+    val edges = pairList.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var r = (1L to 7L).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = (1L to 7L).map(v =>
+        v -> ((1.0 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    (1L to 7L).foreach { v =>
+      val want = BigDecimal(r(v)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(v) - want) < 1e-12, s"vertex $v: got ${got(v)} want $want")
+    }
+    // structure: the hub outranks its spokes outrank the isolate; chain
+    // members (degree-regular component) sit at exactly 1/n
+    assert(got(1L) > got(2L) && got(2L) > got(7L))
+    assert(got(2L) == got(3L) && got(3L) == got(4L) && got(5L) == got(6L))
+  }
 }
