@@ -822,6 +822,32 @@ object Queries {
             UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
             ORDER BY stage_idx"""))
 
+  /** SCD2 history over the event stream: each user's event_type runs
+    * become validity intervals (valid_from/valid_to/is_current). The
+    * event id rides in the window order as the same-instant tie-break
+    * on both sides.
+    */
+  val qScd2 = QDef(
+    (s, d) => Temporal.scd2(t(s, d, "events"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        col("event_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_type"),
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                   WHERE prev IS NULL OR event_type <> prev),
+            v AS (SELECT user_id, event_type, ts AS valid_from,
+                         lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS valid_to
+                  FROM ch)
+            SELECT user_id, event_type, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM v ORDER BY user_id, valid_from, event_type"""))
+
   /** Weekly cohort retention over the event stream — the funnel's
     * companion report: distinct active users per (first-event cohort
     * week, week offset). Dates ride as strings (engines agree on the
@@ -3301,6 +3327,7 @@ object Queries {
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
+    "q_scd2" -> qScd2,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -176,6 +176,38 @@ object Temporal {
       .orderBy("stage_idx")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history builder: collapse
+    * an event/snapshot stream into attribute validity intervals — one
+    * row per (key, attribute-value run) with `valid_from`/`valid_to`
+    * and an `is_current` flag (open interval). A row opens an interval
+    * iff its attribute differs from the key's previous observation
+    * (first observation always opens); `valid_to` is the next
+    * interval's `valid_from`, null while current.
+    *
+    * `orderCols` must totally order each key's observations (include a
+    * unique tie-break — an event id — or same-instant runs are
+    * nondeterministic).
+    *
+    * Scale shape: two windows over the SAME (key, order) partitioning —
+    * Catalyst plans one Exchange and sorts once; the second window
+    * runs over the collapsed change-rows only. The classic MERGE-based
+    * SCD2 loader needs a target-table join per batch; this is the
+    * from-scratch history rebuild that backfills one.
+    */
+  def scd2(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column],
+      attr: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+    val changed = df
+      .withColumn("__prev", lag(attr, 1).over(w))
+      .filter(col("__prev").isNull || !(attr <=> col("__prev")))
+      .drop("__prev")
+    val w2 = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+    changed
+      .withColumn("valid_from", orderCols.head)
+      .withColumn("valid_to", lead(orderCols.head, 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Weekly cohort retention: users are cohorted by the Monday-
     * truncated week of their FIRST event; each (cohort, offset) cell
     * counts distinct users active `offset` weeks after their cohort

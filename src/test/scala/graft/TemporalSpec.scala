@@ -120,6 +120,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
   }
 
+  test("scd2: runs collapse, re-appearing value reopens, intervals tile each key's timeline") {
+    val obs = Seq(
+      (1L, "gold",   ts("2024-01-01 00:00:00"), 1L),
+      (1L, "gold",   ts("2024-01-02 00:00:00"), 2L), // same run — collapsed
+      (1L, "silver", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "gold",   ts("2024-01-05 00:00:00"), 4L), // gold AGAIN → new interval (type 2)
+      (2L, "bronze", ts("2024-01-04 00:00:00"), 5L))
+      .toDF("k", "tier", "at", "obs_id")
+    val got = Temporal.scd2(obs, Seq(col("k")), Seq(col("at"), col("obs_id")), col("tier"))
+      .select("k", "tier", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "gold",   ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "silver", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, "gold",   ts("2024-01-05 00:00:00"), None, true),
+      (2L, "bronze", ts("2024-01-04 00:00:00"), None, true)))
+    // tiling: within a key, every valid_to equals the next valid_from,
+    // and exactly one open interval exists
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+      assert(rows.count(_._5) == 1)
+    }
+  }
+
   test("cohortRetention: cohort = Monday week of first event; offsets count distinct actives") {
     // 2024-01-01 is a Monday
     val events = Seq(
