@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateTimeKit, Hashing, Holidays}
-import graft.operators.{Dedup, Relational, Similarity, Temporal, TextOps}
+import graft.operators.{Dedup, Profiling, Relational, Similarity, Temporal, TextOps}
 import graft.sources.Tables
 import graft.windows.TrailingFeatures
 
@@ -865,6 +865,124 @@ object Queries {
             FROM events e JOIN f USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Resample + forward-fill: each user's daily mean value densified
+    * onto a complete day grid from their first to last event — the
+    * pandas `resample('D').mean().ffill()` as one aggregate + one
+    * per-key grid + one window (see [[Temporal.resampleFill]]). Day
+    * buckets ride as strings; `is_gap` marks carried-forward rows.
+    */
+  val qResampleGapfill = QDef(
+    (s, d) => Temporal.resampleFill(t(s, d, "events"), col("user_id"),
+        col("ts"), col("value"), "day", "interval 1 day")
+      .select(col("key").as("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        round(col("v_filled"), 6).as("v_filled"), col("is_gap"))
+      .orderBy("user_id", "day"),
+    Some("""WITH b AS (SELECT user_id, date_trunc('day', ts) AS h,
+                              avg(value) AS v
+                       FROM events GROUP BY 1, 2),
+            ext AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                    FROM b GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(h0, h1, INTERVAL 1 DAY)) AS h
+                     FROM ext),
+            f AS (SELECT g.user_id, g.h,
+                         last_value(b.v IGNORE NULLS) OVER (
+                             PARTITION BY g.user_id ORDER BY g.h) AS vf,
+                         b.v IS NULL AS is_gap
+                  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+            SELECT user_id, strftime(h, '%Y-%m-%d') AS day,
+                   round(vf, 6) + 0.0 AS v_filled, is_gap
+            FROM f ORDER BY user_id, day"""))
+
+  private val EwmaAlpha = 0.3
+  private val EwmaK = 12
+
+  /** Trailing EWMA (α=0.3, exactly truncated to the last 12 rows) of
+    * each user's value series — k codegen'd lag() terms over one window
+    * partitioning, weights embedded as shortest-roundtrip double
+    * literals so both engines fuse the identical left-associated sum
+    * (see [[Temporal.ewmaTrailing]]).
+    */
+  val qEwma = QDef(
+    (s, d) => Temporal.ewmaTrailing(t(s, d, "events"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        col("value"), EwmaAlpha, EwmaK)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy("event_id"),
+    Some {
+      val ws = graft.operators.Temporal.ewmaWeights(EwmaAlpha, EwmaK)
+      def xj(j: Int) = if (j == 0) "value" else s"lag(value, $j) OVER w"
+      val num = ws.zipWithIndex
+        .map { case (c, j) => s"coalesce(${xj(j)} * $c, 0.0)" }
+        .mkString("\n                     + ")
+      val den = ws.zipWithIndex
+        .map { case (c, j) =>
+          s"CASE WHEN ${xj(j)} IS NOT NULL THEN $c ELSE 0.0 END" }
+        .mkString("\n                     + ")
+      s"""SELECT event_id, user_id, value,
+                 round(($num)
+                   / ($den), 6) + 0.0 AS ewma
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ORDER BY event_id"""
+    })
+
+  /** Trailing-window z-score anomaly flags (k=10 prior rows, exclusive
+    * frame, |z| > 3): the streaming-friendly outlier detector — each
+    * row scored against its key's own recent baseline, one window
+    * partitioning (see [[Temporal.rollingZscore]]). The sample-count
+    * guard (`cnt >= 2`) pins the engines to the same null behavior on
+    * short prefixes.
+    */
+  val qRollingZscore = QDef(
+    (s, d) => Temporal.rollingZscore(t(s, d, "events"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        col("value"), k = 10, thresh = 3.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        round(col("z"), 6).as("z"), col("is_anomaly"))
+      .orderBy("event_id"),
+    Some("""WITH s AS (
+              SELECT event_id, user_id, value,
+                     count(value) OVER w AS cnt,
+                     avg(value) OVER w AS mu,
+                     CASE WHEN count(value) OVER w >= 2
+                          THEN stddev_samp(value) OVER w END AS sigma
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+            SELECT event_id, user_id, value, round(mu, 6) + 0.0 AS mu,
+                   round(sigma, 6) + 0.0 AS sigma,
+                   round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END, 6) + 0.0 AS z,
+                   coalesce(abs(CASE WHEN sigma > 0 THEN (value - mu) / sigma END) > 3.0,
+                            FALSE) AS is_anomaly
+            FROM s ORDER BY event_id"""))
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: P(next | current) from adjacent pairs — state² output
+    * rows however large the corpus (see [[Temporal.transitionMatrix]]).
+    */
+  val qTransitionMatrix = QDef(
+    (s, d) => Temporal.transitionMatrix(t(s, d, "events"),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        col("event_type"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("p"), 6).as("p"))
+      .orderBy("from_state", "to_state"),
+    Some("""WITH pr AS (SELECT event_type AS from_state,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_state
+                        FROM events),
+            c AS (SELECT from_state, to_state, count(*) AS n FROM pr
+                  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+                   round(n / tot, 6) + 0.0 AS p
+            FROM c JOIN t USING (from_state)
+            ORDER BY from_state, to_state"""))
+
   /** HLL approximate distinct, certified against a committed tolerance
     * band: the sketch estimate itself is engine-specific (DuckDB's HLL
     * would hash-mismatch Spark's), so the checked row carries the EXACT
@@ -930,6 +1048,112 @@ object Queries {
                    round(quantile_cont(value, 0.97), 6) + 0.0 AS p99_lo,
                    round(quantile_cont(value, 1.0), 6) + 0.0 AS p99_hi,
                    TRUE AS p99_ok
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Equi-width 20-bin histogram of the event values, empty bins
+    * included — bin edges derive from one broadcast min/max row; the
+    * count aggregate collapses map-side to ≤ 20 partial rows per task
+    * (see [[graft.operators.Profiling.histogram]]).
+    */
+  val qHistogram = QDef(
+    (s, d) => Profiling.histogram(t(s, d, "events"), col("value"), 20)
+      .select(col("bin"), round(col("bin_lo"), 6).as("bin_lo"),
+        round(col("bin_hi"), 6).as("bin_hi"), col("n"))
+      .orderBy("bin"),
+    Some("""WITH s AS (SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi
+                       FROM events),
+            c AS (SELECT CASE WHEN hi = lo THEN 0
+                              ELSE CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT)
+                         END AS bin,
+                         count(*) AS n
+                  FROM events, s WHERE value IS NOT NULL GROUP BY 1),
+            g AS (SELECT unnest(range(0, 20)) AS bin, lo, hi FROM s)
+            SELECT g.bin,
+                   round(g.lo + g.bin * (g.hi - g.lo) / 20.0, 6) + 0.0 AS bin_lo,
+                   round(g.lo + (g.bin + 1) * (g.hi - g.lo) / 20.0, 6) + 0.0 AS bin_hi,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM g LEFT JOIN c USING (bin) ORDER BY bin"""))
+
+  private val ProfileCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_returnflag")
+
+  /** Per-column summary profile of lineitem (counts, nulls, exact
+    * distincts, numeric min/max/mean) — one multi-distinct aggregate
+    * pass, output is columns-sized
+    * (see [[graft.operators.Profiling.profileTable]]).
+    */
+  val qProfileTable = QDef(
+    (s, d) => Profiling.profileTable(t(s, d, "lineitem"), ProfileCols)
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_d"), col("max_d"), round(col("avg_d"), 6).as("avg_d"))
+      .orderBy("column"),
+    Some {
+      val numeric = Set("l_orderkey", "l_linenumber", "l_quantity")
+      ProfileCols.map { c =>
+        val (mn, mx, av) =
+          if (numeric(c)) (s"min($c)::DOUBLE", s"max($c)::DOUBLE",
+            s"round(avg($c), 6) + 0.0")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS DOUBLE)")
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+                   count(*) - count($c) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   $mn AS min_d, $mx AS max_d, $av AS avg_d
+            FROM lineitem"""
+      }.mkString("", "\n            UNION ALL ", "\n            ORDER BY \"column\"")
+    })
+
+  /** Group-size skew diagnostics for the user key — the one-row report
+    * to read before keying a 100 TB shuffle on an unknown column
+    * (see [[graft.operators.Profiling.keySkew]]).
+    */
+  val qKeySkew = QDef(
+    (s, d) => Profiling.keySkew(t(s, d, "events"), col("user_id"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        round(col("p50_n"), 6).as("p50_n"), round(col("p90_n"), 6).as("p90_n"),
+        round(col("p99_n"), 6).as("p99_n"),
+        round(col("top_share"), 6).as("top_share")),
+    Some("""WITH s AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   round(quantile_cont(n, 0.5), 6) + 0.0 AS p50_n,
+                   round(quantile_cont(n, 0.9), 6) + 0.0 AS p90_n,
+                   round(quantile_cont(n, 0.99), 6) + 0.0 AS p99_n,
+                   round(max(n) / sum(n), 6) + 0.0 AS top_share
+            FROM s"""))
+
+  /** Partitioned-sketch distinct counting — the ACTUAL 100 TB pattern
+    * behind [[qApproxDistinct]]: per-(type, day) HLL sketches built
+    * once (the daily pre-aggregate a warehouse materializes), then
+    * merged per type with `hll_union_agg` and certified against the
+    * exact distinct count inside a 5% band. Sketch merge is register-
+    * wise max — commutative and order-independent, so the estimate is
+    * deterministic however many partitions feed it; re-aggregating
+    * sketches moves kilobytes where re-scanning raw data moves
+    * terabytes. `n_parts` pins the rollup structure (sketches merged
+    * per type) so the oracle checks the shape, not just the estimate.
+    */
+  val qHllRollup = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("__day"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_parts"),
+          hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__approx"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_parts"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("hll_ok"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+                   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_parts,
+                   count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
             FROM events GROUP BY 1 ORDER BY 1"""))
 
   // =====================================================================
@@ -2413,6 +2637,93 @@ object Queries {
           ORDER BY doc_id"""
     })
 
+  /** Per-vertex triangle counts over the LSH candidate-pair graph —
+    * the local-clustering companion to [[qPagerank]]: triangle-rich
+    * vertices sit in mutually-similar cliques (safe to collapse),
+    * triangle-free ones in fragile pairwise chains. Degree-ordered
+    * compact-forward orientation counts each triangle exactly once
+    * (see [[Dedup.triangleCounts]]); the oracle replays orientation,
+    * wedge join, and closure off the shared band-graph CTEs.
+    */
+  val qTriangleCount = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      Dedup.triangleCounts(pairs, "doc_id").orderBy("doc_id")
+    },
+    Some {
+      val bandRows = minhashBandsSql
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    WHERE a.doc_id < b.doc_id),
+          und AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          dg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+          o AS (SELECT und.u AS src, und.v AS dst FROM und
+                JOIN dg du ON du.u = und.u JOIN dg dv ON dv.u = und.v
+                WHERE du.d < dv.d OR (du.d = dv.d AND und.u < und.v)),
+          w AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                FROM o e1 JOIN o e2 USING (src) WHERE e1.dst <> e2.dst),
+          tr AS (SELECT x, y, z FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
+          ex AS (SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+                 UNION ALL SELECT z FROM tr)
+          SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM ex GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Sorted-neighborhood blocking over the documents (sort key: the
+    * lowercased 32-char text prefix, window 4) — the prefix-similarity
+    * blocker the hash-bucket family can't express; rank comes from the
+    * scale-safe [[Relational.globalRowNumber]] (range partition + local
+    * index + broadcast offsets, no single-task window), and the oracle
+    * replays it with a plain `row_number() OVER (ORDER BY …)`, pinning
+    * the two implementations to identical ranks.
+    */
+  val qSortedNeighborhood = QDef(
+    (s, d) => Dedup.sortedNeighborhoodPairs(
+        wideT(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", lower(substring(col("text"), 1, 32)), window = 4)
+      .orderBy("doc_id_a", "doc_id_b"),
+    Some("""WITH r AS (SELECT doc_id,
+                              row_number() OVER (
+                                ORDER BY lower(substr(text, 1, 32)), doc_id) AS rn
+                       FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   b.rn - a.rn AS pos_gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 4
+            ORDER BY doc_id_a, doc_id_b"""))
+
+  /** Exact Levenshtein-distance-1 self-join on customer names via
+    * deletion-neighborhood (SymSpell) blocking — entity-resolution
+    * candidate generation with a pigeonhole guarantee instead of a
+    * recall gamble (see [[Dedup.editDistancePairs]]); the final
+    * `levenshtein <= 1` verify makes blocking a pure work bound. The
+    * oracle replays deletion variants, the variant equi-join, and the
+    * verify in SQL.
+    */
+  val qEditDistancePairs = QDef(
+    (s, d) => Dedup.editDistancePairs(t(s, d, "customer"), "c_custkey",
+        col("c_name"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH v AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                       WHERE c_name IS NOT NULL),
+            dels AS (SELECT id, s,
+                            unnest(list_distinct(list_append(
+                              list_transform(range(1, len(s) + 1),
+                                i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))),
+                              s))) AS var
+                     FROM v),
+            cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                            l.s AS sa, r.s AS sb
+                     FROM dels l JOIN dels r ON l.var = r.var AND l.id < r.id)
+            SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(sa, sb) <= 1
+            ORDER BY id_a, id_b"""))
+
   /** Int8 scalar quantization of the embedding table, exploded to
     * (vec_id, dim, q, inv_scale) rows so the integer codes hash-compare
     * exactly. inv_scale is a single IEEE division on both sides
@@ -3328,6 +3639,17 @@ object Queries {
     "q_funnel" -> qFunnel,
     "q_cohort_retention" -> qCohortRetention,
     "q_scd2" -> qScd2,
+    "q_resample_gapfill" -> qResampleGapfill,
+    "q_histogram" -> qHistogram,
+    "q_triangle_count" -> qTriangleCount,
+    "q_sorted_neighborhood" -> qSortedNeighborhood,
+    "q_edit_distance_pairs" -> qEditDistancePairs,
+    "q_profile_table" -> qProfileTable,
+    "q_key_skew" -> qKeySkew,
+    "q_hll_rollup" -> qHllRollup,
+    "q_ewma" -> qEwma,
+    "q_rolling_zscore" -> qRollingZscore,
+    "q_transition_matrix" -> qTransitionMatrix,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -435,6 +435,51 @@ object Dedup {
     ranks.select(col("__id").as(idCol), round(col("__r"), 9).as("rank"))
   }
 
+  /** Per-vertex triangle counts over an undirected pair graph (e.g.
+    * [[minhashLshPairs]] output) — the local-clustering signal that
+    * separates a genuine near-dup FAMILY (dense, triangle-rich) from a
+    * chain of borderline pairwise hits (triangle-free): a vertex in
+    * many triangles sits inside a mutually-similar clique, which makes
+    * its cluster safe to collapse aggressively.
+    *
+    * Algorithm: degree-ordered compact-forward. Each undirected edge is
+    * oriented low→high under the total order (degree, id); the
+    * orientation is acyclic, every triangle has exactly one vertex with
+    * two out-edges in it, so joining the out-wedge (u→v, u→w, v≠w)
+    * against the closing oriented edge v→w yields each triangle EXACTLY
+    * once — no /6 correction, no double counting.
+    *
+    * Why degree-first instead of plain id order: out-degrees under
+    * degree orientation are bounded by O(√m) on any graph (arboricity
+    * bound), so the wedge join fans out ∝ Σ outdeg² ≈ m^1.5 worst-case
+    * instead of Σ deg² — a hub with a million neighbors contributes NO
+    * wedges (all its edges point outward-in), which is precisely what
+    * keeps the self-join alive at 100 TB edge counts. All three stages
+    * are equi-joins keyed on vertices — fully partitionable.
+    *
+    * Output: (idCol, n_triangles) for vertices in ≥ 1 triangle.
+    */
+  def triangleCounts(pairs: DataFrame, idCol: String): DataFrame = {
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("u").as("__du_k"), col("d").as("__du")), col("u") === col("__du_k"))
+      .join(deg.select(col("u").as("__dv_k"), col("d").as("__dv")), col("v") === col("__dv_k"))
+      .filter(col("__du") < col("__dv") ||
+        (col("__du") === col("__dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint(true) // read by both wedge sides + the closing join
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), "src")
+      .filter(col("e1.dst") =!= col("e2.dst"))
+      .select(col("src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val tris = wedges.join(oriented,
+      col("y") === col("src") && col("z") === col("dst"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Survivor selection: keep the lowest-id member of each near-dup
     * cluster (the exact-dedup policy extended to near-duplicates).
     */
@@ -723,5 +768,90 @@ object Dedup {
       coalesce(
         exists(ghs, g => bloom.mightContain(g) && array_contains(exactLit, g)),
         lit(false))
+  }
+
+  /** Sorted-neighborhood blocking (the classic entity-resolution
+    * windowing method): order records by a blocking key, and emit every
+    * ordered pair within `window` POSITIONS of each other as a
+    * candidate. Complements the hash-bucket blockers (LSH bands,
+    * SimHash pigeonholes): a sort key groups records whose similarity
+    * lives in a shared PREFIX (names, normalized addresses, titles)
+    * that token-set hashing is blind to, and the candidate count is
+    * strictly bounded by rows × window — no hot-bucket blowup ever.
+    *
+    * Scale shape: [[Relational.globalRowNumber]] supplies the rank
+    * without a single-task window (range-partition + local index +
+    * broadcast offsets); the neighbor join is the banded self-join from
+    * [[graft.operators.Temporal.pairsWithin]] — each row lands in its
+    * own rank bucket and the next, so a qualifying pair meets in
+    * exactly one bucket and the position filter is a cheap post-check.
+    * Everything shuffles on integer bucket ids.
+    *
+    * Output: (<idCol>_a, <idCol>_b, pos_gap) with a-side earlier in
+    * sort order; verification (Jaccard, edit distance) composes
+    * downstream exactly as with the other blockers.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
+      window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val ranked = Relational.globalRowNumber(
+      df.select(col(idCol), sortKey.as("__sk")), Seq(col("__sk"), col(idCol)),
+      "__rn")
+    val bkt = expr(s"__rn div $window")
+    val a = ranked.withColumn("__bkt", explode(array(bkt, bkt + lit(1L))))
+      .select(col("__bkt"), col(idCol).as(s"${idCol}_a"), col("__rn").as("__rn_a"))
+    val b = ranked.withColumn("__bkt", bkt)
+      .select(col("__bkt"), col(idCol).as(s"${idCol}_b"), col("__rn").as("__rn_b"))
+    a.join(b, "__bkt")
+      .filter(col("__rn_b") > col("__rn_a") &&
+        col("__rn_b") - col("__rn_a") <= window)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        (col("__rn_b") - col("__rn_a")).as("pos_gap"))
+  }
+
+  /** Exact edit-distance-1 self-join via deletion-neighborhood blocking
+    * (the SymSpell method): each string generates its |s|+1 single-
+    * character-deletion variants (itself included); two strings within
+    * Levenshtein distance 1 ALWAYS share a variant (equal → share the
+    * original; one substitution at i → both delete position i; one
+    * insertion/deletion → the longer's deletion IS the shorter), so
+    * joining on the variant's hash finds every qualifying pair, and a
+    * final `levenshtein() <= 1` check discards the false candidates the
+    * pigeonhole admits. Exact by construction — blocking bounds WORK,
+    * the verify bounds RESULTS.
+    *
+    * Scale shape: fan-out is |s|+1 rows per record (bounded by key
+    * length — names/titles, not documents), the join keys on an 8-byte
+    * variant hash, and `levenshtein` runs only on candidates. The
+    * all-pairs alternative is quadratic in records; this is linear in
+    * records × key length. For distance k > 1 the same scheme uses
+    * k-deletion neighborhoods (fan-out |s| choose k) — k=1 is the
+    * dedupe sweet spot.
+    *
+    * Output: distinct (<idCol>_a < <idCol>_b, dist) pairs.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String,
+      strCol: Column): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), strCol.as("__s"))
+      .filter(col("__s").isNotNull)
+    val s = col("__s")
+    val variants = base.select(col("__id"), col("__s"),
+      explode(array_distinct(concat(array(s),
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), (i - 1).cast("int")),
+            s.substr((i + 1).cast("int"), length(s))))))).as("__v"))
+    // both sides of the self-join read this — materialize the compact
+    // (hash, id, s) probe once (same discipline as minhashLshPairs)
+    val probe = variants.select(Hashing.h60(col("__v")).as("__vh"),
+      col("__id"), col("__s"))
+      .localCheckpoint(true)
+    val cand = probe.as("l").join(probe.as("r"), "__vh")
+      .filter(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("l.__s").as("__sa"), col("r.__s").as("__sb"))
+      .distinct()
+    cand.filter(levenshtein(col("__sa"), col("__sb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
   }
 }

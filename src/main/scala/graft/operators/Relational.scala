@@ -223,4 +223,51 @@ object Relational {
     stratifiedHashSample(df, idCol, groupCol, fractions,
       defaultFraction = 0.0, denom = denom)
   }
+
+  /** Contiguous 1-based global row number under a total order, WITHOUT
+    * the single-task window a bare `row_number() OVER (ORDER BY …)`
+    * plans (one partition holding the entire table — the first thing
+    * that dies at scale). Three bounded steps instead:
+    *
+    *  1. range-partition + sort (the same machinery a global `orderBy`
+    *     uses — every partition's keys precede the next partition's);
+    *  2. `monotonically_increasing_id` inside the sorted partitions —
+    *     its (partitionId << 33 | counter) layout hands back a
+    *     per-partition CONTIGUOUS local index for free, no window, no
+    *     second shuffle;
+    *  3. per-partition row counts (numPartitions rows, collected) →
+    *     cumulative offsets broadcast back; rn = offset + local index.
+    *
+    * The sorted+numbered intermediate is eagerly localCheckpoint'ed so
+    * the count job and the final projection read ONE materialization —
+    * and so the id assignment (which is partition-layout-dependent) is
+    * pinned, not recomputed, between them.
+    *
+    * `order` must be a total order (include a unique tie-break):
+    * equal-key rows may straddle a range boundary, and their relative
+    * numbering would be arbitrary — exactly as arbitrary as
+    * `row_number` over ties, but pin it anyway for replayability.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order must be non-empty")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(true)
+    val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c) }.sliding(2).map { case Array((_, off), (pid, _)) =>
+      (pid, off) }.toSeq
+    val offDf = broadcast(df.sparkSession.createDataFrame(offsets)
+      .toDF("__pid", "__off"))
+    sorted.join(offDf, "__pid")
+      .withColumn(rnCol, col("__off") + col("__lrn") + 1)
+      .drop("__mid", "__pid", "__lrn", "__off")
+  }
 }

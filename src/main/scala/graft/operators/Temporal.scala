@@ -237,4 +237,134 @@ object Temporal {
       .agg(count_distinct(userCol).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Resample + gap-fill: aggregate `valueCol` into fixed `unit` buckets
+    * per key (avg), then densify each key's series onto a complete
+    * bucket grid from its first to its last observation, forward-
+    * filling the aggregate across empty buckets. Emits `bucket`,
+    * `v_filled` (the carried-forward aggregate), and `is_gap` (true on
+    * buckets with no observations). The sensor/metrics "resample +
+    * ffill" everybody reaches for in pandas, as a shuffle-minimal
+    * distributed plan.
+    *
+    * Scale shape: one hash aggregate on (key, bucket); the grid is
+    * generated per KEY from that aggregate's own min/max (sequence +
+    * explode — rows ∝ key-cardinality × span/step, never touching the
+    * raw table again); the fill is one window over the SAME (key,
+    * bucket) partitioning as the grid join, so Catalyst plans a single
+    * Exchange chain keyed on the key. No self-join, no per-gap
+    * iteration; gaps of any length fill in one linear pass.
+    *
+    * `unit` is a date_trunc unit ("hour", "day", ...) and `step` the
+    * matching sequence stride (e.g. "interval 1 hour").
+    */
+  def resampleFill(df: DataFrame, keyCol: Column, tsCol: Column,
+      valueCol: Column, unit: String, step: String): DataFrame = {
+    val buckets = df
+      .groupBy(keyCol.as("__k"), date_trunc(unit, tsCol).as("bucket"))
+      .agg(avg(valueCol).as("__v"))
+    val grid = buckets
+      .groupBy(col("__k"))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col("__k"),
+        explode(sequence(col("__b0"), col("__b1"), expr(step))).as("bucket"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("bucket"))
+    grid.join(buckets, Seq("__k", "bucket"), "left")
+      .withColumn("v_filled", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("__v").isNull)
+      .select(col("__k").as("key"), col("bucket"), col("v_filled"),
+        col("is_gap"))
+  }
+
+  /** Trailing exponentially-weighted moving average, exactly truncated
+    * to the last `k` observations: for row n (per key, under `order`),
+    *   ewma_n = Σ_{j=0..k-1} (1-α)^j · x_{n-j} / Σ_{j=0..k-1} (1-α)^j
+    * over the rows that exist (shorter prefixes renormalize — the
+    * pandas `adjust=True` semantics, window-bounded). Truncation makes
+    * the statistic exactly computable by ANY engine from k lag columns
+    * — no recursion, no state — which is what makes it certifiable and
+    * what bounds its memory at 100 TB: the infinite-history recurrence
+    * forces a sequential scan per key, while this is k codegen'd lag()
+    * reads over ONE window partitioning, weight (1-α)^k of discarded
+    * history (α=0.3, k=12 → <1% mass).
+    *
+    * Weights are computed once on the driver and embedded as literals,
+    * so the numerator is one left-associated fused sum — engines agree
+    * bit-for-bit given the same literals (shortest-roundtrip double
+    * rendering, see [[ewmaWeights]]).
+    */
+  def ewmaTrailing(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      x: Column, alpha: Double, k: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val ws = ewmaWeights(alpha, k)
+    val terms = ws.zipWithIndex.map { case (c, j) =>
+      val xj = if (j == 0) x else lag(x, j).over(w)
+      (coalesce(xj * lit(c), lit(0.0)),
+        when(xj.isNotNull, lit(c)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
+  /** (1-α)^j for j in 0 until k — shared with oracle SQL generation so
+    * both engines consume the identical double literals.
+    */
+  def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
+    (0 until k).map(j => math.pow(1.0 - alpha, j))
+
+  /** Trailing-window z-score anomaly flags: each row is scored against
+    * the mean/stddev of its key's PREVIOUS `k` observations (exclusive
+    * window — the row never sees itself, so a genuine spike can't mask
+    * itself by inflating its own baseline). Emits `mu`/`sigma` (null
+    * until 2 prior rows exist), `z`, and `is_anomaly` = |z| > thresh.
+    *
+    * One window partitioning on the key; avg and stddev_samp share the
+    * same frame so Catalyst computes both in a single window physical
+    * node. stddev_samp to 6 dp is already proven engine-portable
+    * (q_multi_agg / q_standardize).
+    */
+  def rollingZscore(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      x: Column, k: Int, thresh: Double): DataFrame = {
+    require(k >= 2, "k must be >= 2 for a sample stddev")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(-k, -1)
+    val mu = avg(x).over(w)
+    // guard: stddev_samp over a 1-row frame is NaN (0/0), not null —
+    // pin the short-prefix behavior to null so any engine agrees
+    val sd = when(count(x).over(w) >= 2, stddev_samp(x).over(w))
+    df.withColumn("mu", mu)
+      .withColumn("sigma", sd)
+      .withColumn("z", when(col("sigma") > 0, (x - col("mu")) / col("sigma")))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > thresh, lit(false)))
+  }
+
+  /** First-order Markov transition matrix over a per-key event-type
+    * sequence: P(next = b | current = a) estimated from adjacent pairs
+    * under `order` within each key. Emits one row per observed (from,
+    * to) pair with its count and row-normalized probability — the
+    * next-event model behind session prediction and anomalous-flow
+    * detection.
+    *
+    * Scale shape: one window partitioning on the key to form adjacent
+    * pairs (lead), then a hash aggregate on (from, to) — state² rows,
+    * trivially small however large the corpus; the normalizing row sum
+    * rides a second tiny aggregate joined back on `from`, never a
+    * window over the pair table.
+    */
+  def transitionMatrix(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      state: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val pairs = df
+      .select(state.as("from_state"), lead(state, 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("__tot")).as("p"))
+  }
 }

@@ -77,4 +77,63 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) && got(2L) > got(7L))
     assert(got(2L) == got(3L) && got(3L) == got(4L) && got(5L) == got(6L))
   }
+
+  test("triangleCounts: K4 minus an edge; chains are triangle-free; hub wedges don't fake triangles") {
+    // Graph: {1,2,3,4} complete minus edge (1,4)  → triangles {1,2,3},
+    // {2,3,4}; plus a chain 5-6-7 (no triangle); plus a star hub 8 with
+    // spokes 9,10,11 (wedges but no closing edges).
+    val pairList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L), (8L, 10L), (8L, 11L))
+    val got = Dedup.triangleCounts(
+        pairList.toDF("id_a", "id_b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vertex 2 and 3 are in both triangles; 1 and 4 in one each
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: counts each triangle once regardless of orientation ties") {
+    // Single triangle with all degrees equal — the (deg, id) tie-break
+    // path must still orient acyclically and count exactly once.
+    val got = Dedup.triangleCounts(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("sortedNeighborhoodPairs: exactly the within-window ordered pairs, matching a local sort") {
+    val df = Seq((10L, "delta"), (20L, "alpha"), (30L, "bravo"),
+      (40L, "echo"), (50L, "charlie")).toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sort order: alpha(20) bravo(30) charlie(50) delta(10) echo(40)
+    val order = Seq(20L, 30L, 50L, 10L, 40L)
+    val want = (for {
+      i <- order.indices; j <- order.indices
+      if j > i && j - i <= 2
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got == want)
+  }
+
+  test("editDistancePairs: finds substitution/insert/delete at distance 1, rejects distance 2") {
+    val df = Seq(
+      (1L, "smith"), (2L, "smyth"), // substitution
+      (3L, "smiths"),               // insertion vs 1
+      (4L, "mith"),                 // deletion vs 1
+      (5L, "smythe"),               // dist 1 of 2 (insert), dist 2 of 1
+      (6L, "jones"))                // unrelated
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // smiths↔mith, smyth↔smiths, smith↔smythe are all distance 2 —
+    // candidates the deletion pigeonhole may admit but verify rejects
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 5L, 1L)))
+  }
+
+  test("editDistancePairs: exact duplicates pair at distance 0") {
+    val df = Seq((1L, "acme"), (2L, "acme"), (3L, "acmme")).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }

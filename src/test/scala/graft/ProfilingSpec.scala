@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profiling
+
+/** Golden semantics for the profiling operators on tiny inline fixtures
+  * where every expected row is hand-checkable.
+  */
+class ProfilingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("histogram: equi-width bins, max lands in last bin, empty bins emitted, nulls ignored") {
+    val df = Seq(Some(0.0), Some(1.0), Some(9.9), Some(10.0), None)
+      .toDF("x")
+    val got = Profiling.histogram(df, col("x"), 5)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    // range [0,10], width 2: bin0=[0,2): {0.0, 1.0}; bin4=[8,10]: {9.9, 10.0}
+    assert(got == Seq(
+      (0L, 0.0, 2.0, 2L), (1L, 2.0, 4.0, 0L), (2L, 4.0, 6.0, 0L),
+      (3L, 6.0, 8.0, 0L), (4L, 8.0, 10.0, 2L)))
+  }
+
+  test("histogram: single-value column collapses to bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("x")
+    val got = Profiling.histogram(df, col("x"), 4).orderBy("bin")
+      .select("bin", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("profileTable: counts, nulls, distincts; numeric stats only for numeric columns") {
+    val df = Seq((1L, Some(2.0), "a"), (2L, None, "b"), (3L, Some(4.0), "a"))
+      .toDF("id", "v", "s")
+    val got = Profiling.profileTable(df, Seq("id", "v", "s"))
+      .orderBy("column").collect()
+    val byCol = got.map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getLong(1) == 3 && byCol("id").getLong(2) == 0 &&
+      byCol("id").getLong(3) == 3 && byCol("id").getDouble(4) == 1.0 &&
+      byCol("id").getDouble(5) == 3.0 && byCol("id").getDouble(6) == 2.0)
+    assert(byCol("v").getLong(2) == 1 && byCol("v").getLong(3) == 2 &&
+      byCol("v").getDouble(6) == 3.0) // mean over non-null {2,4}
+    assert(byCol("s").getLong(3) == 2 && byCol("s").isNullAt(4) &&
+      byCol("s").isNullAt(5) && byCol("s").isNullAt(6))
+  }
+
+  test("keySkew: one-row summary; a dominant key shows in max and top_share") {
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b")).toDF("k")
+    val r = Profiling.keySkew(df, col("k")).head()
+    assert(r.getLong(r.fieldIndex("n_keys")) == 3)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 10)
+    assert(r.getLong(r.fieldIndex("max_n")) == 8)
+    assert(r.getDouble(r.fieldIndex("top_share")) == 0.8)
+    assert(r.getDouble(r.fieldIndex("p50_n")) == 1.0) // sizes {8,1,1}
+  }
+}

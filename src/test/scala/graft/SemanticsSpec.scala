@@ -270,4 +270,20 @@ class SemanticsSpec extends AnyFunSuite {
       "text", "doc_id", n = 6).collect().map(_.getLong(0)).toSet
     assert(got == Set(1L), s"expected only doc 1 (full 6-gram overlap), got $got")
   }
+
+  test("globalRowNumber: contiguous 1..N, agrees with a single-partition row_number, any partition count") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 97).map(i => (i.toLong * 7 % 97, i.toLong)).toDF("k", "id")
+    for (parts <- Seq(1, 4, 32)) {
+      val got = graft.operators.Relational
+        .globalRowNumber(df, Seq(col("k"), col("id")), "rn", parts)
+        .orderBy("rn")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("id"),
+          r.getAs[Long]("rn"))).toSeq
+      val want = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).zipWithIndex
+        .map { case ((k, id), i) => (k, id, i + 1L) }.toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }

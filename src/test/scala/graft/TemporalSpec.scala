@@ -164,4 +164,73 @@ class TemporalSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("resampleFill: complete per-key grid, forward fill across multi-bucket gaps, gap flags") {
+    val events = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 10.0),
+      ("a", ts("2024-01-01 00:50:00"), 20.0), // same hour → avg 15.0
+      ("a", ts("2024-01-01 03:30:00"), 30.0), // hours 1 and 2 are gaps
+      ("b", ts("2024-01-01 05:00:00"), 7.0))  // single-bucket key
+      .toDF("k", "at", "v")
+    val got = Temporal.resampleFill(events, col("k"), col("at"), col("v"),
+        "hour", "interval 1 hour")
+      .orderBy("key", "bucket")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01 00:00:00.0", 15.0, false),
+      ("a", "2024-01-01 01:00:00.0", 15.0, true),  // carried forward
+      ("a", "2024-01-01 02:00:00.0", 15.0, true),  // still carried
+      ("a", "2024-01-01 03:00:00.0", 30.0, false),
+      ("b", "2024-01-01 05:00:00.0", 7.0, false))) // grid never crosses keys
+  }
+
+  test("ewmaTrailing: hand-computed weights, prefix renormalization, k-truncation") {
+    val df = Seq((1L, "u", 1L, 10.0), (2L, "u", 2L, 20.0), (3L, "u", 3L, 30.0))
+      .toDF("id", "k", "t", "x")
+    val got = Temporal.ewmaTrailing(df, Seq(col("k")), Seq(col("t")),
+        col("x"), alpha = 0.5, k = 2)
+      .orderBy("id").select("ewma").collect().map(_.getDouble(0)).toSeq
+    // row 1: only itself → 10; row 2: (20 + 0.5·10)/1.5; row 3 (k=2
+    // truncates row 1 away): (30 + 0.5·20)/1.5
+    assert(got(0) == 10.0)
+    assert(math.abs(got(1) - 25.0 / 1.5) < 1e-12)
+    assert(math.abs(got(2) - 40.0 / 1.5) < 1e-12)
+  }
+
+  test("rollingZscore: exclusive frame, null sigma until 2 priors, spike flagged") {
+    val df = Seq(
+      (1L, "u", 10.0), (2L, "u", 10.0), (3L, "u", 12.0), (4L, "u", 8.0),
+      (5L, "u", 1000.0), // spike vs baseline of {10,10,12,8}
+      (6L, "u", 10.0))   // NOT flagged: its baseline now contains the spike
+      .toDF("id", "k", "x")
+    val got = Temporal.rollingZscore(df, Seq(col("k")), Seq(col("id")),
+        col("x"), k = 10, thresh = 3.0)
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("mu")))     // empty frame
+    assert(got(1).isNullAt(got(1).fieldIndex("sigma")))  // 1 prior row
+    assert(!got(1).getBoolean(got(1).fieldIndex("is_anomaly")))
+    assert(got(4).getBoolean(got(4).fieldIndex("is_anomaly")))
+    assert(!got(5).getBoolean(got(5).fieldIndex("is_anomaly")))
+    // frame excludes self: row 5's mu is the clean baseline mean 10.0
+    assert(got(4).getDouble(got(4).fieldIndex("mu")) == 10.0)
+  }
+
+  test("transitionMatrix: adjacent pairs per key, row-normalized probabilities") {
+    val df = Seq(
+      (1L, "u", "a"), (2L, "u", "b"), (3L, "u", "a"), (4L, "u", "c"),
+      (5L, "v", "a"), (6L, "v", "b"))
+      .toDF("id", "k", "s")
+    val got = Temporal.transitionMatrix(df, Seq(col("k")), Seq(col("id")),
+        col("s"))
+      .orderBy("from_state", "to_state")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // pairs: u: a→b, b→a, a→c; v: a→b  ⇒ from a: b=2/3, c=1/3; from b: a=1/1
+    assert(got == Seq(
+      ("a", "b", 2L, 2.0 / 3.0), ("a", "c", 1L, 1.0 / 3.0),
+      ("b", "a", 1L, 1.0)))
+    // no cross-key pair (4,"c")→(5,"a") ever forms
+    assert(!got.exists(p => p._1 == "c"))
+  }
 }
