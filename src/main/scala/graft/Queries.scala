@@ -983,6 +983,86 @@ object Queries {
             FROM c JOIN t USING (from_state)
             ORDER BY from_state, to_state"""))
 
+  /** Per-user time-weighted average value — each observation weighted
+    * by the interval it held (lead-difference), fixing the sampling-
+    * rate bias of a plain mean on irregular series
+    * (see [[Temporal.timeWeightedAvg]]).
+    */
+  val qTimeWeightedAvg = QDef(
+    (s, d) => Temporal.timeWeightedAvg(t(s, d, "events"), Seq("user_id"),
+        col("ts"), col("value"), Seq(col("event_id")))
+      .select(col("user_id"), round(col("twa"), 6).as("twa"),
+        col("span_us"), col("n_obs"))
+      .orderBy("user_id"),
+    Some("""WITH s AS (SELECT user_id, value,
+                              lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - epoch_us(ts) AS dt
+                       FROM events)
+            SELECT user_id, round(sum(value * dt) / sum(dt), 6) + 0.0 AS twa,
+                   CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_us,
+                   count(*) AS n_obs
+            FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-user consecutive-active-day streaks (gaps-and-islands via the
+    * rank-difference trick — see [[Temporal.streaks]]).
+    */
+  val qStreaks = QDef(
+    (s, d) => Temporal.streaks(t(s, d, "events"), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("n_active_days"),
+        col("n_streaks"), col("longest_streak"))
+      .orderBy("user_id"),
+    Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+            isl AS (SELECT user_id,
+                           date_diff('day', DATE '1970-01-01', d) -
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY d) AS grp
+                    FROM days),
+            runs AS (SELECT user_id, grp, count(*) AS len FROM isl
+                     GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                   count(*) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM runs GROUP BY 1 ORDER BY 1"""))
+
+  /** Rank (quantile) normalization of the value column — empirical
+    * quantile in [0,1] from the scale-safe global row number, not a
+    * single-partition percent_rank (see [[Relational.rankNormalize]]).
+    */
+  val qRankNormalize = QDef(
+    (s, d) => Relational.rankNormalize(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        col("value"), Seq(col("event_id")))
+      .select(col("event_id"), col("value"), round(col("q"), 6).as("q"))
+      .orderBy("event_id"),
+    Some("""WITH r AS (SELECT event_id, value,
+                              row_number() OVER (ORDER BY value, event_id) AS rn,
+                              count(*) OVER () AS n
+                       FROM events)
+            SELECT event_id, value,
+                   round((rn - 1) / CAST(n - 1 AS DOUBLE), 6) + 0.0 AS q
+            FROM r ORDER BY event_id"""))
+
+  /** Mutual information between event type and weekday — the
+    * categorical-dependence screen; margins re-aggregate from the
+    * joint table, so everything past the first aggregate is
+    * support-sized (see [[graft.operators.Profiling.mutualInfo]]).
+    */
+  val qMutualInfo = QDef(
+    (s, d) => Profiling.mutualInfo(t(s, d, "events"), col("event_type"),
+        DateTimeKit.weekdayMon0(col("ts")).cast("long"))
+      .select(round(col("mi_nats"), 6).as("mi_nats"), col("n"),
+        col("support")),
+    Some("""WITH j AS (SELECT event_type AS a, isodow(ts) - 1 AS b,
+                              count(*) AS c
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1),
+            mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY 1),
+            t AS (SELECT sum(c) AS n FROM j)
+            SELECT round(sum((c / n) * ln((c * n) / (ca * cb))), 6) + 0.0 AS mi_nats,
+                   CAST(max(n) AS BIGINT) AS n, count(*) AS support
+            FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t"""))
+
   /** HLL approximate distinct, certified against a committed tolerance
     * band: the sketch estimate itself is engine-specific (DuckDB's HLL
     * would hash-mismatch Spark's), so the checked row carries the EXACT
@@ -3650,6 +3730,10 @@ object Queries {
     "q_ewma" -> qEwma,
     "q_rolling_zscore" -> qRollingZscore,
     "q_transition_matrix" -> qTransitionMatrix,
+    "q_time_weighted_avg" -> qTimeWeightedAvg,
+    "q_streaks" -> qStreaks,
+    "q_rank_normalize" -> qRankNormalize,
+    "q_mutual_info" -> qMutualInfo,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

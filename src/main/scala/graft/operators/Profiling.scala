@@ -109,6 +109,34 @@ object Profiling {
     * Two hash aggregates: data → per-key counts (key-cardinality rows),
     * then a 1-row summary over those. Output is one row, always.
     */
+  /** Mutual information (in nats) between two categorical columns:
+    * I(A;B) = Σ p(a,b) · ln(p(a,b) / (p(a)·p(b))) over the observed
+    * joint support — the dependence screen run before trusting a
+    * feature pair (0 ⇔ independent; compare against min(H(A), H(B))
+    * for a normalized score). Null-safe: rows where either side is
+    * null are excluded (MI is defined over the joint support).
+    *
+    * Scale shape: one hash aggregate to the joint table (|A|·|B| rows
+    * — categorical, so tiny), margins re-aggregated FROM the joint
+    * (never re-scanning the data), broadcast-joined back, one 1-row
+    * sum. Everything after the first aggregate is support-sized.
+    */
+  def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val joint = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__c"))
+    val ma = joint.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = joint.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val tot = joint.agg(sum(col("__c")).as("__n"))
+    joint.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum((col("__c") / col("__n")) *
+          log((col("__c") * col("__n")) / (col("__ca") * col("__cb"))))
+          .as("mi_nats"),
+        max(col("__n")).as("n"),
+        count(lit(1)).as("support"))
+  }
+
   def keySkew(df: DataFrame, key: Column): DataFrame = {
     val sizes = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
     sizes.agg(

@@ -270,4 +270,26 @@ object Relational {
       .withColumn(rnCol, col("__off") + col("__lrn") + 1)
       .drop("__mid", "__pid", "__lrn", "__off")
   }
+
+  /** Rank (quantile) normalization: map `x` to its empirical quantile
+    * q = (rank − 1) / (N − 1) ∈ [0, 1] under the total order (x,
+    * tie-break) — the distribution-free feature transform (uniformizes
+    * any input marginal, the first half of a quantile-normalization /
+    * Gaussian-rank pipeline). A single constant column (q = 0.5) when
+    * N = 1.
+    *
+    * Scale shape: the rank comes from [[globalRowNumber]] (range
+    * partition + local index + broadcast offsets) — a bare
+    * `percent_rank() OVER (ORDER BY x)` plans ONE partition holding
+    * the whole table, which is exactly what this avoids. N is one
+    * bounded count.
+    */
+  def rankNormalize(df: DataFrame, x: Column, tieBreak: Seq[Column],
+      qCol: String = "q"): DataFrame = {
+    val n = df.count()
+    val ranked = globalRowNumber(df, x +: tieBreak, "__rn")
+    val q = if (n <= 1L) lit(0.5)
+      else (col("__rn") - 1).cast("double") / lit((n - 1).toDouble)
+    ranked.withColumn(qCol, q).drop("__rn")
+  }
 }

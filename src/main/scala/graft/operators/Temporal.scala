@@ -341,6 +341,53 @@ object Temporal {
       .withColumn("is_anomaly", coalesce(abs(col("z")) > thresh, lit(false)))
   }
 
+  /** Time-weighted average: each observation's value is weighted by how
+    * LONG it held — the interval to the key's next observation — fixing
+    * the sampling-rate bias a plain mean has on irregular series (a
+    * sensor that reports 1000× while stuck at one value drags the mean;
+    * the TWA is unchanged). The key's last observation has no interval
+    * and carries no weight (step-function-until-next semantics).
+    *
+    * Output per key: `twa`, `span_us` (total covered microseconds),
+    * `n_obs`. One window (lead) and one aggregate, both on the same key
+    * partitioning — one Exchange at scale.
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: Column,
+      x: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsCol +: tieBreak: _*)
+    val dt = (lead(unix_micros(tsCol), 1).over(w) - unix_micros(tsCol))
+      .as("__dt")
+    df.select(keys.map(col) :+ x.as("__x") :+ dt: _*)
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col("__x") * col("__dt")) / sum(col("__dt"))).as("twa"),
+        coalesce(sum(col("__dt")), lit(0L)).as("span_us"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Activity streaks (gaps-and-islands): per key, collapse the set of
+    * active DAYS into maximal runs of consecutive days and report how
+    * many active days, how many distinct streaks, and the longest
+    * streak. The classic engagement metric, via the rank-difference
+    * trick: within a key, consecutive days d with row_number r share a
+    * constant d − r, so grouping on it labels each island — two
+    * aggregates and one window, all on the key partitioning, no
+    * self-join, no iteration.
+    */
+  def streaks(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val days = df.select(keyCol.as("__k"), to_date(tsCol).as("__d")).distinct()
+    val w = Window.partitionBy(col("__k")).orderBy(col("__d"))
+    val islands = days
+      .withColumn("__grp",
+        datediff(col("__d"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col("__k"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(col("__k").as("key"))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
   /** First-order Markov transition matrix over a per-key event-type
     * sequence: P(next = b | current = a) estimated from adjacent pairs
     * under `order` within each key. Emits one row per observed (from,

@@ -49,6 +49,39 @@ class ProfilingSpec extends AnyFunSuite {
       byCol("s").isNullAt(5) && byCol("s").isNullAt(6))
   }
 
+  test("mutualInfo: zero for independent columns, ln(2) for two perfectly-coupled fair bits") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val mi0 = Profiling.mutualInfo(indep, col("a"), col("b")).head()
+    assert(math.abs(mi0.getDouble(0)) < 1e-12)
+    assert(mi0.getLong(1) == 20 && mi0.getLong(2) == 4)
+
+    val coupled = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val mi1 = Profiling.mutualInfo(coupled, col("a"), col("b")).head()
+    assert(math.abs(mi1.getDouble(0) - math.log(2.0)) < 1e-12)
+  }
+
+  test("mutualInfo: null rows excluded from the joint support") {
+    val df = Seq((Some("x"), Some("p")), (Some("x"), None), (None, Some("p")))
+      .toDF("a", "b")
+    val r = Profiling.mutualInfo(df, col("a"), col("b")).head()
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1)
+  }
+
+  test("rankNormalize: empirical quantiles 0..1 under (x, tie) order; N=1 gives 0.5") {
+    import graft.operators.Relational
+    val df = Seq((1L, 30.0), (2L, 10.0), (3L, 20.0), (4L, 40.0), (5L, 20.0))
+      .toDF("id", "x")
+    val got = Relational.rankNormalize(df, col("x"), Seq(col("id")))
+      .orderBy("id").collect().map(r => r.getDouble(2)).toSeq
+    // order: 10(id2) 20(id3) 20(id5) 30(id1) 40(id4) → q = rn-1 / 4
+    assert(got == Seq(0.75, 0.0, 0.25, 1.0, 0.5))
+    val one = Relational.rankNormalize(Seq((1L, 5.0)).toDF("id", "x"),
+      col("x"), Seq(col("id")))
+    assert(one.head().getDouble(2) == 0.5)
+  }
+
   test("keySkew: one-row summary; a dominant key shows in max and top_share") {
     val df = (Seq.fill(8)("hot") ++ Seq("a", "b")).toDF("k")
     val r = Profiling.keySkew(df, col("k")).head()

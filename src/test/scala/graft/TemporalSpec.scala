@@ -216,6 +216,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(4).getDouble(got(4).fieldIndex("mu")) == 10.0)
   }
 
+  test("timeWeightedAvg: interval weights, last row weightless, beats the plain mean on oversampling") {
+    // key u: value 10 held 1s, then 100 held 3s, then 50 (last, no
+    // weight) → twa = (10·1e6 + 100·3e6) / 4e6 = 77.5; the plain mean
+    // (53.3) would be dragged by neither duration.
+    val df = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 10.0, 1L),
+      ("u", ts("2024-01-01 00:00:01"), 100.0, 2L),
+      ("u", ts("2024-01-01 00:00:04"), 50.0, 3L),
+      ("v", ts("2024-01-01 00:00:00"), 7.0, 4L)) // single obs: no interval
+      .toDF("k", "at", "x", "id")
+    val got = Temporal.timeWeightedAvg(df, Seq("k"), col("at"), col("x"),
+        Seq(col("id")))
+      .orderBy("k").collect()
+    assert(got(0).getDouble(1) == 77.5)
+    assert(got(0).getLong(2) == 4000000L && got(0).getLong(3) == 3L)
+    assert(got(1).isNullAt(1)) // no covered time → null twa (0/0 guard)
+    assert(got(1).getLong(2) == 0L && got(1).getLong(3) == 1L)
+  }
+
+  test("streaks: islands split on gaps, duplicate same-day events collapse, singletons count") {
+    val df = Seq(
+      // u: days 1,2,3 (streak 3; day 2 twice), gap, 5,6 (streak 2)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-05 12:00:00")), (1L, ts("2024-01-06 12:00:00")),
+      // v: one isolated day
+      (2L, ts("2024-02-01 00:00:00")))
+      .toDF("user_id", "at")
+    val got = Temporal.streaks(df, col("user_id"), col("at"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 5L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
   test("transitionMatrix: adjacent pairs per key, row-normalized probabilities") {
     val df = Seq(
       (1L, "u", "a"), (2L, "u", "b"), (3L, "u", "a"), (4L, "u", "c"),
