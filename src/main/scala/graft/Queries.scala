@@ -2717,6 +2717,114 @@ object Queries {
           ORDER BY doc_id"""
     })
 
+  /** Market-basket association rules over order baskets: item pairs
+    * co-occurring in ≥ 3 orders, ranked by lift, top 50 — the
+    * co-occurrence screen behind "bought A also bought B" and feature
+    * bundling. Self-join keyed on the ORDER (per-basket fan-out),
+    * margins broadcast, O(k) ranked cut
+    * (see [[graft.operators.Association.rules]]). All metrics are
+    * single IEEE divisions of exact counts, so the lift ordering is
+    * engine-identical.
+    */
+  val qAssocRules = QDef(
+    (s, d) => graft.operators.Association.rules(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minSupport = 3, topK = 50)
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("support"), 9).as("support"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift")),
+    Some("""WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                       FROM lineitem),
+            nb AS (SELECT count(DISTINCT b) AS n FROM m),
+            ic AS (SELECT i, count(*) AS c FROM m GROUP BY 1),
+            p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS cab
+                  FROM m l JOIN m r USING (b) WHERE l.i < r.i
+                  GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT item_a, item_b, CAST(cab AS BIGINT) AS n_both,
+                   round(cab / n, 9) + 0.0 AS support,
+                   round(cab / ca.c, 6) + 0.0 AS confidence,
+                   round(cab * n / (ca.c * cb.c), 6) + 0.0 AS lift
+            FROM p JOIN ic ca ON p.item_a = ca.i
+                   JOIN ic cb ON p.item_b = cb.i
+                   CROSS JOIN nb
+            ORDER BY cab * n / (ca.c * cb.c) DESC, item_a, item_b
+            LIMIT 50"""))
+
+  /** Shannon entropy (nats + normalized) of the event-type column —
+    * the near-constant-column screen
+    * (see [[graft.operators.Profiling.entropy]]).
+    */
+  val qEntropy = QDef(
+    (s, d) => Profiling.entropy(t(s, d, "events"), col("event_type"))
+      .select(round(col("entropy_nats"), 6).as("entropy_nats"),
+        round(col("entropy_norm"), 6).as("entropy_norm"),
+        col("support"), col("n")),
+    Some("""WITH c AS (SELECT event_type AS v, count(*) AS cnt FROM events
+                       WHERE event_type IS NOT NULL GROUP BY 1),
+            t AS (SELECT sum(cnt) AS n FROM c)
+            SELECT round(sum((cnt / n) * -ln(cnt / n)), 6) + 0.0 AS entropy_nats,
+                   round(CASE WHEN count(*) > 1
+                              THEN sum((cnt / n) * -ln(cnt / n)) / ln(count(*))
+                              ELSE 0.0 END, 6) + 0.0 AS entropy_norm,
+                   count(*) AS support, CAST(max(n) AS BIGINT) AS n
+            FROM c CROSS JOIN t"""))
+
+  /** Robust (median/IQR) scaling of value within each event type — the
+    * outlier-proof standardization
+    * (see [[Relational.robustScale]]); exact quartiles are already
+    * proven engine-portable (q_percentile).
+    */
+  val qRobustScale = QDef(
+    (s, d) => Relational.robustScale(t(s, d, "events"), col("event_type"),
+        col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("x_scaled"), 6).as("x_scaled"))
+      .orderBy("event_id"),
+    Some("""WITH s AS (SELECT event_type,
+                              quantile_cont(value, 0.5) AS med,
+                              quantile_cont(value, 0.75) -
+                                quantile_cont(value, 0.25) AS iqr
+                       FROM events GROUP BY 1)
+            SELECT event_id, e.event_type, value,
+                   round(CASE WHEN iqr > 0 THEN (value - med) / iqr END, 6) + 0.0 AS x_scaled
+            FROM events e JOIN s USING (event_type) ORDER BY event_id"""))
+
+  /** Bounded 2-core peeling (4 rounds) over the LSH candidate-pair
+    * graph — the density filter separating near-dup CORES from the
+    * chain/star periphery banding admits; bounded rounds keep the
+    * operator a pure function the oracle replays as a CTE chain
+    * (see [[Dedup.kCoreBounded]]).
+    */
+  val qKcore = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      Dedup.kCoreBounded(pairs, "doc_id", k = 2, rounds = 4)
+        .orderBy("doc_id")
+    },
+    Some {
+      val bandRows = minhashBandsSql
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (SELECT und.u AS u, count(*) AS dg FROM und
+               JOIN a${i - 1} x ON und.u = x.u JOIN a${i - 1} y ON und.v = y.u
+               GROUP BY 1),
+          a$i AS (SELECT u FROM d$i WHERE dg >= 2)"""
+      }.mkString(",\n          ")
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    WHERE a.doc_id < b.doc_id),
+          und AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          a0 AS (SELECT DISTINCT u FROM und),
+          $rounds
+          SELECT u AS doc_id, CAST(dg AS BIGINT) AS deg FROM d4
+          WHERE dg >= 2 ORDER BY u"""
+    })
+
   /** Per-vertex triangle counts over the LSH candidate-pair graph —
     * the local-clustering companion to [[qPagerank]]: triangle-rich
     * vertices sit in mutually-similar cliques (safe to collapse),
@@ -3734,6 +3842,10 @@ object Queries {
     "q_streaks" -> qStreaks,
     "q_rank_normalize" -> qRankNormalize,
     "q_mutual_info" -> qMutualInfo,
+    "q_assoc_rules" -> qAssocRules,
+    "q_entropy" -> qEntropy,
+    "q_robust_scale" -> qRobustScale,
+    "q_kcore" -> qKcore,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

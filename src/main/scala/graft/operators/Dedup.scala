@@ -435,6 +435,45 @@ object Dedup {
     ranks.select(col("__id").as(idCol), round(col("__r"), 9).as("rank"))
   }
 
+  /** Bounded k-core peeling over an undirected pair graph: `rounds`
+    * iterations of "drop every vertex whose degree among SURVIVORS is
+    * < k", returning the surviving vertices with their last-round
+    * degree. The density filter that separates a genuine near-dup CORE
+    * (every member ≥ k similar neighbors) from the chain/star periphery
+    * LSH banding also admits.
+    *
+    * Deliberately BOUNDED rounds, not run-to-fixpoint: both make the
+    * operator a pure deterministic function (replayable by an oracle
+    * CTE chain, predictable job count at 100 TB — peeling converges in
+    * a few rounds on banded-similarity graphs, and a bounded result is
+    * a superset of the true k-core, erring on the keep side). Each
+    * round is one semi-join restriction + one degree aggregate, both
+    * keyed on vertices; survivors are eagerly localCheckpoint'ed under
+    * the same iterative-lineage discipline as [[connectedComponents]].
+    *
+    * Output: (idCol, deg) — the final-round survivors and degrees.
+    */
+  def kCoreBounded(pairs: DataFrame, idCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var alive = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced below
+    for (_ <- 1 to rounds) {
+      deg = edges
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      alive = deg.filter(col("deg") >= k).select("id").localCheckpoint(true)
+    }
+    deg.filter(col("deg") >= k)
+      .select(col("id").as(idCol), col("deg"))
+  }
+
   /** Per-vertex triangle counts over an undirected pair graph (e.g.
     * [[minhashLshPairs]] output) — the local-clustering signal that
     * separates a genuine near-dup FAMILY (dense, triangle-rich) from a

@@ -109,6 +109,28 @@ object Profiling {
     * Two hash aggregates: data → per-key counts (key-cardinality rows),
     * then a 1-row summary over those. Output is one row, always.
     */
+  /** Shannon entropy (nats) of a categorical column, plus the
+    * normalized form H / ln(support) ∈ [0,1] — the "is this column
+    * informative or near-constant" screen (normalized ≈ 0: one value
+    * dominates; ≈ 1: uniform). Nulls excluded (entropy of the observed
+    * distribution). One hash aggregate to the support-sized value table,
+    * then a 1-row sum.
+    */
+  def entropy(df: DataFrame, x: Column): DataFrame = {
+    val counts = df.filter(x.isNotNull)
+      .groupBy(x.as("__v")).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"))
+    counts.crossJoin(broadcast(tot))
+      .agg(sum((col("__c") / col("__n")) * -log(col("__c") / col("__n")))
+          .as("entropy_nats"),
+        count(lit(1)).as("support"), max(col("__n")).as("n"))
+      .select(col("entropy_nats"),
+        when(col("support") > 1,
+          col("entropy_nats") / log(col("support").cast("double")))
+          .otherwise(lit(0.0)).as("entropy_norm"),
+        col("support"), col("n"))
+  }
+
   /** Mutual information (in nats) between two categorical columns:
     * I(A;B) = Σ p(a,b) · ln(p(a,b) / (p(a)·p(b))) over the observed
     * joint support — the dependence screen run before trusting a

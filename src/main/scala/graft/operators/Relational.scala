@@ -271,6 +271,29 @@ object Relational {
       .drop("__mid", "__pid", "__lrn", "__off")
   }
 
+  /** Robust scaling: (x − median) / IQR per group — the outlier-proof
+    * standardization (mean/stddev both move with a single extreme
+    * value; median and quartiles don't). Rows in groups with IQR = 0
+    * get a null scaled value (degenerate distribution — flag, don't
+    * divide). Exact percentiles via one grouped aggregate joined back
+    * on the group key; group cardinality bounds the joined table, and
+    * the join broadcasts when small. For percentile cost at extreme
+    * group sizes swap in approx_percentile — certified against exact
+    * bands in q_approx_quantiles.
+    */
+  def robustScale(df: DataFrame, groupCol: Column, x: Column,
+      outCol: String = "x_scaled"): DataFrame = {
+    val stats = df.select(groupCol.as("__g"), x.cast("double").as("__x"))
+      .groupBy(col("__g")).agg(
+        expr("percentile(__x, 0.5)").as("__med"),
+        (expr("percentile(__x, 0.75)") -
+          expr("percentile(__x, 0.25)")).as("__iqr"))
+    df.join(broadcast(stats), groupCol === col("__g"))
+      .withColumn(outCol,
+        when(col("__iqr") > 0, (x.cast("double") - col("__med")) / col("__iqr")))
+      .drop("__g", "__med", "__iqr")
+  }
+
   /** Rank (quantile) normalization: map `x` to its empirical quantile
     * q = (rank − 1) / (N − 1) ∈ [0, 1] under the total order (x,
     * tie-break) — the distribution-free feature transform (uniformizes

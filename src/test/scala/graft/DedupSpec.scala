@@ -130,6 +130,25 @@ class DedupSpec extends AnyFunSuite {
       (2L, 5L, 1L)))
   }
 
+  test("kCoreBounded: peeling cascades — removing leaves exposes new sub-k vertices") {
+    // chain 1-2-3-4-5 hanging off a triangle {5,6,7}: 2-core is exactly
+    // the triangle, but only after the chain peels end-inward (1 falls,
+    // then 2, then 3, then 4) — needs the full 4 rounds.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.kCoreBounded(pairs, "id", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deg is the round-4 degree, restricted to round-3 survivors
+    // {4,5,6,7} — so 5 still counts its edge to the about-to-fall 4
+    assert(got == Map(5L -> 3L, 6L -> 2L, 7L -> 2L))
+    // bounded early stop: after ONE round only vertex 1 (deg 1) is gone
+    // and 2 survives with its stale-restricted degree — supersets the
+    // true core, erring on the keep side
+    val r1 = Dedup.kCoreBounded(pairs, "id", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("editDistancePairs: exact duplicates pair at distance 0") {
     val df = Seq((1L, "acme"), (2L, "acme"), (3L, "acmme")).toDF("id", "name")
     val got = Dedup.editDistancePairs(df, "id", col("name"))

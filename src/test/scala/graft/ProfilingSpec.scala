@@ -82,6 +82,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(one.head().getDouble(2) == 0.5)
   }
 
+  test("entropy: uniform hits ln(k) and norm 1; constant column is 0; nulls excluded") {
+    val uniform = Seq("a", "b", "c", "a", "b", "c").toDF("x")
+    val u = Profiling.entropy(uniform, col("x")).head()
+    assert(math.abs(u.getDouble(0) - math.log(3.0)) < 1e-12)
+    assert(math.abs(u.getDouble(1) - 1.0) < 1e-12)
+    val const = Seq(Some("a"), Some("a"), None).toDF("x")
+    val c = Profiling.entropy(const, col("x")).head()
+    assert(c.getDouble(0) == 0.0 && c.getDouble(1) == 0.0)
+    assert(c.getLong(2) == 1 && c.getLong(3) == 2) // null row excluded
+  }
+
+  test("robustScale: median/IQR scaling ignores the outlier a z-score would absorb") {
+    import graft.operators.Relational
+    // group g: {0,10,20,30,40} → med 20, IQR 30-10=20; an added outlier
+    // shifts mean/std wildly but med→20, IQR→(35-15)=20 stays put on the
+    // original 5 ranks? Keep it simple: check exact scaling on the clean
+    // group and the zero-IQR guard on the degenerate one.
+    val df = Seq(("g", 0.0), ("g", 10.0), ("g", 20.0), ("g", 30.0),
+      ("g", 40.0), ("h", 7.0), ("h", 7.0)).toDF("k", "x")
+    val got = Relational.robustScale(df, col("k"), col("x"))
+      .orderBy("k", "x").collect()
+    val gRows = got.filter(_.getString(0) == "g").map(_.getDouble(2))
+    assert(gRows.toSeq == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    assert(got.filter(_.getString(0) == "h")
+      .forall(_.isNullAt(2))) // IQR=0 → null, not a divide
+  }
+
   test("keySkew: one-row summary; a dominant key shows in max and top_share") {
     val df = (Seq.fill(8)("hot") ++ Seq("a", "b")).toDF("k")
     val r = Profiling.keySkew(df, col("k")).head()
