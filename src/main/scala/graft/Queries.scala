@@ -822,6 +822,55 @@ object Queries {
             UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
             ORDER BY stage_idx"""))
 
+  /** Windowed funnel: view → click → purchase where each step must
+    * convert within 12 hours of the user's previous-stage frontier
+    * event — the "converted within the session/day" variant; the bound
+    * is one more pushed conjunct on the frontier join
+    * (see [[Temporal.funnel]] maxGap).
+    */
+  val qFunnelWindowed = QDef(
+    (s, d) => Temporal.funnel(t(s, d, "events"), col("user_id"),
+        col("event_type"), col("ts"), Seq("view", "click", "purchase"),
+        maxGap = Some("12 HOURS")),
+    Some("""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s0.t
+                     AND e.ts <= s0.t + INTERVAL 12 HOUR GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                     AND e.ts <= s1.t + INTERVAL 12 HOUR GROUP BY 1)
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL SELECT CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
+            ORDER BY stage_idx"""))
+
+  /** Pareto / cumulative contribution of parts by shipped quantity —
+    * which keys drive 80% of volume. Ranked on an exactly-representable
+    * metric (integral quantities) so the head set is engine-
+    * reproducible (see [[Relational.cumulativeShare]]).
+    */
+  val qPareto = QDef(
+    (s, d) => Relational.cumulativeShare(t(s, d, "lineitem"),
+        col("l_partkey"), col("l_quantity"), threshold = 0.8)
+      .select(col("key").as("l_partkey"), col("total"),
+        round(col("cum_share"), 9).as("cum_share"), col("is_head"))
+      .orderBy("cum_share", "l_partkey"),
+    Some("""WITH t AS (SELECT l_partkey AS key, sum(l_quantity) AS total
+                       FROM lineitem GROUP BY 1),
+            g AS (SELECT sum(total) AS gt FROM t),
+            c AS (SELECT key, total,
+                         sum(total) OVER (ORDER BY total DESC, key
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT key AS l_partkey, total,
+                   round(cum / gt, 9) + 0.0 AS cum_share,
+                   (cum - total) / gt < 0.8 AS is_head
+            FROM c CROSS JOIN g ORDER BY cum_share, l_partkey"""))
+
   /** SCD2 history over the event stream: each user's event_type runs
     * become validity intervals (valid_from/valid_to/is_current). The
     * event id rides in the window order as the same-instant tie-break
@@ -3846,6 +3895,8 @@ object Queries {
     "q_entropy" -> qEntropy,
     "q_robust_scale" -> qRobustScale,
     "q_kcore" -> qKcore,
+    "q_funnel_windowed" -> qFunnelWindowed,
+    "q_pareto" -> qPareto,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -880,17 +880,27 @@ object Dedup {
           i => concat(s.substr(lit(1), (i - 1).cast("int")),
             s.substr((i + 1).cast("int"), length(s))))))).as("__v"))
     // both sides of the self-join read this — materialize the compact
-    // (hash, id, s) probe once (same discipline as minhashLshPairs)
+    // (hash, id) probe once (same discipline as minhashLshPairs).
+    // Strings deliberately do NOT ride the probe: on sequential-id-like
+    // key spaces the pigeonhole admits ~5× more candidates than true
+    // pairs (shifted sequences share deletions at distance 2), and the
+    // pair-dedup shuffle dominated the operator when every row carried
+    // both strings (measured 28 s of a 77 s sf1 run). Dedup on bare
+    // (id, id) longs, then re-attach strings with two id-keyed joins
+    // (planner broadcasts `base` when small) and run `levenshtein`
+    // ONCE per surviving candidate.
     val probe = variants.select(Hashing.h60(col("__v")).as("__vh"),
-      col("__id"), col("__s"))
+      col("__id"))
       .localCheckpoint(true)
-    val cand = probe.as("l").join(probe.as("r"), "__vh")
+    val candIds = probe.as("l").join(probe.as("r"), "__vh")
       .filter(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        col("l.__s").as("__sa"), col("r.__s").as("__sb"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    cand.filter(levenshtein(col("__sa"), col("__sb")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
+    candIds
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

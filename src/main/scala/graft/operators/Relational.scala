@@ -271,6 +271,38 @@ object Relational {
       .drop("__mid", "__pid", "__lrn", "__off")
   }
 
+  /** Pareto / cumulative-contribution analysis: rank keys by their
+    * value total (descending) and report each key's cumulative share of
+    * the grand total, plus the "top 80%" membership flag (a key is in
+    * the head while the share BEFORE it is < `threshold` — so the key
+    * that crosses the line is included, and the flagged set is the
+    * smallest prefix covering the threshold). The concentration screen
+    * behind "which parts drive 80% of volume".
+    *
+    * Scale shape: the data-sized work is ONE hash aggregate to
+    * key-cardinality totals; the ranking window runs over that
+    * DIMENSION-SIZED table (fine single-task for any real key space —
+    * for degenerate billion-key spaces, the [[globalRowNumber]]
+    * offset-broadcast pattern extends to prefix sums). Rank on an
+    * EXACTLY-representable metric (integral values in doubles) when
+    * the flagged set must be engine-reproducible: float-sum ulp noise
+    * can swap near-equal totals ranked on arbitrary doubles.
+    */
+  def cumulativeShare(df: DataFrame, keyCol: Column, valueCol: Column,
+      threshold: Double = 0.8): DataFrame = {
+    val totals = df.groupBy(keyCol.as("key"))
+      .agg(sum(valueCol).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grand = totals.agg(sum(col("total")).as("__g"))
+    totals.crossJoin(broadcast(grand))
+      .withColumn("cum_share", sum(col("total")).over(w) / col("__g"))
+      .withColumn("is_head",
+        (sum(col("total")).over(w) - col("total")) / col("__g") < threshold)
+      .drop("__g")
+  }
+
   /** Robust scaling: (x − median) / IQR per group — the outlier-proof
     * standardization (mean/stddev both move with a single extreme
     * value; median and quartiles don't). Rows in groups with IQR = 0

@@ -156,14 +156,21 @@ object Temporal {
     * users at corpus scale).
     */
   def funnel(df: DataFrame, userCol: Column, typeCol: Column,
-      tsCol: Column, stages: Seq[String]): DataFrame = {
+      tsCol: Column, stages: Seq[String],
+      maxGap: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
+    // maxGap: optional per-step conversion window ("1 day") — stage i+1
+    // counts only within maxGap of the user's stage-i frontier event
+    // (the "converted within 24h" funnel). Same plan shape; the bound
+    // is one more pushed conjunct on the frontier join.
+    val within = maxGap.map(g => expr(s"INTERVAL $g"))
     val first = df.filter(typeCol === stages.head)
       .groupBy(userCol.as("__u")).agg(min(tsCol).as("__t"))
     val frontiers = stages.tail.scanLeft(first) { (prev, stage) =>
-      df.filter(typeCol === stage)
+      val step = df.filter(typeCol === stage)
         .join(prev, userCol === col("__u"))
         .filter(tsCol > col("__t"))
+      within.fold(step)(g => step.filter(tsCol <= col("__t") + g))
         .groupBy(col("__u")).agg(min(tsCol).as("__t"))
     }
     frontiers.zip(stages).zipWithIndex

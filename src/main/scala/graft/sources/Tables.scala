@@ -252,6 +252,21 @@ object Tables {
   def writeGeoJsonLines(features: DataFrame, path: String): Unit =
     features.write.mode(SaveMode.Overwrite).text(path)
 
+  /** ORC sink — the second columnar format Spark carries natively, for
+    * interop with ORC-based warehouses (Hive ACID, some lakehouse
+    * stacks). Same writer surface as parquet: column pruning, predicate
+    * pushdown, and min/max stats all work through the same
+    * DataSource V2 scan machinery (SourcesSpec pins roundtrip equality
+    * and pruned ReadSchema).
+    */
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** ORC scan (schema from the file footer, like parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed parquet table sink — the co-located-join primitive for
     * repeatedly-joined big tables. Writing both sides of a hot join
     * bucketed (and sorted) on the join key lets every later

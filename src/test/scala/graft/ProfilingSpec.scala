@@ -109,6 +109,31 @@ class ProfilingSpec extends AnyFunSuite {
       .forall(_.isNullAt(2))) // IQR=0 → null, not a divide
   }
 
+  test("cumulativeShare: descending rank, exact shares, smallest prefix covering the threshold") {
+    import graft.operators.Relational
+    // totals: a=50, b=30, c=15, d=5 (grand 100). Head at 0.8: a (0<0.8),
+    // b (0.5<0.8), c (0.8 NOT < 0.8 → excluded... wait: share BEFORE c
+    // is 0.8 exactly, so c is out; head = {a, b} covers exactly 80%.
+    val df = Seq(("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0))
+      .toDF("k", "v")
+    val got = Relational.cumulativeShare(df, col("k"), col("v"), 0.8)
+      .orderBy(col("cum_share"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(("a", 50.0, 0.5, true), ("b", 30.0, 0.8, true),
+      ("c", 15.0, 0.95, false), ("d", 5.0, 1.0, false)))
+  }
+
+  test("cumulativeShare: the crossing key is included when the threshold lands mid-key") {
+    import graft.operators.Relational
+    val df = Seq(("a", 60.0), ("b", 30.0), ("c", 10.0)).toDF("k", "v")
+    val got = Relational.cumulativeShare(df, col("k"), col("v"), 0.8)
+      .orderBy(col("cum_share"))
+      .collect().map(r => (r.getString(0), r.getBoolean(3))).toSeq
+    // before-b share is 0.6 < 0.8 → b (which crosses to 0.9) is IN
+    assert(got == Seq(("a", true), ("b", true), ("c", false)))
+  }
+
   test("keySkew: one-row summary; a dominant key shows in max and top_share") {
     val df = (Seq.fill(8)("hot") ++ Seq("a", "b")).toDF("k")
     val r = Profiling.keySkew(df, col("k")).head()

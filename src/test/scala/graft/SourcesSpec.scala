@@ -40,6 +40,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 1 && back.head().getLong(0) == 1L)
   }
 
+  test("ORC sink/scan roundtrips values and schema; filters and pruning push to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    Tables.writeOrc(df, dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // projection + predicate reach the ORC scan like parquet
+    val plan = back.filter(col("id") > 1).select("id", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"expected pushed filter in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"expected pruned ReadSchema in:\n$plan")
+  }
+
   test("S9: multiLine GeoJSON scan explodes features[]") {
     val dir = Files.createTempDirectory("graft-gj").toString
     val gj = """{"type":"FeatureCollection","features":[

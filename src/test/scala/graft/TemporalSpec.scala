@@ -120,6 +120,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((0L, "view", 4L), (1L, "click", 2L), (2L, "purchase", 1L)))
   }
 
+  test("funnel maxGap: late conversions fall out; the frontier stays the earliest in-window event") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 05:00:00")),   // within 12h → converts
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-02 00:00:00")),   // 24h later → out of window
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 12:00:00")))   // exactly 12h → inclusive
+      .toDF("user_id", "event_type", "at")
+    val got = Temporal.funnel(events, col("user_id"), col("event_type"),
+        col("at"), Seq("view", "click"), maxGap = Some("12 HOURS"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("view", 3L), ("click", 2L)))
+    // no gap → the original funnel semantics are untouched
+    val open = Temporal.funnel(events, col("user_id"), col("event_type"),
+        col("at"), Seq("view", "click"))
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(open == Seq(3L, 3L))
+  }
+
   test("scd2: runs collapse, re-appearing value reopens, intervals tile each key's timeline") {
     val obs = Seq(
       (1L, "gold",   ts("2024-01-01 00:00:00"), 1L),
