@@ -822,6 +822,267 @@ object Queries {
             UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM s2)
             ORDER BY stage_idx"""))
 
+  // Concave test polygon (a "dart" — the shape where winding-number
+  // shortcuts and even-odd disagree is exactly what the oracle pins).
+  private val PipPoly = Seq((0.0, 1.5), (1.5, -1.5), (0.0, -0.5), (-1.5, -1.5))
+
+  /** Even-odd point-in-polygon over a concave polygon, as one unrolled
+    * codegen'd boolean — points derive deterministically from the event
+    * stream so the flag is checkable at any sf
+    * (see [[graft.geo.GeoOps.pointInPolygon]]).
+    */
+  val qPointInPolygon = QDef(
+    (s, d) => {
+      val lon = col("value") / lit(25.0) - lit(2.0)
+      val lat = (col("user_id") % 100).cast("double") / lit(25.0) - lit(2.0)
+      t(s, d, "events").select(col("event_id"),
+          round(lon, 6).as("lon"), round(lat, 6).as("lat"),
+          graft.geo.GeoOps.pointInPolygon(lon, lat, PipPoly).as("inside"))
+        .orderBy("event_id")
+    },
+    Some {
+      val pip = graft.geo.GeoOps.pointInPolygonSql("lon", "lat", PipPoly)
+      s"""WITH p AS (SELECT event_id, value / 25.0 - 2.0 AS lon,
+                            (user_id % 100)::DOUBLE / 25.0 - 2.0 AS lat
+                     FROM events)
+          SELECT event_id, round(lon, 6) + 0.0 AS lon,
+                 round(lat, 6) + 0.0 AS lat,
+                 $pip AS inside
+          FROM p ORDER BY event_id"""
+    })
+
+  /** Haversine radius filter: events-as-points within 120 km of a fixed
+    * center — pure trig column math, identical formula shape on both
+    * engines (see [[graft.geo.GeoOps.haversineMeters]]).
+    */
+  val qGeoRadius = QDef(
+    (s, d) => {
+      val lon = col("value") / lit(25.0) - lit(2.0)
+      val lat = (col("user_id") % 100).cast("double") / lit(25.0) - lit(2.0)
+      val dist = graft.geo.GeoOps.haversineMeters(lat, lon,
+        lit(0.3), lit(-0.2))
+      t(s, d, "events").select(col("event_id"),
+          round(dist, 3).as("dist_m"))
+        .filter(col("dist_m") <= 120000.0)
+        .orderBy("event_id")
+    },
+    Some {
+      val rad = math.Pi / 180.0
+      val dLat = s"((0.3 - lat) * $rad)"
+      val dLon = s"((-0.2 - lon) * $rad)"
+      val a = s"pow(sin($dLat / 2), 2) + cos(lat * $rad) * cos(0.3 * $rad) * pow(sin($dLon / 2), 2)"
+      s"""WITH p AS (SELECT event_id, value / 25.0 - 2.0 AS lon,
+                            (user_id % 100)::DOUBLE / 25.0 - 2.0 AS lat
+                     FROM events),
+          d AS (SELECT event_id,
+                       round(${2.0 * 6371000.0} * asin(sqrt($a)), 3) + 0.0 AS dist_m
+                FROM p)
+          SELECT event_id, dist_m FROM d
+          WHERE dist_m <= 120000.0 ORDER BY event_id"""
+    })
+
+  /** Adamic-Adar link prediction over the LSH pair graph: top-30
+    * non-edge two-hop pairs by shared-neighbor rarity — the
+    * recall-repair pass over the blocker's false negatives; scores
+    * rounded before ranking so the k-frontier is engine-reproducible
+    * (see [[Dedup.linkPredictionAdamicAdar]]).
+    */
+  val qLinkPrediction = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        MinhashN, MinhashK, RowsPerBand)
+      Dedup.linkPredictionAdamicAdar(pairs, k = 30)
+    },
+    Some {
+      val bandRows = minhashBandsSql
+      s"""WITH sig AS ($minhashSigSql),
+          bands AS (
+              $bandRows),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    WHERE a.doc_id < b.doc_id),
+          und AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          dg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+          nbrs AS (SELECT u AS c, v AS n FROM und),
+          w AS (SELECT l.n AS id_a, r.n AS id_b, c
+                FROM nbrs l JOIN nbrs r USING (c) WHERE l.n < r.n),
+          sc AS (SELECT id_a, id_b, count(*) AS common_neighbors,
+                        round(sum(1.0 / ln(d)), 6) + 0.0 AS score
+                 FROM w JOIN dg ON w.c = dg.u GROUP BY 1, 2),
+          ne AS (SELECT sc.* FROM sc LEFT JOIN pairs p
+                 ON sc.id_a = p.id_a AND sc.id_b = p.id_b
+                 WHERE p.id_a IS NULL)
+          SELECT id_a, id_b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+                 score
+          FROM ne ORDER BY score DESC, id_a, id_b LIMIT 30"""
+    })
+
+  /** Data-quality expectation gate: five constraints validated in ONE
+    * aggregate pass, output one row per check
+    * (see [[graft.operators.Profiling.validate]]).
+    */
+  val qValidate = QDef(
+    (s, d) => Profiling.validate(t(s, d, "events"), Seq(
+        "event_id_not_null" -> Profiling.notNullViolations(col("event_id")),
+        "event_id_unique" -> Profiling.uniqueViolations(col("event_id")),
+        "value_in_range" -> Profiling.rangeViolations(col("value"), 0.0, 100.0),
+        "event_type_in_set" -> Profiling.inSetViolations(col("event_type"),
+          Seq("view", "click", "signup", "purchase", "error")),
+        "user_id_not_null" -> Profiling.notNullViolations(col("user_id"))))
+      .orderBy("check"),
+    Some("""SELECT 'event_id_not_null' AS "check",
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+                   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+            FROM events
+            UNION ALL SELECT 'event_id_unique',
+                   CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+                   count(event_id) - count(DISTINCT event_id) = 0
+            FROM events
+            UNION ALL SELECT 'value_in_range',
+                   CAST(sum(CASE WHEN value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END) = 0
+            FROM events
+            UNION ALL SELECT 'event_type_in_set',
+                   CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                        ('view', 'click', 'signup', 'purchase', 'error') THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                        ('view', 'click', 'signup', 'purchase', 'error') THEN 1 ELSE 0 END) = 0
+            FROM events
+            UNION ALL SELECT 'user_id_not_null',
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+            FROM events
+            ORDER BY "check""""))
+
+  /** Welch two-sample t statistic between purchase and view values —
+    * the A/B-test primitive: one grouped pass (n/mean/var per arm) to a
+    * single row with t and Welch–Satterthwaite df
+    * (see [[graft.metrics.Metrics.welchTTest]]).
+    */
+  val qAbTest = QDef(
+    (s, d) => graft.metrics.Metrics.welchTTest(t(s, d, "events"),
+        col("event_type"), col("value"), "purchase", "view")
+      .select(col("n_a"), round(col("mean_a"), 6).as("mean_a"),
+        col("n_b"), round(col("mean_b"), 6).as("mean_b"),
+        round(col("t_stat"), 6).as("t_stat"),
+        round(col("df_welch"), 6).as("df_welch")),
+    Some("""WITH s AS (SELECT event_type AS g, count(value) AS n,
+                              avg(value) AS m, var_samp(value) AS v
+                       FROM events WHERE event_type IN ('purchase', 'view')
+                       GROUP BY 1),
+            a AS (SELECT n AS n_a, m AS mean_a, v AS va FROM s
+                  WHERE g = 'purchase'),
+            b AS (SELECT n AS n_b, m AS mean_b, v AS vb FROM s
+                  WHERE g = 'view')
+            SELECT n_a, round(mean_a, 6) + 0.0 AS mean_a,
+                   n_b, round(mean_b, 6) + 0.0 AS mean_b,
+                   round((mean_a - mean_b) / sqrt(va / n_a + vb / n_b), 6) + 0.0 AS t_stat,
+                   round(pow(va / n_a + vb / n_b, 2) /
+                         (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)), 6) + 0.0 AS df_welch
+            FROM a CROSS JOIN b"""))
+
+  /** Exact ROC AUC of value ranking "is a purchase" — rank-sum identity
+    * with half-credit ties over the distinct-score table; every term
+    * integral (+½) so the result is an exact rational, bit-reproducible
+    * (see [[graft.metrics.Metrics.aucExact]]).
+    */
+  val qAuc = QDef(
+    (s, d) => graft.metrics.Metrics.aucExact(t(s, d, "events"),
+        col("event_type") === "purchase", col("value"))
+      .select(round(col("auc"), 9).as("auc"), col("n_pos"), col("n_neg")),
+    Some("""WITH ps AS (SELECT value AS s,
+                               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+                               sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+                        FROM events GROUP BY 1),
+            r AS (SELECT np, nn,
+                         coalesce(sum(nn) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                  FROM ps)
+            SELECT round(sum(np * (below + 0.5 * nn)) / (sum(np) * sum(nn)), 9) + 0.0 AS auc,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM r"""))
+
+  /** CUSUM change-point screen per event type: max |running sum of
+    * mean-deviations| (6-dp quantized for cross-engine argmax
+    * stability) and the earliest timestamp attaining it
+    * (see [[Temporal.cusum]]).
+    */
+  val qCusum = QDef(
+    (s, d) => Temporal.cusum(t(s, d, "events"), col("event_type"),
+        col("ts"), col("value"), Seq(col("event_id")))
+      .select(col("key").as("event_type"), col("max_abs_cusum"),
+        col("change_ts"))
+      .orderBy("event_type"),
+    Some("""WITH dev AS (SELECT event_type AS k, ts, event_id,
+                                value - avg(value) OVER (PARTITION BY event_type) AS dv
+                         FROM events),
+            p AS (SELECT k, ts,
+                         round(abs(sum(dv) OVER (PARTITION BY k
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS a
+                  FROM dev),
+            mx AS (SELECT k, max(a) AS max_abs_cusum FROM p GROUP BY 1)
+            SELECT k AS event_type, max_abs_cusum + 0.0 AS max_abs_cusum,
+                   min(ts) AS change_ts
+            FROM mx JOIN p USING (k) WHERE p.a = mx.max_abs_cusum
+            GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** Leave-one-out smoothed target encoding of event type by value —
+    * the leak-free category-mean feature
+    * (see [[graft.ml.Featurize.targetEncodeLoo]]).
+    */
+  val qTargetEncode = QDef(
+    (s, d) => graft.ml.Featurize.targetEncodeLoo(t(s, d, "events"),
+        col("event_type"), col("value"), m = 10.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("y_enc"), 6).as("y_enc"))
+      .orderBy("event_id"),
+    Some("""WITH s AS (SELECT event_type, sum(value) AS sy,
+                              count(value) AS ny
+                       FROM events GROUP BY 1),
+            g AS (SELECT avg(value) AS prior FROM events)
+            SELECT event_id, e.event_type, value,
+                   round((sy - value + 10.0 * prior) / (ny - 1 + 10.0), 6) + 0.0 AS y_enc
+            FROM events e JOIN s USING (event_type) CROSS JOIN g
+            ORDER BY event_id"""))
+
+  /** RFM (recency/frequency/monetary) segmentation of purchasers, with
+    * quartile buckets from a single broadcast cutoff row — no global
+    * ntile window over the user table (see [[Temporal.rfm]]).
+    */
+  val qRfm = QDef(
+    (s, d) => Temporal.rfm(t(s, d, "events"), col("user_id"), col("ts"),
+        col("value"), col("event_type") === "purchase")
+      .select(col("user").as("user_id"), col("recency_days"),
+        col("frequency"), round(col("monetary"), 6).as("monetary"),
+        col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .orderBy("user_id"),
+    Some("""WITH b AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                         sum(value) AS monetary
+                  FROM b GROUP BY 1),
+            an AS (SELECT max(ts) AS anchor FROM b),
+            r AS (SELECT user_id,
+                         date_diff('day', last_ts::DATE, anchor::DATE) AS rd,
+                         frequency, monetary
+                  FROM u CROSS JOIN an),
+            c AS (SELECT quantile_cont(rd, 0.25) AS r25, quantile_cont(rd, 0.5) AS r50,
+                         quantile_cont(rd, 0.75) AS r75,
+                         quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+                         quantile_cont(frequency, 0.75) AS f75,
+                         quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+                         quantile_cont(monetary, 0.75) AS m75
+                  FROM r)
+            SELECT user_id, CAST(rd AS BIGINT) AS recency_days, frequency,
+                   round(monetary, 6) + 0.0 AS monetary,
+                   CAST(1 + (rd > r25)::int + (rd > r50)::int + (rd > r75)::int AS BIGINT) AS r_bucket,
+                   CAST(1 + (frequency > f25)::int + (frequency > f50)::int + (frequency > f75)::int AS BIGINT) AS f_bucket,
+                   CAST(1 + (monetary > m25)::int + (monetary > m50)::int + (monetary > m75)::int AS BIGINT) AS m_bucket
+            FROM r CROSS JOIN c ORDER BY user_id"""))
+
   /** Windowed funnel: view → click → purchase where each step must
     * convert within 12 hours of the user's previous-stage frontier
     * event — the "converted within the session/day" variant; the bound
@@ -2082,9 +2343,15 @@ object Queries {
             SELECT DISTINCT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id"""))
 
-  private val MinhashK = 12
-  private val MinhashN = 3
-  private val RowsPerBand = 2
+  // `final val` literals are compile-time constants (inlined at use
+  // sites), so forward references from QDefs declared ABOVE this point
+  // (q_link_prediction builds its oracle off minhashBandsSql during
+  // object init) see 12/3/2, not the un-initialized 0 a plain val
+  // yields — a plain `val` here turned minhashBandsSql's `K / RowsPerBand`
+  // into /0 at <clinit>.
+  private final val MinhashK = 12
+  private final val MinhashN = 3
+  private final val RowsPerBand = 2
 
   /** DuckDB rendering of the banded-minhash relation ("bands"): one row
     * per (doc, band) with the band's concatenated-signature hash —
@@ -3897,6 +4164,15 @@ object Queries {
     "q_kcore" -> qKcore,
     "q_funnel_windowed" -> qFunnelWindowed,
     "q_pareto" -> qPareto,
+    "q_ab_test" -> qAbTest,
+    "q_auc" -> qAuc,
+    "q_cusum" -> qCusum,
+    "q_target_encode" -> qTargetEncode,
+    "q_rfm" -> qRfm,
+    "q_point_in_polygon" -> qPointInPolygon,
+    "q_geo_radius" -> qGeoRadius,
+    "q_link_prediction" -> qLinkPrediction,
+    "q_validate" -> qValidate,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -33,6 +33,60 @@ object GeoOps {
         array(lon, lat).as("coordinates")).as("geometry"),
       props.as("properties")))
 
+  /** Even-odd (ray casting) point-in-polygon test against a FIXED
+    * polygon, unrolled to pure column math: one straddle-and-crossing
+    * boolean per edge, XOR-folded — odd crossing count ⇔ inside. No
+    * UDF, no geometry library; the whole predicate is one codegen'd
+    * expression whose constants are embedded literals, so any engine
+    * given the same literals computes the identical boolean (concave
+    * polygons included — that's what even-odd buys over winding-number
+    * shortcuts).
+    *
+    * The `(y1 > y) ≠ (y2 > y)` straddle guard also makes the
+    * horizontal-edge division-by-zero benign: the crossing term is only
+    * REACHED when y1 ≠ y2, and when it isn't, IEEE ±inf falls out of a
+    * `&& false` — no ANSI error (double division never throws).
+    *
+    * For polygon SETS (many zones), replicate points into a zone-grid
+    * join first (the [[SpatialJoin]] cell pattern) and apply this
+    * per-zone predicate on the matched candidates.
+    */
+  def pointInPolygon(x: Column, y: Column,
+      poly: Seq[(Double, Double)]): Column = {
+    require(poly.size >= 3, "polygon needs at least 3 vertices")
+    val edges = poly.zip(poly.tail :+ poly.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      ((lit(y1) > y) =!= (lit(y2) > y)) &&
+        (x < lit(x2 - x1) * (y - lit(y1)) / lit(y2 - y1) + lit(x1))
+    }.reduce(_ =!= _)
+  }
+
+  /** SQL rendering of [[pointInPolygon]] for an oracle — generated from
+    * the SAME vertex Seq so the two engines consume identical
+    * shortest-roundtrip double literals and the identical XOR fold.
+    */
+  def pointInPolygonSql(x: String, y: String,
+      poly: Seq[(Double, Double)]): String = {
+    val edges = poly.zip(poly.tail :+ poly.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      s"((($y1 > $y) <> ($y2 > $y)) AND ($x < ${x2 - x1} * ($y - $y1) / ${y2 - y1} + $x1))"
+    }.reduce((a, b) => s"($a <> $b)")
+  }
+
+  /** Great-circle (haversine) distance in meters — pure trig column
+    * math, codegen'd; cross-engine agreement is ulp-level (Java Math vs
+    * libm), far inside a 6-dp round.
+    */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    val rad = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * lit(rad)
+    val dLon = (lon2 - lon1) * lit(rad)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(lat1 * lit(rad)) * cos(lat2 * lit(rad)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371000.0) * asin(sqrt(a))
+  }
+
   /** F19b: GeoJSON LineString Feature assembly (reference
     * point_to_linestring.py:67-75 — emits a LineString Feature from the
     * matched edge's coordinate list, properties carried through).

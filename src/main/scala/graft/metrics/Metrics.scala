@@ -1,6 +1,7 @@
 package graft.metrics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Regression / statistics aggregates (SURVEY.md §2.4 A7–A10).
@@ -88,5 +89,62 @@ object Metrics {
       .select(col("feature") +: cols.zipWithIndex.map { case (b, i) =>
         col("corrs").getItem(i).as(b)
       }: _*)
+  }
+
+  /** Welch's two-sample t statistic (unequal variances) between groups
+    * `a` and `b` of `groupCol` — the A/B-test primitive. One grouped
+    * aggregate pass (n, mean, sample variance per arm) collapsed to a
+    * single row with the t statistic and Welch–Satterthwaite degrees of
+    * freedom; the caller compares |t| against the t-distribution
+    * quantile for their α (the p-value integral stays out of the
+    * engine on purpose — it's a lookup, not a data operation).
+    */
+  def welchTTest(df: DataFrame, groupCol: Column, x: Column,
+      a: String, b: String): DataFrame = {
+    val stats = df.filter(groupCol.isin(a, b))
+      .groupBy(groupCol.as("__g"))
+      .agg(count(x).as("__n"), avg(x).as("__m"), var_samp(x).as("__v"))
+    val wa = stats.filter(col("__g") === a)
+      .select(col("__n").as("n_a"), col("__m").as("mean_a"), col("__v").as("__va"))
+    val wb = stats.filter(col("__g") === b)
+      .select(col("__n").as("n_b"), col("__m").as("mean_b"), col("__v").as("__vb"))
+    val sa = col("__va") / col("n_a")
+    val sb = col("__vb") / col("n_b")
+    wa.crossJoin(wb)
+      .select(col("n_a"), col("mean_a"), col("n_b"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(sa + sb)).as("t_stat"),
+        (pow(sa + sb, 2) /
+          (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1)))
+          .as("df_welch"))
+  }
+
+  /** Exact ROC AUC of `score` ranking `label` (boolean positives) via
+    * the rank-sum identity with the standard half-credit tie handling:
+    * AUC = Σ_over-distinct-scores n_pos(s) · (N_neg below s + ½·n_neg(s))
+    *       / (N_pos · N_neg).
+    *
+    * One hash aggregate to the DISTINCT-SCORE table, one running-sum
+    * window over it, one 1-row sum. Every term is integral (+½), so
+    * the result is an exact rational — bit-reproducible across
+    * engines. The window is single-partition over distinct scores:
+    * fine for scores with bounded support (quantized model outputs,
+    * the common eval case); for billions of distinct floats, quantize
+    * scores first (6-dp round costs AUC < 1e-6) or rank via
+    * [[graft.operators.Relational.globalRowNumber]].
+    */
+  def aucExact(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val perScore = df
+      .groupBy(score.as("__s"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__np"),
+        sum(when(label, 0L).otherwise(1L)).as("__nn"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__negBelow", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .agg(sum(col("__np") * (col("__negBelow") + lit(0.5) * col("__nn")))
+          .as("__u"),
+        sum(col("__np")).as("n_pos"), sum(col("__nn")).as("n_neg"))
+      .select((col("__u") / (col("n_pos") * col("n_neg"))).as("auc"),
+        col("n_pos"), col("n_neg"))
   }
 }

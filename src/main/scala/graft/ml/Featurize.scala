@@ -41,4 +41,32 @@ object Featurize {
   def assembler(features: Seq[String], outputCol: String = "features"): VectorAssembler =
     new VectorAssembler().setInputCols(features.toArray).setOutputCol(outputCol)
       .setHandleInvalid("skip")
+
+  /** Leave-one-out smoothed target encoding: replace a high-cardinality
+    * categorical with the mean target of its OTHER members, shrunk
+    * toward the global mean by pseudo-count `m`:
+    *   enc = (Σ_g y − y_row + m·ȳ) / (n_g − 1 + m).
+    * The leave-one-out exclusion is what keeps the encoding from
+    * leaking the row's own label into its feature (the classic target-
+    * leak a naive category-mean encode commits); the m-shrinkage keeps
+    * singleton categories at the prior instead of at 0/0.
+    *
+    * Scale shape: one hash aggregate to category-cardinality sums
+    * (joined back — broadcast when small), one 1-row global mean; the
+    * encode itself is a pure projection. Rows in categories with
+    * n_g = 1 get exactly the prior (numerator m·ȳ over denominator m).
+    */
+  def targetEncodeLoo(df: DataFrame, category: Column, y: Column,
+      m: Double = 10.0, outCol: String = "y_enc"): DataFrame = {
+    require(m > 0, "smoothing pseudo-count m must be positive")
+    val sums = df.groupBy(category.as("__cat"))
+      .agg(sum(y).as("__sy"), count(y).as("__ny"))
+    val prior = df.agg(avg(y).as("__prior"))
+    df.join(broadcast(sums), category === col("__cat"))
+      .crossJoin(broadcast(prior))
+      .withColumn(outCol,
+        (col("__sy") - y + lit(m) * col("__prior")) /
+          (col("__ny") - 1 + lit(m)))
+      .drop("__cat", "__sy", "__ny", "__prior")
+  }
 }

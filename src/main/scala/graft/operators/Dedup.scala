@@ -519,6 +519,45 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Adamic-Adar link prediction over an undirected pair graph: score
+    * every NON-edge two-hop pair by Σ_{shared neighbor v} 1/ln(deg v)
+    * — rare shared neighbors count more — and keep the top `k`. In a
+    * near-dup graph these are the "probably the same family but the
+    * blocker missed the pair" candidates: the natural recall-repair
+    * pass over LSH's false negatives.
+    *
+    * Scale shape: wedges come from one neighbor-keyed self-join (the
+    * triangle-counting join without orientation — bounded by Σ deg²_v;
+    * cap hub degrees upstream if a megahub exists), existing edges drop
+    * via one anti-join, and the ranked cut is O(k). Scores are rounded
+    * to 6 dp BEFORE ranking so the top-k frontier is reproducible
+    * across engines (float-sum ulp can't reorder the boundary); ties
+    * break on the id pair. A shared neighbor has degree ≥ 2 by
+    * construction, so ln(deg) is never 0.
+    *
+    * Output: (id_a, id_b, common_neighbors, score), score descending.
+    */
+  def linkPredictionAdamicAdar(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("__v")).agg(count(lit(1)).as("__d"))
+    val nbrs = edges.select(col("src").as("__v"), col("dst").as("__u"))
+    val wedges = nbrs.as("l")
+      .join(nbrs.as("r"), "__v")
+      .filter(col("l.__u") < col("r.__u"))
+      .join(deg, "__v")
+      .select(col("l.__u").as("id_a"), col("r.__u").as("id_b"),
+        (lit(1.0) / log(col("__d").cast("double"))).as("__w"))
+    val scored = wedges.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(col("__w")), 6).as("score"))
+    scored.join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Survivor selection: keep the lowest-id member of each near-dup
     * cluster (the exact-dedup policy extended to near-duplicates).
     */

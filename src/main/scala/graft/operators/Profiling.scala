@@ -109,6 +109,33 @@ object Profiling {
     * Two hash aggregates: data → per-key counts (key-cardinality rows),
     * then a 1-row summary over those. Output is one row, always.
     */
+  /** Data-quality constraint validation (the Deequ-style expectation
+    * gate): each check is an AGGREGATE expression counting its
+    * VIOLATIONS; all checks batch into ONE aggregate pass over the
+    * data, and the output is one (check, violations, passed) row per
+    * constraint — checks-sized, never data-sized. Run it before
+    * publishing a table; gate the pipeline on `passed` all-true.
+    */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "checks must be non-empty")
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(c.cast("long"), lit(0L)).as(s"__v$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', __v$i" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${checks.length}, $stacked) AS (check, violations)")
+      .withColumn("passed", col("violations") === 0)
+  }
+
+  /** Violation-count aggregates for [[validate]]. */
+  def notNullViolations(c: Column): Column = count(when(c.isNull, 1))
+  def uniqueViolations(c: Column): Column = count(c) - countDistinct(c)
+  def rangeViolations(c: Column, lo: Double, hi: Double): Column =
+    count(when(c < lo || c > hi, 1))
+  def inSetViolations(c: Column, values: Seq[String]): Column =
+    count(when(c.isNotNull && !c.isin(values: _*), 1))
+
   /** Shannon entropy (nats) of a categorical column, plus the
     * normalized form H / ln(support) ∈ [0,1] — the "is this column
     * informative or near-constant" screen (normalized ≈ 0: one value

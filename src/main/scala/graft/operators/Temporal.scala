@@ -395,6 +395,80 @@ object Temporal {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** CUSUM change-point screen: per key, the running sum of deviations
+    * from the key's own mean — a mean shift makes the cusum drift, and
+    * the drift's extreme marks the most likely change point (Page's
+    * classic statistic, the offline scan form). Output per key: the
+    * maximum |cusum|, and the EARLIEST order value attaining it (exact
+    * equality join back — the cusum path is a deterministic sequential
+    * sum, so the argmax is reproducible).
+    *
+    * Two windows + one join, ALL on the key partitioning: mean via a
+    * full-partition frame, cusum via a running frame, argmax via a
+    * per-key max joined back on exact equality.
+    */
+  def cusum(df: DataFrame, keyCol: Column, tsCol: Column, x: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val wAll = Window.partitionBy(keyCol)
+    val wRun = Window.partitionBy(keyCol).orderBy(tsCol +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val path = df
+      .withColumn("__dev", x - avg(x).over(wAll))
+      .withColumn("__cusum", sum(col("__dev")).over(wRun))
+      .select(keyCol.as("__k"), tsCol.as("__t"), abs(col("__cusum")).as("__a"))
+    val peaks = path.groupBy(col("__k").as("key"))
+      .agg(max(col("__a")).as("max_abs_cusum"))
+    peaks.join(path,
+        col("key") === col("__k") && col("max_abs_cusum") === col("__a"))
+      .groupBy(col("key"), col("max_abs_cusum"))
+      .agg(min(col("__t")).as("change_ts"))
+  }
+
+  /** RFM (recency / frequency / monetary) scoring: per user, days since
+    * their last qualifying event (relative to the stream's own max
+    * timestamp), qualifying-event count, and value total — each
+    * discretized into quartile buckets 1–4 against the POPULATION
+    * distribution. The classic customer-value segmentation.
+    *
+    * Scale shape: one user-keyed aggregate; the three quartile cutoff
+    * sets collapse to ONE 9-value row (broadcast back) and bucketing is
+    * a pure comparison projection — no global ntile window, no
+    * user-table sort. Bucket semantics: 1 + (x > q25) + (x > q50) +
+    * (x > q75), so ties on a cutoff fall into the LOWER bucket in any
+    * engine. Note recency buckets rank DAYS (4 = longest ago); invert
+    * downstream if "4 = best" scoring is wanted.
+    */
+  def rfm(df: DataFrame, userCol: Column, tsCol: Column, valueCol: Column,
+      qualify: Column): DataFrame = {
+    val base = df.filter(qualify)
+    val perUser = base.groupBy(userCol.as("user"))
+      .agg(max(tsCol).as("__last"), count(lit(1)).as("frequency"),
+        sum(valueCol).as("monetary"))
+    val anchored = perUser
+      .crossJoin(broadcast(base.agg(max(tsCol).as("__anchor"))))
+      .withColumn("recency_days", datediff(col("__anchor"), col("__last")))
+      .drop("__last", "__anchor")
+    val cuts = anchored.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary, 0.25)").as("m25"),
+      expr("percentile(monetary, 0.5)").as("m50"),
+      expr("percentile(monetary, 0.75)").as("m75"))
+    def bucket(x: Column, q25: Column, q50: Column, q75: Column): Column =
+      (lit(1) + (x > q25).cast("int") + (x > q50).cast("int") +
+        (x > q75).cast("int")).cast("long")
+    anchored.crossJoin(broadcast(cuts))
+      .select(col("user"), col("recency_days").cast("long").as("recency_days"),
+        col("frequency"), col("monetary"),
+        bucket(col("recency_days"), col("r25"), col("r50"), col("r75")).as("r_bucket"),
+        bucket(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_bucket"),
+        bucket(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_bucket"))
+  }
+
   /** First-order Markov transition matrix over a per-key event-type
     * sequence: P(next = b | current = a) estimated from adjacent pairs
     * under `order` within each key. Emits one row per observed (from,

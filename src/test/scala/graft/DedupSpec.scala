@@ -149,6 +149,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r1 == Set(2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("linkPredictionAdamicAdar: non-edges only, rarity weighting beats raw common-neighbor count") {
+    // hub 1 (deg 5) connects {2,3,4,5,6}; 2-3 also share neighbor 6
+    // (deg 3). Non-edge (2,3): shared {1, 6} → 1/ln5 + 1/ln3. Non-edge
+    // (4,5): shared {1} → 1/ln5 only. (2,3) must outrank (4,5) on the
+    // RARE shared neighbor, not on the common hub.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 6L), (3L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.linkPredictionAdamicAdar(pairs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    // existing edges never appear
+    assert(!byPair.contains((1L, 2L)) && !byPair.contains((2L, 6L)))
+    val s23 = byPair((2L, 3L)); val s45 = byPair((4L, 5L))
+    assert(s23._3 == 2 && s45._3 == 1)
+    val want23 = math.rint((1.0 / math.log(5) + 1.0 / math.log(3)) * 1e6) / 1e6
+    assert(s23._4 == want23, s"got ${s23._4} want $want23")
+    assert(s23._4 > s45._4)
+    // ranked first overall
+    assert(got.head._1 == 2L && got.head._2 == 3L)
+  }
+
   test("editDistancePairs: exact duplicates pair at distance 0") {
     val df = Seq((1L, "acme"), (2L, "acme"), (3L, "acmme")).toDF("id", "name")
     val got = Dedup.editDistancePairs(df, "id", col("name"))

@@ -273,4 +273,40 @@ class GeoSpec extends AnyFunSuite {
     assert(s.contains(""""coordinates":[[-73.95,40.7],[-73.9,40.75]]"""), s)
     assert(s.contains(""""custkey":7"""), s)
   }
+
+  test("pointInPolygon: concave dart — notch points outside, wings inside, convex-hull trap avoided") {
+    import spark.implicits._
+    import graft.geo.GeoOps
+    // dart: apex (0,1.5), right tip (1.5,-1.5), notch (0,-0.5), left tip
+    // (-1.5,-1.5). The notch region (below the apex, above the tips,
+    // near x=0) is INSIDE the convex hull but OUTSIDE the polygon.
+    val poly = Seq((0.0, 1.5), (1.5, -1.5), (0.0, -0.5), (-1.5, -1.5))
+    val pts = Seq(
+      (1L, 0.0, 1.0, true),    // spine above the notch: inside
+      (2L, 0.0, -1.0, false),  // in the notch: hull says yes, dart says NO
+      (3L, 0.7, -0.7, true),   // right wing
+      (4L, -0.7, -0.7, true),  // left wing
+      (5L, 2.0, 0.0, false),   // right of everything
+      (6L, 0.0, 2.0, false),   // above the apex
+      (7L, 0.0, -2.0, false))  // below everything
+      .toDF("id", "x", "y", "want")
+    val got = pts.withColumn("inside",
+        GeoOps.pointInPolygon(col("x"), col("y"), poly))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    got.foreach { case (id, want, is) =>
+      assert(is == want, s"point $id: want $want got $is")
+    }
+  }
+
+  test("haversineMeters: equator degree ~111.19 km, pole-to-pole half circumference, zero distance") {
+    import spark.implicits._
+    import graft.geo.GeoOps
+    val df = Seq((0.0, 0.0, 0.0, 1.0), (90.0, 0.0, -90.0, 0.0),
+      (40.7, -74.0, 40.7, -74.0)).toDF("la1", "lo1", "la2", "lo2")
+    val d = df.select(GeoOps.haversineMeters(col("la1"), col("lo1"),
+      col("la2"), col("lo2"))).collect().map(_.getDouble(0))
+    assert(math.abs(d(0) - 111194.9) < 100) // 1° of longitude at equator
+    assert(math.abs(d(1) - math.Pi * 6371000.0) < 1.0)
+    assert(d(2) == 0.0)
+  }
 }

@@ -37,4 +37,50 @@ class MetricsSpec extends AnyFunSuite {
         s"corr(${cols(i)}, ${cols(j)}): agg=$a mllib=$m")
     }
   }
+
+  test("welchTTest matches a plain-Scala Welch computation on a hand fixture") {
+    import spark.implicits._
+    val a = Seq(10.0, 12.0, 11.0, 13.0, 9.0)
+    val b = Seq(20.0, 25.0, 15.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "x")
+    val r = Metrics.welchTTest(df, col("g"), col("x"), "A", "B").head()
+    def meanOf(xs: Seq[Double]) = xs.sum / xs.size
+    def varOf(xs: Seq[Double]) = {
+      val m = meanOf(xs); xs.map(v => (v - m) * (v - m)).sum / (xs.size - 1)
+    }
+    val (sa, sb) = (varOf(a) / a.size, varOf(b) / b.size)
+    val tWant = (meanOf(a) - meanOf(b)) / math.sqrt(sa + sb)
+    val dfWant = math.pow(sa + sb, 2) /
+      (sa * sa / (a.size - 1) + sb * sb / (b.size - 1))
+    assert(r.getLong(0) == 5 && r.getLong(2) == 3)
+    assert(math.abs(r.getDouble(4) - tWant) < 1e-12)
+    assert(math.abs(r.getDouble(5) - dfWant) < 1e-12)
+  }
+
+  test("aucExact: perfect separation 1.0, reversed 0.0, all-ties 0.5, mid case hand-checked") {
+    import spark.implicits._
+    def auc(rows: Seq[(Boolean, Double)]): Double =
+      Metrics.aucExact(rows.toDF("y", "s"), col("y"), col("s"))
+        .head().getDouble(0)
+    assert(auc(Seq((true, 3.0), (true, 2.0), (false, 1.0), (false, 0.5))) == 1.0)
+    assert(auc(Seq((false, 3.0), (false, 2.0), (true, 1.0), (true, 0.5))) == 0.0)
+    assert(auc(Seq((true, 1.0), (false, 1.0), (true, 1.0), (false, 1.0))) == 0.5)
+    // pairs: pos{2,1} neg{1.5,1}: (2>1.5)+(2>1)+(1<1.5=0)+(1==1→0.5) = 2.5/4
+    assert(auc(Seq((true, 2.0), (false, 1.5), (true, 1.0), (false, 1.0))) == 0.625)
+  }
+
+  test("targetEncodeLoo: LOO excludes the row, singleton category hits the prior exactly") {
+    import spark.implicits._
+    import graft.ml.Featurize
+    // cat A: y = {10, 20}; cat B: y = {40}; prior = 70/3
+    val df = Seq(("A", 10.0, 1L), ("A", 20.0, 2L), ("B", 40.0, 3L))
+      .toDF("c", "y", "id")
+    val got = Featurize.targetEncodeLoo(df, col("c"), col("y"), m = 2.0)
+      .orderBy("id").collect().map(_.getAs[Double]("y_enc")).toSeq
+    val prior = 70.0 / 3
+    // row1: (30-10+2·prior)/(2-1+2); row3 (singleton): (40-40+2·prior)/2 = prior
+    assert(math.abs(got(0) - (20 + 2 * prior) / 3) < 1e-12)
+    assert(math.abs(got(1) - (10 + 2 * prior) / 3) < 1e-12)
+    assert(math.abs(got(2) - prior) < 1e-12)
+  }
 }

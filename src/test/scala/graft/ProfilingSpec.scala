@@ -109,6 +109,30 @@ class ProfilingSpec extends AnyFunSuite {
       .forall(_.isNullAt(2))) // IQR=0 → null, not a divide
   }
 
+  test("validate: one pass, per-check violation counts, clean checks pass") {
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("a")),
+      (Some(1L), Some(50.0), Some("b")),  // dup id
+      (None, Some(-1.0), Some("zzz")),    // null id, below range, bad value
+      (Some(3L), None, None))             // nulls don't violate range/set
+      .toDF("id", "v", "s")
+    val got = Profiling.validate(df, Seq(
+        "id_not_null" -> Profiling.notNullViolations(col("id")),
+        "id_unique" -> Profiling.uniqueViolations(col("id")),
+        "v_range" -> Profiling.rangeViolations(col("v"), 0.0, 100.0),
+        "s_set" -> Profiling.inSetViolations(col("s"), Seq("a", "b"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got("id_not_null") == (1L, false))
+    assert(got("id_unique") == (1L, false))   // {1,1,3}: 3 non-null, 2 distinct
+    assert(got("v_range") == (1L, false))
+    assert(got("s_set") == (1L, false))
+    val clean = Profiling.validate(df.filter(col("id").isNotNull), Seq(
+      "id_not_null" -> Profiling.notNullViolations(col("id"))))
+      .head()
+    assert(clean.getLong(1) == 0 && clean.getBoolean(2))
+  }
+
   test("cumulativeShare: descending rank, exact shares, smallest prefix covering the threshold") {
     import graft.operators.Relational
     // totals: a=50, b=30, c=15, d=5 (grand 100). Head at 0.8: a (0<0.8),

@@ -236,6 +236,45 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(4).getDouble(got(4).fieldIndex("mu")) == 10.0)
   }
 
+  test("cusum: peak lands at the level shift; earliest argmax wins ties") {
+    // key u: 4 obs at 10 then 4 at 20 → mean 15; cusum after each row:
+    // -5,-10,-15,-20,-15,-10,-5,0 → max |cusum| = 20 at the 4th row
+    // (the last pre-shift observation).
+    val df = (1 to 8).map(i =>
+      ("u", ts(f"2024-01-0$i 00:00:00"), if (i <= 4) 10.0 else 20.0, i.toLong))
+      .toDF("k", "at", "x", "id")
+    val r = Temporal.cusum(df, col("k"), col("at"), col("x"),
+      Seq(col("id"))).head()
+    assert(r.getString(0) == "u")
+    assert(r.getDouble(1) == 20.0)
+    assert(r.getTimestamp(2) == ts("2024-01-04 00:00:00"))
+  }
+
+  test("rfm: anchor-relative recency, population quartile buckets, tie falls low") {
+    val df = Seq(
+      // u1: 1 purchase long ago, small spend
+      (1L, ts("2024-01-01 00:00:00"), 5.0, "purchase"),
+      // u2: 4 purchases, recent, big spend
+      (2L, ts("2024-01-02 00:00:00"), 50.0, "purchase"),
+      (2L, ts("2024-01-10 00:00:00"), 50.0, "purchase"),
+      (2L, ts("2024-01-20 00:00:00"), 50.0, "purchase"),
+      (2L, ts("2024-01-30 00:00:00"), 50.0, "purchase"),
+      // u3: non-purchase events must not qualify
+      (3L, ts("2024-01-29 00:00:00"), 999.0, "view"))
+      .toDF("user_id", "at", "v", "et")
+    val got = Temporal.rfm(df, col("user_id"), col("at"), col("v"),
+        col("et") === "purchase")
+      .orderBy("user").collect()
+    assert(got.length == 2) // u3 never purchased
+    val u1 = got(0); val u2 = got(1)
+    assert(u1.getLong(1) == 29 && u2.getLong(1) == 0) // anchor = u2's last
+    assert(u1.getLong(2) == 1 && u2.getLong(2) == 4)
+    assert(u1.getDouble(3) == 5.0 && u2.getDouble(3) == 200.0)
+    // two-user population: u2 tops every dimension's upper bucket
+    assert(u2.getLong(5) == 4 && u2.getLong(6) == 4) // f, m buckets
+    assert(u1.getLong(4) == 4) // u1's recency is the worst (highest days)
+  }
+
   test("timeWeightedAvg: interval weights, last row weightless, beats the plain mean on oversampling") {
     // key u: value 10 held 1s, then 100 held 3s, then 50 (last, no
     // weight) → twa = (10·1e6 + 100·3e6) / 4e6 = 77.5; the plain mean
