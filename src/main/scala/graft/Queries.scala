@@ -1592,6 +1592,47 @@ object Queries {
                    event_type, count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val StreamTiers = Seq(
+    "view" -> "engagement", "click" -> "engagement",
+    "purchase" -> "conversion", "signup" -> "conversion")
+
+  /** T4: stream-static broadcast enrichment at ingest — the streaming
+    * events join a static tier dimension (no stream-side shuffle, no
+    * extra state) before a windowed aggregate; unmapped types land in
+    * 'other'. The oracle is the equivalent batch CASE mapping
+    * (see [[graft.streaming.Streams.enrichedAggAvailableNow]]).
+    */
+  val qStreamEnrich = QDef(
+    (s, d) => graft.streaming.Streams
+      .enrichedAggAvailableNow(s, d, StreamTiers, "q_stream_enrich")
+      .select(col("tier"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("tier", "day"),
+    Some("""SELECT CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+                        WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                        ELSE 'other' END AS tier,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** CDC latest-row snapshot (the upsert/compaction view): one row per
+    * user — their most recent event under (ts, event_id) — via the
+    * per-group top-1 window; the pattern that compacts a change stream
+    * into current state.
+    */
+  val qCdcSnapshot = QDef(
+    (s, d) => Temporal.topKPerGroup(t(s, d, "events"), Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc), k = 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_type, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
   // =====================================================================
   // §2.6 geo: F16 CRS, F1/F2 WKT, F19/F20, §2.3 J3/J5/J6
   // =====================================================================
@@ -4173,6 +4214,8 @@ object Queries {
     "q_geo_radius" -> qGeoRadius,
     "q_link_prediction" -> qLinkPrediction,
     "q_validate" -> qValidate,
+    "q_stream_enrich" -> qStreamEnrich,
+    "q_cdc_snapshot" -> qCdcSnapshot,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -252,6 +252,22 @@ object Tables {
   def writeGeoJsonLines(features: DataFrame, path: String): Unit =
     features.write.mode(SaveMode.Overwrite).text(path)
 
+  /** JSON-lines sink (one object per row) — the interchange format for
+    * corpus pipelines (WebText-style dumps, eval-set exports). Columnar
+    * formats beat it for analytics; it exists for the boundaries where
+    * the other side speaks JSONL.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** JSON-lines scan with an explicit schema — schema-on-read without
+    * an inference pass (PERMISSIVE: malformed lines null out, matching
+    * the engine's CSV posture).
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** ORC sink — the second columnar format Spark carries natively, for
     * interop with ORC-based warehouses (Hive ACID, some lakehouse
     * stacks). Same writer surface as parquet: column pruning, predicate

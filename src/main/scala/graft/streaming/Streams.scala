@@ -172,6 +172,38 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** T4: stream-static enrichment at ingest — the streaming side joins
+    * a small STATIC dimension (here a tier mapping) before aggregating.
+    * Spark plans the static side as a broadcast against every
+    * micro-batch, so enrichment costs no stream-side shuffle and no
+    * state; only the post-enrichment aggregate keeps state. This is
+    * the canonical "decorate events with reference data while
+    * ingesting" shape; the oracle is the equivalent batch CASE
+    * mapping, pinning stream≡batch row parity.
+    */
+  def enrichedAggAvailableNow(spark: SparkSession, dir: String,
+      tiers: Seq[(String, String)],
+      queryName: String = "stream_enriched",
+      statePartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val dim = tiers.toDF("event_type", "tier")
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("other")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamMetrics.record(q)
+    }
+    spark.table(queryName)
+      .select(col("tier"), col("w.start").as("day"), col("n"),
+        col("sum_value"))
+  }
+
   /** T2: checkpointed incremental ingestion — every new source file lands
     * in `destDir` exactly once (the reference's requests-cache +
     * progress-log idempotence, enrich_weather.py:21-23,170-183).

@@ -40,6 +40,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 1 && back.head().getLong(0) == 1L)
   }
 
+  test("JSONL sink/scan roundtrips; malformed lines null out under the explicit schema") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Tables.writeJsonl(df, dir)
+    val back = Tables.jsonl(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // malformed line: PERMISSIVE nulls the row's fields, no throw
+    val bad = Files.createTempDirectory("graft-jsonl-bad").toString
+    Files.writeString(java.nio.file.Paths.get(bad, "x.json"),
+      "{\"id\": 1, \"name\": \"ok\", \"v\": 1.0}\nnot json at all\n")
+    val rows = Tables.jsonl(spark, bad, df.schema).collect()
+    assert(rows.length == 2 && rows.count(_.isNullAt(0)) == 1)
+  }
+
   test("ORC sink/scan roundtrips values and schema; filters and pruning push to the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/t"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
