@@ -72,8 +72,26 @@ object SortThroughProject extends Rule[LogicalPlan] {
           rewritten.forall(_.references.subsetOf(child.outputSet)) &&
             droppedRefs(p).forall(a => UnsafeRow.isFixedLength(a.dataType))
         } =>
-      Project(projectList,
-        s.copy(order = rewriteOrder(order, projectList), child = child))
+      {
+        // Re-prune below the pushed Sort: physical scan pruning
+        // (FileSourceStrategy's ReadSchema) is derived from the Project
+        // sitting DIRECTLY above the relation, and this rule runs in
+        // extraOptimizations — after ColumnPruning. Without an explicit
+        // attribute-only Project under the Sort, the relation's FULL
+        // width comes back (measured: a 3-column events query re-reading
+        // all 6 columns, `props` included, through both the sampling
+        // pass and the range exchange). The pruning Project is
+        // attrs-only, so it can never re-fire this rule (termination)
+        // and physical planning folds it into the scan.
+        val newOrder = rewriteOrder(order, projectList)
+        val needed = p.references ++
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            newOrder.flatMap(_.references))
+        val prunedChild =
+          if (child.outputSet.subsetOf(needed)) child
+          else Project(child.output.filter(needed.contains), child)
+        Project(projectList, s.copy(order = newOrder, child = prunedChild))
+      }
   }
 
   /** Sort order with project-output attribute ids replaced by the child

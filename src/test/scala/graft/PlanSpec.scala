@@ -75,6 +75,56 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_histogram: literal-bounds plan — no nested-loop join, exactly one aggregation") {
+    val p = plan("q_histogram")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "histogram regressed to the lazy-stats cross-join shape:\n" + p.take(800))
+    // one partial+final HashAggregate pair for the bin counts, nothing else
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"expected 2 HashAggregate nodes (partial+final), got $aggs")
+  }
+
+  test("rank/sorted-neighborhood: globalRowNumber keeps every window partitioned (no single-task rank)") {
+    Seq("q_rank_normalize", "q_sorted_neighborhood").foreach { q =>
+      val p = plan(q)
+      // a bare row_number() OVER (ORDER BY ...) plans Window over
+      // SinglePartition — exactly what globalRowNumber exists to avoid
+      assert(!p.contains("Window ["),
+        s"$q: an unpartitioned Window appeared:\n" + p.take(800))
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: a SinglePartition exchange appeared:\n" + p.take(800))
+    }
+  }
+
+  test("q_assoc_rules: margins broadcast back; the only shuffling join keys on the basket") {
+    val p = plan("q_assoc_rules")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected the two margin joins broadcast, got $bhj:\n" + p.take(900))
+    assert(!p.contains("CartesianProduct"), "cartesian in assoc rules")
+    assert(!p.contains("BroadcastNestedLoopJoin") || bhj >= 2)
+  }
+
+  test("q_point_in_polygon: one codegen'd projection — no join, no extra exchange beyond the output sort") {
+    val p = plan("q_point_in_polygon")
+    assert(!p.contains("Join"), "point-in-polygon must be join-free:\n" + p.take(600))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the ORDER BY range exchange, got $exchanges")
+    // SortThroughProject pushes the sort to the scan; its re-prune must
+    // keep the scan at the 3 consumed columns (round-11 session-3 bug:
+    // the pushed Sort blinded FileSourceStrategy and all 6 came back)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"),
+      "scan not pruned under the pushed sort:\n" + p.take(800))
+  }
+
+  test("q_mutual_info / q_entropy: support-sized tails — margins and totals come back as broadcasts") {
+    Seq("q_mutual_info", "q_entropy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"$q: expected broadcast-shaped tail:\n" + p.take(600))
+    }
+  }
+
   test("brute-force cosine top-k broadcasts the query side (the only sanctioned cross join)") {
     val p = plan("q_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),
