@@ -956,6 +956,127 @@ object Queries {
             FROM events
             ORDER BY "check""""))
 
+  /** Growth accounting — the daily new/retained/resurrected/churned
+    * user ledger (new + retained + resurrected = dau on every row;
+    * churn attributed to the day the user failed to show)
+    * (see [[Temporal.growthAccounting]]).
+    */
+  val qGrowthAccounting = QDef(
+    (s, d) => Temporal.growthAccounting(t(s, d, "events"), col("user_id"),
+        col("ts"))
+      .orderBy("day"),
+    Some("""WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+                          FROM events),
+            f AS (SELECT u, d, min(d) OVER (PARTITION BY u) AS fst,
+                         lag(d) OVER (PARTITION BY u ORDER BY d) AS prev,
+                         lead(d) OVER (PARTITION BY u ORDER BY d) AS nxt
+                  FROM days),
+            act AS (SELECT d AS day, count(*) AS dau,
+                           sum(CASE WHEN d = fst THEN 1 ELSE 0 END) AS new_users,
+                           sum(CASE WHEN date_diff('day', prev, d) = 1 THEN 1 ELSE 0 END) AS retained,
+                           sum(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, d) > 1 THEN 1 ELSE 0 END) AS resurrected
+                    FROM f GROUP BY 1),
+            ch AS (SELECT d + 1 AS day, count(*) AS churned
+                   FROM f WHERE nxt IS NULL OR date_diff('day', d, nxt) > 1
+                   GROUP BY 1)
+            SELECT strftime(coalesce(act.day, ch.day), '%Y-%m-%d') AS day,
+                   CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+                   CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+                   CAST(coalesce(retained, 0) AS BIGINT) AS retained,
+                   CAST(coalesce(resurrected, 0) AS BIGINT) AS resurrected,
+                   CAST(coalesce(churned, 0) AS BIGINT) AS churned
+            FROM act FULL OUTER JOIN ch ON act.day = ch.day
+            ORDER BY day"""))
+
+  /** Week-over-week growth of value volume per event type — one
+    * aggregate + one lag window on the dimension-sized period table
+    * (see [[Temporal.periodGrowth]]).
+    */
+  val qWowGrowth = QDef(
+    (s, d) => Temporal.periodGrowth(t(s, d, "events"), col("event_type"),
+        col("ts"), col("value"), "week")
+      .select(col("key").as("event_type"),
+        date_format(col("period"), "yyyy-MM-dd").as("week"),
+        round(col("total"), 6).as("total"),
+        round(col("prev_total"), 6).as("prev_total"),
+        round(col("pct_change"), 6).as("pct_change"))
+      .orderBy("event_type", "week"),
+    Some("""WITH w AS (SELECT event_type, date_trunc('week', ts) AS p,
+                              sum(value) AS total
+                       FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, p, total,
+                         lag(total) OVER (PARTITION BY event_type
+                                          ORDER BY p) AS prev_total
+                  FROM w)
+            SELECT event_type, strftime(p, '%Y-%m-%d') AS week,
+                   round(total, 6) + 0.0 AS total,
+                   round(prev_total, 6) + 0.0 AS prev_total,
+                   round((total - prev_total) / prev_total, 6) + 0.0 AS pct_change
+            FROM l ORDER BY event_type, week"""))
+
+  /** View→click conversion-lag distribution (earliest-first semantics,
+    * matching [[qFunnel]]): converter count + exact p50/p90 delay
+    * seconds (see [[Temporal.conversionLag]]).
+    */
+  val qConversionLag = QDef(
+    (s, d) => Temporal.conversionLag(t(s, d, "events"), col("user_id"),
+        col("event_type"), col("ts"), "view", "click")
+      .select(col("n_converted"),
+        round(col("p50_lag_s"), 6).as("p50_lag_s"),
+        round(col("p90_lag_s"), 6).as("p90_lag_s")),
+    Some("""WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            b AS (SELECT e.user_id, min(e.ts) AS tb, min(a.ta) AS ta2
+                  FROM events e JOIN a USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+            l AS (SELECT (epoch_us(tb) - epoch_us(ta2)) / 1000000.0 AS lag_s
+                  FROM b)
+            SELECT count(*) AS n_converted,
+                   round(quantile_cont(lag_s, 0.5), 6) + 0.0 AS p50_lag_s,
+                   round(quantile_cont(lag_s, 0.9), 6) + 0.0 AS p90_lag_s
+            FROM l"""))
+
+  /** Winsorization of value into each type's [p05, p95] band — keep
+    * outlier rows, bound their leverage
+    * (see [[Relational.winsorize]]).
+    */
+  val qWinsorize = QDef(
+    (s, d) => Relational.winsorize(t(s, d, "events"), col("event_type"),
+        col("value"), 0.05, 0.95)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("x_wins"), 6).as("x_wins"))
+      .orderBy("event_id"),
+    Some("""WITH s AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY 1)
+            SELECT event_id, e.event_type, value,
+                   round(least(greatest(value, lo), hi), 6) + 0.0 AS x_wins
+            FROM events e JOIN s USING (event_type) ORDER BY event_id"""))
+
+  /** Group-mean imputation: error-row values masked to null, refilled
+    * from the user's own mean with a global-mean fallback
+    * (see [[Relational.imputeByGroupMean]]).
+    */
+  val qImputeGroup = QDef(
+    (s, d) => Relational.imputeByGroupMean(
+        t(s, d, "events").withColumn("v_masked",
+          when(col("event_type") =!= "error", col("value"))),
+        col("user_id"), col("v_masked"), "v_filled")
+      .select(col("event_id"), col("user_id"),
+        col("v_masked").isNull.as("was_masked"),
+        round(col("v_filled"), 6).as("v_filled"))
+      .orderBy("event_id"),
+    Some("""WITH e AS (SELECT event_id, user_id,
+                              CASE WHEN event_type <> 'error' THEN value END AS vm
+                       FROM events),
+            s AS (SELECT user_id, avg(vm) AS gm FROM e GROUP BY 1),
+            g AS (SELECT avg(vm) AS m FROM e)
+            SELECT event_id, user_id, vm IS NULL AS was_masked,
+                   round(coalesce(vm, gm, m), 6) + 0.0 AS v_filled
+            FROM e LEFT JOIN s USING (user_id) CROSS JOIN g
+            ORDER BY event_id"""))
+
   /** Welch two-sample t statistic between purchase and view values —
     * the A/B-test primitive: one grouped pass (n/mean/var per arm) to a
     * single row with t and Welch–Satterthwaite df
@@ -4216,6 +4337,11 @@ object Queries {
     "q_validate" -> qValidate,
     "q_stream_enrich" -> qStreamEnrich,
     "q_cdc_snapshot" -> qCdcSnapshot,
+    "q_growth_accounting" -> qGrowthAccounting,
+    "q_wow_growth" -> qWowGrowth,
+    "q_conversion_lag" -> qConversionLag,
+    "q_winsorize" -> qWinsorize,
+    "q_impute_group" -> qImputeGroup,
     "q_stream_hourly_agg" -> qStreamHourlyAgg,
     "q_stream_stateful_trailing" -> qStreamStatefulTrailing,
     "q_wkt_reproject" -> qWktReproject,

@@ -271,6 +271,40 @@ object Relational {
       .drop("__mid", "__pid", "__lrn", "__off")
   }
 
+  /** Winsorization: clip `x` into its group's [pLo, pHi] percentile
+    * band — the tail-taming cleaning step that keeps outlier ROWS
+    * (unlike a filter) while bounding their LEVERAGE (unlike leaving
+    * them). Exact cutoffs from one grouped percentile aggregate,
+    * broadcast back; the clip is a pure projection.
+    */
+  def winsorize(df: DataFrame, groupCol: Column, x: Column,
+      pLo: Double, pHi: Double, outCol: String = "x_wins"): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
+    val stats = df.select(groupCol.as("__g"), x.cast("double").as("__x"))
+      .groupBy(col("__g")).agg(
+        expr(s"percentile(__x, $pLo)").as("__lo"),
+        expr(s"percentile(__x, $pHi)").as("__hi"))
+    df.join(broadcast(stats), groupCol === col("__g"))
+      .withColumn(outCol, least(greatest(x.cast("double"), col("__lo")), col("__hi")))
+      .drop("__g", "__lo", "__hi")
+  }
+
+  /** Group-mean imputation: replace nulls in `x` with the mean of the
+    * row's OWN group, falling back to the global mean for groups whose
+    * every value is null — the ML-cleaning step between `na.drop`
+    * (loses rows) and constant fill (ignores structure). Group stats
+    * broadcast back; the fill is a pure coalesce projection.
+    */
+  def imputeByGroupMean(df: DataFrame, groupCol: Column, x: Column,
+      outCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol.as("__g")).agg(avg(x).as("__gm"))
+    val global = df.agg(avg(x).as("__m"))
+    df.join(broadcast(stats), groupCol === col("__g"), "left")
+      .crossJoin(broadcast(global))
+      .withColumn(outCol, coalesce(x, col("__gm"), col("__m")))
+      .drop("__g", "__gm", "__m")
+  }
+
   /** Pareto / cumulative-contribution analysis: rank keys by their
     * value total (descending) and report each key's cumulative share of
     * the grand total, plus the "top 80%" membership flag (a key is in

@@ -395,6 +395,85 @@ object Temporal {
         max(col("__len")).as("longest_streak"))
   }
 
+  /** Growth accounting: the product-analytics daily ledger — for each
+    * active day, how many users were active (dau), NEW (first-ever
+    * day), RETAINED (also active the previous day), RESURRECTED
+    * (returning after a gap ≥ 2 days); plus CHURNED (active the
+    * previous day, absent today — attributed to the day they failed to
+    * show). new + retained + resurrected = dau on every row by
+    * construction.
+    *
+    * Scale shape: one distinct to the (user, day) activity table, two
+    * windows (lag/lead/min) on the USER partitioning, then day-keyed
+    * counting aggregates joined on the day — the churn side is the
+    * same activity table shifted one day, so no day-grid generation
+    * and no user×day densification ever happens.
+    */
+  def growthAccounting(df: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame = {
+    val days = df.select(userCol.as("__u"), to_date(tsCol).as("__d")).distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__d"))
+    val flagged = days
+      .withColumn("__first", min(col("__d")).over(w))
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+    val active = flagged.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("__d") === col("__first"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(datediff(col("__d"), col("__prev")) === 1, 1L).otherwise(0L)).as("retained"),
+        sum(when(col("__prev").isNotNull &&
+          datediff(col("__d"), col("__prev")) > 1, 1L).otherwise(0L)).as("resurrected"))
+    val churned = flagged
+      .filter(col("__next").isNull || datediff(col("__next"), col("__d")) > 1)
+      .groupBy(date_add(col("__d"), 1).as("day"))
+      .agg(count(lit(1)).as("churned"))
+    active.join(churned, Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+  }
+
+  /** Period-over-period growth: aggregate `x` per (key, period bucket),
+    * then attach the previous period's total and the percent change —
+    * the WoW/MoM report. One aggregate + one lag window on the
+    * period-cardinality table (dimension-sized). First period per key
+    * has null prev/change.
+    */
+  def periodGrowth(df: DataFrame, keyCol: Column, tsCol: Column,
+      x: Column, unit: String): DataFrame = {
+    val agg = df.groupBy(keyCol.as("key"),
+        date_trunc(unit, tsCol).as("__p"))
+      .agg(sum(x).as("total"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__p"))
+    agg.withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("pct_change",
+        (col("total") - col("prev_total")) / col("prev_total"))
+      .withColumn("period", col("__p")).drop("__p")
+  }
+
+  /** Stage-to-stage conversion lag: for users converting stage a → b
+    * under the earliest-first funnel semantics ([[funnel]]), the delay
+    * distribution — n converters plus exact p50/p90 delay seconds. The
+    * "how fast do they convert" companion to the funnel's "how many".
+    */
+  def conversionLag(df: DataFrame, userCol: Column, typeCol: Column,
+      tsCol: Column, stageA: String, stageB: String): DataFrame = {
+    val a = df.filter(typeCol === stageA)
+      .groupBy(userCol.as("__u")).agg(min(tsCol).as("__ta"))
+    val b = df.filter(typeCol === stageB)
+      .join(a, userCol === col("__u"))
+      .filter(tsCol > col("__ta"))
+      .groupBy(col("__u")).agg(min(tsCol).as("__tb"), min(col("__ta")).as("__ta2"))
+    b.select(((unix_micros(col("__tb")) - unix_micros(col("__ta2"))) / lit(1e6))
+        .as("__lag_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(__lag_s, 0.5)").as("p50_lag_s"),
+        expr("percentile(__lag_s, 0.9)").as("p90_lag_s"))
+  }
+
   /** CUSUM change-point screen: per key, the running sum of deviations
     * from the key's own mean — a mean shift makes the cusum drift, and
     * the drift's extreme marks the most likely change point (Page's

@@ -271,6 +271,30 @@ class SemanticsSpec extends AnyFunSuite {
     assert(got == Set(1L), s"expected only doc 1 (full 6-gram overlap), got $got")
   }
 
+  test("winsorize: clips into the group band, keeps in-band values bit-identical") {
+    import org.apache.spark.sql.functions.col
+    // group g: 0..10 → p(0.1)=1.0, p(0.9)=9.0 under linear interpolation
+    val df = (0 to 10).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val got = graft.operators.Relational.winsorize(df, col("k"), col("x"),
+        0.1, 0.9)
+      .orderBy("x").collect().map(_.getAs[Double]("x_wins")).toSeq
+    assert(got == Seq(1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0))
+  }
+
+  test("imputeByGroupMean: own-group mean first, global fallback for all-null groups") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", None), ("b", None)).toDF("k", "x")
+    val got = graft.operators.Relational
+      .imputeByGroupMean(df, col("k"), col("x"), "filled")
+      .orderBy("k", "x").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("filled"))).toSeq
+    // a's null → a-mean 15; b's nulls → global mean 15 (only a has values)
+    assert(got.count { case (k, v) => k == "a" && v == 15.0 } == 1)
+    assert(got.filter(_._1 == "b").forall(_._2 == 15.0))
+    assert(got.contains(("a", 10.0)) && got.contains(("a", 20.0)))
+  }
+
   test("globalRowNumber: contiguous 1..N, agrees with a single-partition row_number, any partition count") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 97).map(i => (i.toLong * 7 % 97, i.toLong)).toDF("k", "id")

@@ -236,6 +236,56 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(4).getDouble(got(4).fieldIndex("mu")) == 10.0)
   }
 
+  test("growthAccounting: ledger identity holds; churn lands on the first missing day") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // u1 new on 1st
+      (1L, ts("2024-01-02 09:00:00")), // retained on 2nd
+      (1L, ts("2024-01-04 09:00:00")), // gap → resurrected on 4th, churn on 3rd
+      (2L, ts("2024-01-02 09:00:00")), // u2 new on 2nd
+      (2L, ts("2024-01-02 23:00:00"))) // same day — dedup
+      .toDF("user_id", "at")
+    val got = Temporal.growthAccounting(df, col("user_id"), col("at"))
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 1L, 1L, 0L, 0L, 0L),
+      ("2024-01-02", 2L, 1L, 1L, 0L, 0L),
+      ("2024-01-03", 0L, 0L, 0L, 0L, 2L), // u1 gap-churn + u2 last-day churn
+      ("2024-01-04", 1L, 0L, 0L, 1L, 0L),
+      ("2024-01-05", 0L, 0L, 0L, 0L, 1L))) // u1 churns after final day
+    // ledger identity: dau = new + retained + resurrected on every row
+    got.foreach { case (_, dau, nw, ret, res, _) => assert(dau == nw + ret + res) }
+  }
+
+  test("periodGrowth: per-key lag, first period null, exact pct change") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 10.0), // week of 2024-01-01
+      ("a", ts("2024-01-08 00:00:00"), 15.0), // next week: +50%
+      ("b", ts("2024-01-08 00:00:00"), 7.0))
+      .toDF("k", "at", "v")
+    val got = Temporal.periodGrowth(df, col("k"), col("at"), col("v"), "week")
+      .orderBy("key", "period").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("prev_total")))
+    assert(got(1).getDouble(got(1).fieldIndex("pct_change")) == 0.5)
+    assert(got(2).isNullAt(got(2).fieldIndex("prev_total"))) // b's first week
+  }
+
+  test("conversionLag: earliest-first pairs only; pre-stage events never convert") {
+    val df = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:01:40")),  // 100 s
+      (2L, "click", ts("2024-01-01 00:00:00")),  // click BEFORE any view
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 00:05:00")))  // 300 s
+      .toDF("user_id", "event_type", "at")
+    val r = Temporal.conversionLag(df, col("user_id"), col("event_type"),
+      col("at"), "view", "click").head()
+    assert(r.getLong(0) == 2) // u2's pre-view click doesn't count
+    assert(r.getDouble(1) == 200.0) // median of {100, 300}
+  }
+
   test("cusum: peak lands at the level shift; earliest argmax wins ties") {
     // key u: 4 obs at 10 then 4 at 20 → mean 15; cusum after each row:
     // -5,-10,-15,-20,-15,-10,-5,0 → max |cusum| = 20 at the 4th row
