@@ -988,6 +988,27 @@ object Queries {
             FROM act FULL OUTER JOIN ch ON act.day = ch.day
             ORDER BY day"""))
 
+  /** DAU / trailing-28-day MAU stickiness per active day — the
+    * engagement-ratio companion to the growth ledger
+    * (see [[Temporal.stickiness]]).
+    */
+  val qStickiness = QDef(
+    (s, d) => Temporal.stickiness(t(s, d, "events"), col("user_id"),
+        col("ts"), 28)
+      .orderBy("day"),
+    Some("""WITH days AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+                          FROM events),
+            dau AS (SELECT d AS day, count(*) AS dau FROM days GROUP BY 1),
+            mau AS (SELECT dd.day, count(DISTINCT days.u) AS mau
+                    FROM (SELECT DISTINCT d AS day FROM days) dd
+                    JOIN days ON days.d BETWEEN dd.day - 27 AND dd.day
+                    GROUP BY 1)
+            SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+                   CAST(dau AS BIGINT) AS dau,
+                   CAST(mau AS BIGINT) AS mau,
+                   round(dau / (1.0 * mau), 6) + 0.0 AS stickiness
+            FROM dau JOIN mau USING (day) ORDER BY day"""))
+
   /** Week-over-week growth of value volume per event type — one
     * aggregate + one lag window on the dimension-sized period table
     * (see [[Temporal.periodGrowth]]).
@@ -4338,6 +4359,7 @@ object Queries {
     "q_stream_enrich" -> qStreamEnrich,
     "q_cdc_snapshot" -> qCdcSnapshot,
     "q_growth_accounting" -> qGrowthAccounting,
+    "q_stickiness" -> qStickiness,
     "q_wow_growth" -> qWowGrowth,
     "q_conversion_lag" -> qConversionLag,
     "q_winsorize" -> qWinsorize,

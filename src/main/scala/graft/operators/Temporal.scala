@@ -436,6 +436,36 @@ object Temporal {
         coalesce(col("churned"), lit(0L)).as("churned"))
   }
 
+  /** DAU/MAU stickiness: for each active day, the count of users active
+    * that day (dau), the count active in the trailing `windowDays`-day
+    * window ending that day (mau), and their ratio — the
+    * "how often do monthly users show up" engagement metric that
+    * completes [[growthAccounting]]'s ledger.
+    *
+    * Scale shape: a trailing-window COUNT DISTINCT can't ride a range
+    * window frame, and a day-range join would plan as a nested loop —
+    * instead each (user, day) activity row is exploded to the
+    * `windowDays` report days it supports (a bounded ×window fan-out of
+    * the DISTINCT activity table, far smaller than the event table),
+    * then day-keyed distinct counting. Report days are restricted to
+    * observed active days via the dau join, so the explode's synthetic
+    * future days drop out.
+    */
+  def stickiness(df: DataFrame, userCol: Column, tsCol: Column,
+      windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val days = df.select(userCol.as("__u"), to_date(tsCol).as("__d")).distinct()
+    val dau = days.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = days
+      .select(col("__u"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("__u")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   /** Period-over-period growth: aggregate `x` per (key, period bucket),
     * then attach the previous period's total and the percent change —
     * the WoW/MoM report. One aggregate + one lag window on the

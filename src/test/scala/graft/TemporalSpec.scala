@@ -258,6 +258,25 @@ class TemporalSpec extends AnyFunSuite {
     got.foreach { case (_, dau, nw, ret, res, _) => assert(dau == nw + ret + res) }
   }
 
+  test("stickiness: trailing-window distinct users, synthetic days dropped, exact ratio") {
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), // u1 both days; u2 only the 1st
+      (1L, ts("2024-01-02 23:00:00")), // same day — dedup
+      (3L, ts("2024-01-05 09:00:00"))) // beyond u2's 3-day window on the 5th
+      .toDF("user_id", "at")
+    val got = Temporal.stickiness(df, col("user_id"), col("at"), windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),      // window [12-30..01-01]: u1,u2
+      ("2024-01-02", 1L, 2L, 0.5),      // window [12-31..01-02]: u1,u2
+      ("2024-01-05", 1L, 1L, 1.0)))     // u1/u2 aged out; only u3
+    // no rows for inactive days 01-03/01-04 despite the explode fan-out
+    assert(!got.exists(r => r._1 == "2024-01-03" || r._1 == "2024-01-04"))
+  }
+
   test("periodGrowth: per-key lag, first period null, exact pct change") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00"), 10.0), // week of 2024-01-01
