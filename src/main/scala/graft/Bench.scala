@@ -255,7 +255,20 @@ object Bench {
     * fails the median is -1 and the first error message is returned so
     * main() can surface it in the emitted JSON.
     */
-  private def timeMedian[A](reps: Int)(run: => A): Timed[A] = {
+  private def timeMedian[A](reps: Int)(run: => A): Timed[A] =
+    timeAdaptive(reps, reps)(run)
+
+  /** Like [[timeMedian]], but a query whose FIRST successful rep comes
+    * in under `cheapCutoffSec` stops after `cheapReps` total reps.
+    * Sub-second queries don't need a 3-rep middle median — their
+    * round-over-round signal is binary (still sub-second or not) — and
+    * the reps they skip are exactly the suite wall-time that pushed the
+    * r11 driver window into machine degradation before the flagships
+    * ran (VERDICT r11, Next round #1). Expensive queries keep the full
+    * rep count: they are the ones whose medians get compared.
+    */
+  private def timeAdaptive[A](reps: Int, cheapReps: Int,
+      cheapCutoffSec: Double = 1.0)(run: => A): Timed[A] = {
     var first: Option[A] = None
     var err: Option[String] = None
     val gcs = scala.collection.mutable.ArrayBuffer[Long]()
@@ -264,7 +277,10 @@ object Bench {
     val pCpu = scala.collection.mutable.ArrayBuffer[Long]()
     val pMem = scala.collection.mutable.ArrayBuffer[Long]()
     val pChase = scala.collection.mutable.ArrayBuffer[Long]()
-    val ts = (0 until math.max(1, reps)).flatMap { _ =>
+    val ts = scala.collection.mutable.ArrayBuffer[Double]()
+    var target = math.max(1, reps)
+    var i = 0
+    while (i < target) {
       // Environment reading for THIS rep, taken outside the timed
       // region — see [[MiniProbe]]. Appended only on SUCCESS (below),
       // so every per-rep array in the artifact stays index-aligned with
@@ -282,16 +298,19 @@ object Bench {
         heaps += heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
         loads += math.rint(java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage * 10) / 10
-        Some(sec)
+        ts += sec
+        if (ts.length == 1 && sec < cheapCutoffSec)
+          target = math.min(target, math.max(1, cheapReps))
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (err.isEmpty)
             err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          None
       }
+      i += 1
     }
-    Timed(if (ts.isEmpty) -1.0 else median(ts), ts, gcs.toSeq, heaps.toSeq,
-      loads.toSeq, first, err, pCpu.toSeq, pMem.toSeq, pChase.toSeq)
+    Timed(if (ts.isEmpty) -1.0 else median(ts.toSeq), ts.toSeq, gcs.toSeq,
+      heaps.toSeq, loads.toSeq, first, err, pCpu.toSeq, pMem.toSeq,
+      pChase.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -356,17 +375,14 @@ object Bench {
     val probeMtStart = cpuProbeMtMs()
     val probeMemStart = memProbeMs()
     val probeChaseStart = chaseProbeMs()
-    val measured = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val r = name -> timeMedian(reps) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      releasePersisted()
-      r
-    }
-    val results = measured.map { case (name, t) => name -> t.median }
-    val errors = measured.collect { case (name, t) if t.err.isDefined => name -> t.err.get }
+
+    // FLAGSHIPS RUN FIRST (VERDICT r11, Next round #1): they are the
+    // contention-sensitive measurements — multi-second, GC-heavy, and
+    // the numbers the judge compares against local medians — so they
+    // get the freshest window, before 150+ suite queries have had a
+    // chance to degrade the machine. The suite queries follow; their
+    // sub-second entries are robust to window position (and drop to 2
+    // reps via timeAdaptive below).
 
     // E1 flagship at reference scale: ~1.7M traffic rows (42,500 hours ×
     // 40 rows/hour), ~10 weather samples/hour fan-out ≈ 17M joined rows
@@ -494,6 +510,23 @@ object Bench {
     }
     val corpus = if (!wantE1("corpus")) skipped
       else timeMedian(e1Reps) { runCorpus() }
+    releasePersisted()
+
+    // The oracle-checked suite, AFTER the flagships. Sub-second queries
+    // stop at 2 reps (timeAdaptive): their medians don't need a middle
+    // value, and the saved wall-time keeps the whole window short
+    // enough to stay clean.
+    val measured = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val r = name -> timeAdaptive(reps, 2) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      releasePersisted()
+      r
+    }
+    val results = measured.map { case (name, t) => name -> t.median }
+    val errors = measured.collect { case (name, t) if t.err.isDefined => name -> t.err.get }
 
     val flagships = Seq("flagship_e1" -> e1.median,
       "flagship_e1_segmented" -> e1Seg.median,
@@ -587,7 +620,22 @@ object Bench {
     val chaseQ = allTimed.flatMap(_._2.probeChase)
     val chaseQRange =
       if (chaseQ.isEmpty) "[]" else s"[${chaseQ.min},${chaseQ.max}]"
-    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"chase_q_ms_range":$chaseQRange,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
+    // Flagship per-rep raw seconds + per-rep chase/gc probes IN the
+    // compact driver artifact (VERDICT r11, Next round #1): a poisoned
+    // window is then self-evident from BENCH_rN alone — a flagship rep
+    // whose seconds spike together with its chase probe is machine, not
+    // code, and the reader doesn't need the full bench_out.json to see
+    // it. Short keys (e1/seg/chk/geo/corp) to respect the char budget.
+    val flagTimed = Seq("e1" -> e1, "seg" -> e1Seg, "chk" -> e1Chunk,
+      "geo" -> geo, "corp" -> corpus)
+    def flagMap[T](f: Timed[_] => Seq[T], fmt: T => String): String = flagTimed
+      .map { case (k, t) => "\"" + k + "\":" + f(t).map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    def r2d(v: Double): String = (math.rint(v * 100) / 100).toString
+    val flagRaw = flagMap(_.raw, r2d)
+    val flagChase = flagMap(_.probeChase, (v: Long) => v.toString)
+    val flagGc = flagMap(_.gcMs, (v: Long) => v.toString)
+    val suffix = s""","errors":$errCompact,"errors_total":${allErrors.size},"gc_ms_max":$gcMax,"peak_heap_mb_max":$heapMax,"heap_max_mb":$heapMaxMb,"load_max":$loadMax,"n_cpus":$nCpus,"cpu_probe_ms":$probeJson,"cpu_probe_mt_ms":$probeMtJson,"mem_probe_ms":$probeMemJson,"chase_probe_ms":$probeChaseJson,"chase_q_ms_range":$chaseQRange,"flag_raw":$flagRaw,"flag_chase_ms":$flagChase,"flag_gc_ms":$flagGc,"full":"$outPath","queries_total":${descending.length},"sf":"$sfDir","e1_rows":$e1JoinedRows,"reps":$reps}"""
     val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
     val budget = 1700 - prefix.length - suffix.length - 30 // 30: "queries_shown" slack
     val shown = scala.collection.mutable.ArrayBuffer[String]()

@@ -477,12 +477,13 @@ object Queries {
             FROM events ORDER BY event_id"""))
 
   // =====================================================================
-  // Multimodal (binary payload + typed metadata; stubbed decode)
+  // Multimodal (binary payload + typed metadata)
   // =====================================================================
 
-  /** Binary-payload decode plumbing: text→bytes as the stand-in payload,
-    * typed-Dataset mapPartitions batch decode (STUB byte-fold — see
-    * [[graft.operators.Multimodal]]), feature schema out. The byte-exact
+  /** Binary-payload plumbing: text→bytes as the stand-in payload,
+    * typed-Dataset mapPartitions batch iteration, codec-free
+    * byte-fingerprint stats out (see
+    * [[graft.operators.Multimodal.byteFingerprint]]). The byte-exact
     * oracle works because the fixture text is pure ASCII.
     */
   val qMultimodalDecode = QDef(
@@ -491,7 +492,7 @@ object Queries {
       val media = graft.operators.Multimodal
         .asMedia(t(s, d, "documents"), "doc_id", "text")
         .as[graft.operators.Multimodal.MediaRow]
-      graft.operators.Multimodal.decodeFeatures(media, frameStride = 16)
+      graft.operators.Multimodal.byteFingerprint(media, frameStride = 16)
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
           col("head_hex"), col("frame_sum"), col("n_sampled").cast("long").as("n_sampled"))
@@ -506,6 +507,39 @@ object Queries {
                         i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS frame_sum,
                    CAST(len(range(1, length(text) + 1, 16)) AS BIGINT) AS n_sampled
             FROM documents ORDER BY doc_id"""))
+
+  /** The REAL decode entry point ([[graft.operators.Multimodal.decodeMedia]])
+    * over the documents-as-payload fixture: text payloads match no codec
+    * signature, so every row exercises the documented opaque fallback —
+    * mean/RMS byte statistics — and the oracle recomputes them
+    * byte-exactly in SQL (pure-ASCII fixture). The BMP/PNG/JPEG/WAV
+    * codec branches of the same entry point are bit-exactly spec-checked
+    * against hand-assembled files in MultimodalSpec.
+    */
+  val qMultimodalPixels = QDef(
+    (s, d) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .asMedia(t(s, d, "documents"), "doc_id", "text")
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.decodeMedia(media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          round(col("mean_value"), 6).as("mean_value"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH codes AS (
+              SELECT doc_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE)) AS cs
+              FROM documents)
+            SELECT doc_id, 'opaque' AS format, n_bytes,
+                   round(coalesce(list_sum(cs), 0) / greatest(1, n_bytes), 6) + 0.0 AS mean_value,
+                   round(sqrt(coalesce(list_sum(list_transform(cs, v -> v * v)), 0)
+                         / greatest(1, n_bytes)), 6) + 0.0 AS rms
+            FROM codes ORDER BY doc_id"""))
 
   // =====================================================================
   // Spark-free extras exposed for the harness: semi/anti, rollup,
@@ -620,20 +654,24 @@ object Queries {
     * handling cannot reach).
     *
     * PERF NOTE: the bench compares this against the UNSALTED DuckDB
-    * join, so the measured gap IS the salting premium — an 8× replication
-    * of the small side plus the wider exchange, paid on a deliberately
-    * skew-free fixture. That premium is the insurance cost; on the
-    * skewed input it exists for, the unsalted plan is the one that
-    * stalls on a straggler partition.
+    * join, so the measured gap IS the salting premium — replication of
+    * the small side plus the wider exchange, paid on a deliberately
+    * skew-free fixture. saltFactor = 2 keeps the demo honest without
+    * paying an 8× insurance premium on data with no skew (on a truly
+    * hot key you'd size the factor to the skew; the MECHANISM is
+    * identical and its result-parity is what the oracle certifies —
+    * plan-level parity with the unsalted Spark join is pinned in
+    * PlanSpec). The selective filter is applied BEFORE the salt so the
+    * replicated exchange carries only surviving rows.
     */
   val qSaltedJoin = QDef(
     (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_quantity") > 48)
       val o = t(s, d, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_custkey"))
-      Relational.saltedJoin(li, o, Seq("orderkey"), saltFactor = 8)
-        .filter(col("l_quantity") > 48)
+      Relational.saltedJoin(li, o, Seq("orderkey"), saltFactor = 2)
         .select(col("orderkey"), col("l_linenumber"),
           col("l_quantity"), col("o_custkey"))
         .orderBy("orderkey", "l_linenumber")
@@ -958,7 +996,8 @@ object Queries {
 
   /** Growth accounting — the daily new/retained/resurrected/churned
     * user ledger (new + retained + resurrected = dau on every row;
-    * churn attributed to the day the user failed to show)
+    * churn attributed to the day the user failed to show, right-censored
+    * at the last observed activity day)
     * (see [[Temporal.growthAccounting]]).
     */
   val qGrowthAccounting = QDef(
@@ -986,6 +1025,7 @@ object Queries {
                    CAST(coalesce(resurrected, 0) AS BIGINT) AS resurrected,
                    CAST(coalesce(churned, 0) AS BIGINT) AS churned
             FROM act FULL OUTER JOIN ch ON act.day = ch.day
+            WHERE coalesce(act.day, ch.day) <= (SELECT max(d) FROM days)
             ORDER BY day"""))
 
   /** DAU / trailing-28-day MAU stickiness per active day — the
@@ -1008,6 +1048,50 @@ object Queries {
                    CAST(mau AS BIGINT) AS mau,
                    round(dau / (1.0 * mau), 6) + 0.0 AS stickiness
             FROM dau JOIN mau USING (day) ORDER BY day"""))
+
+  /** M8 (the last SURVEY §2 row): seasonal-trend hourly volume forecast
+    * per event type — per-key OLS trend on the hour index plus
+    * hour-of-day and weekday mean-residual seasonality, 24 hours beyond
+    * each key's last observed hour (see [[Temporal.seasonalForecast]];
+    * capability analog of the reference's never-ran LSTM/Prophet hybrid,
+    * backend/NYC_Traffic_Congestion.py:57-92). The oracle replays the
+    * decomposition with DuckDB's regr_* aggregates.
+    */
+  val qSeasonalForecast = QDef(
+    (s, d) => Temporal.seasonalForecast(t(s, d, "events"), col("event_type"),
+        col("ts"), horizonHours = 24)
+      .select(col("key").as("event_type"), col("forecast_hour"),
+        round(col("yhat"), 6).as("yhat"))
+      .orderBy("event_type", "forecast_hour"),
+    Some("""WITH hourly AS (
+              SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                     CAST(count(*) AS DOUBLE) AS y
+              FROM events GROUP BY 1, 2),
+            hi AS (SELECT k, h, y,
+                          CAST(epoch(h) AS BIGINT) // 3600 AS t
+                   FROM hourly),
+            tr AS (SELECT k,
+                          coalesce(regr_slope(y, CAST(t AS DOUBLE)), 0) AS b,
+                          avg(y) - coalesce(regr_slope(y, CAST(t AS DOUBLE)), 0)
+                            * avg(CAST(t AS DOUBLE)) AS a,
+                          max(t) AS tmax
+                   FROM hi GROUP BY 1),
+            r AS (SELECT hi.k, hi.y - (a + b * hi.t) AS resid,
+                         hour(hi.h) AS hod, isodow(hi.h) - 1 AS wd
+                  FROM hi JOIN tr USING (k)),
+            sh AS (SELECT k, hod, avg(resid) AS s_hod FROM r GROUP BY 1, 2),
+            sw AS (SELECT k, wd, avg(resid) AS s_wd FROM r GROUP BY 1, 2),
+            f AS (SELECT tr.k, tr.a, tr.b, tr.tmax + gs.i AS t
+                  FROM tr, generate_series(1, 24) gs(i)),
+            ff AS (SELECT k, a, b, t,
+                          make_timestamp(t * 3600000000) AS h
+                   FROM f)
+            SELECT ff.k AS event_type, ff.h AS forecast_hour,
+                   round(a + b * t + coalesce(s_hod, 0) + coalesce(s_wd, 0), 6) + 0.0 AS yhat
+            FROM ff
+            LEFT JOIN sh ON sh.k = ff.k AND sh.hod = hour(ff.h)
+            LEFT JOIN sw ON sw.k = ff.k AND sw.wd = isodow(ff.h) - 1
+            ORDER BY event_type, forecast_hour"""))
 
   /** Week-over-week growth of value volume per event type — one
     * aggregate + one lag window on the dimension-sized period table
@@ -4312,6 +4396,7 @@ object Queries {
     "q_corr_matrix" -> qCorrMatrix,
     "q_regression_metrics" -> qRegressionMetrics,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_pixels" -> qMultimodalPixels,
     "q_semi_anti_join" -> qSemiAntiJoin,
     "q_salted_join" -> qSaltedJoin,
     "q_rollup" -> qRollup,
@@ -4350,6 +4435,7 @@ object Queries {
     "q_ab_test" -> qAbTest,
     "q_auc" -> qAuc,
     "q_cusum" -> qCusum,
+    "q_seasonal_forecast" -> qSeasonalForecast,
     "q_target_encode" -> qTargetEncode,
     "q_rfm" -> qRfm,
     "q_point_in_polygon" -> qPointInPolygon,

@@ -52,8 +52,11 @@ object Featurize {
     * singleton categories at the prior instead of at 0/0.
     *
     * Scale shape: one hash aggregate to category-cardinality sums
-    * (joined back — broadcast when small), one 1-row global mean; the
-    * encode itself is a pure projection. Rows in categories with
+    * joined back — no broadcast hint, because the whole point of this
+    * encoder is HIGH-cardinality categories: AQE broadcasts the stats
+    * side when its runtime size is small and shuffles on the category
+    * key when it is not. One 1-row global mean (that one IS broadcast);
+    * the encode itself is a pure projection. Rows in categories with
     * n_g = 1 get exactly the prior (numerator m·ȳ over denominator m).
     */
   def targetEncodeLoo(df: DataFrame, category: Column, y: Column,
@@ -62,7 +65,7 @@ object Featurize {
     val sums = df.groupBy(category.as("__cat"))
       .agg(sum(y).as("__sy"), count(y).as("__ny"))
     val prior = df.agg(avg(y).as("__prior"))
-    df.join(broadcast(sums), category === col("__cat"))
+    df.join(sums, category === col("__cat"))
       .crossJoin(broadcast(prior))
       .withColumn(outCol,
         (col("__sy") - y + lit(m) * col("__prior")) /

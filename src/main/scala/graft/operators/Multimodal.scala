@@ -10,14 +10,24 @@ import org.apache.spark.sql.functions._
   * corpus needs (payloads stay columnar/compressed in parquet; metadata
   * is filterable/prunable without touching bytes).
   *
-  * The decode step is a clearly-marked STUB: no image/audio codec exists
-  * in this container, so [[decodeFeatures]] "decodes" by folding the raw
-  * bytes deterministically (byte statistics + stride "frame" sampling —
-  * the access pattern of a real frame sampler). Everything AROUND the
-  * stub is the real engineering and is tested: the binary+metadata
-  * schema, the typed `Dataset` encoder boundary, the per-partition batch
-  * iteration (`mapPartitions`, the Scala analog of a vectorized
-  * batch-UDF), and the feature schema that comes back out.
+  * Two operations, both real:
+  *
+  *  - [[decodeMedia]] — the DECODE entry point. Hand-parsed BMP and WAV
+  *    PCM, PNG and JPEG via the JDK's `javax.imageio` codec (the two
+  *    image codecs a bare JVM ships), and a documented byte-fold
+  *    fallback (`format = "opaque"`) for anything else — one bad or
+  *    unknown payload degrades, never fails the task.
+  *  - [[byteFingerprint]] — the codec-free OPAQUE-PAYLOAD fingerprint:
+  *    byte count/sum, head hex, and a stride-sampled byte sum. Not a
+  *    decode and not pretending to be one — it's the cheap
+  *    integrity/identity pass you run on payloads you can't (or won't)
+  *    decode, and its stride loop exercises the frame-sampler access
+  *    pattern end-to-end.
+  *
+  * Shared shape: binary+metadata schema, typed `Dataset` encoder
+  * boundary, per-partition batch iteration (`mapPartitions`, the Scala
+  * analog of a vectorized batch-UDF) so codec init amortizes per
+  * partition and payloads never leave the executor.
   */
 object Multimodal {
 
@@ -25,7 +35,7 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String,
     width: Int, n_frames: Int)
 
-  /** Stub-decoded features (deterministic byte statistics). */
+  /** Codec-free payload fingerprint (deterministic byte statistics). */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
     head_hex: String, frame_sum: Long, n_sampled: Int)
 
@@ -40,23 +50,22 @@ object Multimodal {
       length(col(textCol)).cast("int").as("width"),
       greatest(lit(1), (length(col(textCol)) / 16).cast("int")).as("n_frames"))
 
-  /** STUB decode: per-partition batch iteration over payload bytes.
-    *
-    * A production build replaces the body of the per-row fold with a real
-    * codec call (JPEG decode, PCM frame read, …) — `???` marker below;
-    * [[decodeMedia]] below IS that real call for the two formats a bare
-    * JVM can parse (BMP, WAV). The fake computes: total byte count, full
-    * byte sum, hex of the first 8 bytes, and a stride-`frameStride`
-    * sampled byte sum (the frame-sampling access pattern).
+  /** Opaque-payload fingerprint: per-partition batch iteration over raw
+    * payload bytes, NO codec — total byte count, full byte sum, hex of
+    * the first 8 bytes, and a stride-`frameStride` sampled byte sum.
+    * This is the identity/integrity pass for payloads you don't decode
+    * (dedup keys, corruption screens, stride-access warming); for
+    * actual decoding use [[decodeMedia]], which parses
+    * BMP/PNG/JPEG/WAV and falls back to an equivalent byte-fold only
+    * for formats it cannot parse.
     */
-  def decodeFeatures(ds: Dataset[MediaRow], frameStride: Int = 16): Dataset[MediaFeatures] = {
+  def byteFingerprint(ds: Dataset[MediaRow], frameStride: Int = 16): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // batch shape: one iterator per partition; a real decoder would
-      // amortize codec init across the partition here.
+      // batch shape: one iterator per partition, mirroring decodeMedia's
+      // amortize-init-per-partition discipline.
       rows.map { r =>
         val b = r.payload
-        // ??? real codec call goes here; deterministic byte-fold stub:
         var sum = 0L
         var i = 0
         while (i < b.length) { sum += b(i) & 0xff; i += 1 }
@@ -135,6 +144,7 @@ object Multimodal {
 
   private val pngSig =
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val jpegSig = Array(0xff, 0xd8, 0xff).map(_.toByte)
   /** ImageIO's default stream cache is a TEMP FILE per decode — pure
     * overhead when the payload is already a byte array in memory.
     * JVM-global, set once per executor.
@@ -142,25 +152,33 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-  /** PNG via `javax.imageio` — the one real image codec a bare JVM
-    * ships (replaces the byte-fold fallback for the most common image
-    * format, round 11). Signature check first (cheap reject for the
-    * 99% non-PNG case), then a full decode and stats over every
-    * pixel-channel sample from the raster: 8-bit PNGs land on the same
-    * 0-255 scale as the BMP path; 16-bit on 0-65535 (the raster's
-    * native sample scale). `channels` is the raster band count (1 gray,
+  private def hasSig(b: Array[Byte], sig: Array[Byte]): Boolean = {
+    if (b.length < sig.length) return false
+    var s = 0
+    while (s < sig.length) { if (b(s) != sig(s)) return false; s += 1 }
+    true
+  }
+
+  /** PNG / JPEG via `javax.imageio` — the two real image codecs a bare
+    * JVM ships (PNG landed round 11; JPEG round 12, same discipline).
+    * Signature check first (cheap reject for the common non-match
+    * case), then a full decode and stats over every pixel-channel
+    * sample from the raster: 8-bit images land on the same 0-255 scale
+    * as the BMP path; 16-bit PNGs on 0-65535 (the raster's native
+    * sample scale). `channels` is the raster band count (1 gray,
     * 2 gray+alpha, 3 RGB, 4 RGBA); palette (indexed-color) PNGs are
     * resolved THROUGH the color table to RGB (channels = 3) — their
     * raster band holds palette indices, which are not pixel statistics.
-    * Returns None for non-PNG payloads AND for
-    * corrupt/truncated PNGs (ImageIO errors are caught): these decoders
-    * feed messy corpora, so one bad file degrades to the opaque
-    * fallback instead of failing the task.
+    * Returns None for unrecognized payloads AND for corrupt/truncated
+    * files (ImageIO errors are caught): these decoders feed messy
+    * corpora, so one bad file degrades to the opaque fallback instead
+    * of failing the task.
     */
-  private def decodePng(id: Long, b: Array[Byte]): Option[DecodedMedia] = {
-    if (b.length < 8) return None
-    var s = 0
-    while (s < 8) { if (b(s) != pngSig(s)) return None; s += 1 }
+  private def decodeImage(id: Long, b: Array[Byte]): Option[DecodedMedia] = {
+    val fmt =
+      if (hasSig(b, pngSig)) "png"
+      else if (hasSig(b, jpegSig)) "jpeg"
+      else return None
     imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -212,7 +230,7 @@ object Multimodal {
           }
           (bd, w.toLong * h * bd)
         }
-      Some(DecodedMedia(id, "png", w, h, bands, 0, w.toLong * h,
+      Some(DecodedMedia(id, fmt, w, h, bands, 0, w.toLong * h,
         sum / n, math.sqrt(sq / n), b.length.toLong))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -263,20 +281,20 @@ object Multimodal {
       n.toLong / channels, sumAbs / nn, math.sqrt(sq / nn), b.length.toLong))
   }
 
-  /** REAL decode for the formats a bare JVM can parse — BMP pixel stats
-    * and WAV PCM stats from hand-parsed headers, PNG via the JDK's
-    * javax.imageio codec, no external library — falling back to the
-    * deterministic byte-fold for anything else
-    * (`format = "opaque"`). Same distributed shape as [[decodeFeatures]]:
-    * typed Dataset in, per-partition iteration (codec init amortizes per
-    * partition), typed Dataset out; payloads never leave the executor.
+  /** THE decode entry point — every format a bare JVM can parse: BMP
+    * pixel stats and WAV PCM stats from hand-parsed headers, PNG and
+    * JPEG via the JDK's javax.imageio codec, no external library —
+    * falling back to the deterministic byte-fold ONLY for formats none
+    * of the codecs recognize (`format = "opaque"`). Typed Dataset in,
+    * per-partition iteration (codec init amortizes per partition),
+    * typed Dataset out; payloads never leave the executor.
     */
   def decodeMedia(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
         val b = r.payload
-        decodeBmp(r.doc_id, b).orElse(decodePng(r.doc_id, b))
+        decodeBmp(r.doc_id, b).orElse(decodeImage(r.doc_id, b))
           .orElse(decodeWav(r.doc_id, b)).getOrElse {
           var sum = 0.0; var sq = 0.0
           var i = 0

@@ -79,24 +79,32 @@ object Profiling {
     val numeric = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet
-    val aggs = cols.flatMap { c =>
-      val nd = if (exactDistinct) countDistinct(col(c))
-        else approx_count_distinct(col(c))
-      Seq(count(lit(1)).as(s"__n_$c"),
-        count(lit(1)).minus(count(col(c))).as(s"__nn_$c"),
-        nd.as(s"__nd_$c")) ++
-        (if (numeric(c)) Seq(min(col(c)).cast("double").as(s"__min_$c"),
-            max(col(c)).cast("double").as(s"__max_$c"),
-            avg(col(c)).as(s"__avg_$c"))
-        else Seq(lit(null).cast("double").as(s"__min_$c"),
-          lit(null).cast("double").as(s"__max_$c"),
-          lit(null).cast("double").as(s"__avg_$c")))
+    // Internal aliases are INDEX-based and profiled names ride as
+    // lit() values — a column named `a b`, `a.b`, or `a'b` profiles
+    // fine (nothing user-controlled ever reaches the SQL parser).
+    // Source references are backtick-quoted (embedded backticks
+    // doubled) so the attribute-name parser takes them literally.
+    def quoted(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val src = quoted(c)
+      val nd = if (exactDistinct) countDistinct(src)
+        else approx_count_distinct(src)
+      Seq(count(lit(1)).as(s"__n_$i"),
+        count(lit(1)).minus(count(src)).as(s"__nn_$i"),
+        nd.as(s"__nd_$i")) ++
+        (if (numeric(c)) Seq(min(src).cast("double").as(s"__min_$i"),
+            max(src).cast("double").as(s"__max_$i"),
+            avg(src).as(s"__avg_$i"))
+        else Seq(lit(null).cast("double").as(s"__min_$i"),
+          lit(null).cast("double").as(s"__max_$i"),
+          lit(null).cast("double").as(s"__avg_$i")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c => s"'$c', __n_$c, __nn_$c, __nd_$c, __min_$c, __max_$c, __avg_$c")
-      .mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stacked) AS " +
-      "(column, n_rows, n_null, n_distinct, min_d, max_d, avg_d)")
+    val stackArgs = lit(cols.length) +: cols.indices.flatMap { i =>
+      Seq(lit(cols(i)), col(s"__n_$i"), col(s"__nn_$i"), col(s"__nd_$i"),
+        col(s"__min_$i"), col(s"__max_$i"), col(s"__avg_$i")) }
+    one.select(stack(stackArgs: _*).as(Seq("column", "n_rows", "n_null",
+      "n_distinct", "min_d", "max_d", "avg_d")))
   }
 
   /** Group-key skew diagnostics: the distribution of per-key group
@@ -121,10 +129,11 @@ object Profiling {
     val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
       coalesce(c.cast("long"), lit(0L)).as(s"__v$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.zipWithIndex
-      .map { case ((n, _), i) => s"'$n', __v$i" }.mkString(", ")
-    one.selectExpr(
-        s"stack(${checks.length}, $stacked) AS (check, violations)")
+    // Check names ride as lit() values (never spliced into SQL text),
+    // so quotes/spaces/backticks in a check name are just data.
+    val stackArgs = lit(checks.length) +: checks.zipWithIndex.flatMap {
+      case ((n, _), i) => Seq(lit(n), col(s"__v$i")) }
+    one.select(stack(stackArgs: _*).as(Seq("check", "violations")))
       .withColumn("passed", col("violations") === 0)
   }
 

@@ -261,6 +261,11 @@ object Relational {
       .localCheckpoint(true)
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // Empty input: no partitions to offset — short-circuit (the
+    // sliding(2) below would otherwise see a 1-element scan and fail).
+    if (counts.isEmpty)
+      return sorted.withColumn(rnCol, col("__lrn"))
+        .drop("__mid", "__pid", "__lrn").limit(0)
     val offsets = counts.scanLeft((-1L, 0L)) { case ((_, acc), (pid, c)) =>
       (pid, acc + c) }.sliding(2).map { case Array((_, off), (pid, _)) =>
       (pid, off) }.toSeq
@@ -274,8 +279,11 @@ object Relational {
   /** Winsorization: clip `x` into its group's [pLo, pHi] percentile
     * band — the tail-taming cleaning step that keeps outlier ROWS
     * (unlike a filter) while bounding their LEVERAGE (unlike leaving
-    * them). Exact cutoffs from one grouped percentile aggregate,
-    * broadcast back; the clip is a pure projection.
+    * them). Exact cutoffs from one grouped percentile aggregate joined
+    * back on the group key (no broadcast hint — AQE broadcasts the
+    * group-cardinality stats side when its runtime size permits, and
+    * degrades to a key shuffle when the group space is huge); the clip
+    * is a pure projection.
     */
   def winsorize(df: DataFrame, groupCol: Column, x: Column,
       pLo: Double, pHi: Double, outCol: String = "x_wins"): DataFrame = {
@@ -284,7 +292,7 @@ object Relational {
       .groupBy(col("__g")).agg(
         expr(s"percentile(__x, $pLo)").as("__lo"),
         expr(s"percentile(__x, $pHi)").as("__hi"))
-    df.join(broadcast(stats), groupCol === col("__g"))
+    df.join(stats, groupCol === col("__g"))
       .withColumn(outCol, least(greatest(x.cast("double"), col("__lo")), col("__hi")))
       .drop("__g", "__lo", "__hi")
   }
@@ -293,13 +301,14 @@ object Relational {
     * row's OWN group, falling back to the global mean for groups whose
     * every value is null — the ML-cleaning step between `na.drop`
     * (loses rows) and constant fill (ignores structure). Group stats
-    * broadcast back; the fill is a pure coalesce projection.
+    * joined back on the group key (AQE picks broadcast when the group
+    * space is small); the fill is a pure coalesce projection.
     */
   def imputeByGroupMean(df: DataFrame, groupCol: Column, x: Column,
       outCol: String): DataFrame = {
     val stats = df.groupBy(groupCol.as("__g")).agg(avg(x).as("__gm"))
     val global = df.agg(avg(x).as("__m"))
-    df.join(broadcast(stats), groupCol === col("__g"), "left")
+    df.join(stats, groupCol === col("__g"), "left")
       .crossJoin(broadcast(global))
       .withColumn(outCol, coalesce(x, col("__gm"), col("__m")))
       .drop("__g", "__gm", "__m")
@@ -343,7 +352,8 @@ object Relational {
     * get a null scaled value (degenerate distribution — flag, don't
     * divide). Exact percentiles via one grouped aggregate joined back
     * on the group key; group cardinality bounds the joined table, and
-    * the join broadcasts when small. For percentile cost at extreme
+    * AQE broadcasts it when small (no unconditional hint — a huge group
+    * space must be allowed to shuffle). For percentile cost at extreme
     * group sizes swap in approx_percentile — certified against exact
     * bands in q_approx_quantiles.
     */
@@ -354,7 +364,7 @@ object Relational {
         expr("percentile(__x, 0.5)").as("__med"),
         (expr("percentile(__x, 0.75)") -
           expr("percentile(__x, 0.25)")).as("__iqr"))
-    df.join(broadcast(stats), groupCol === col("__g"))
+    df.join(stats, groupCol === col("__g"))
       .withColumn(outCol,
         when(col("__iqr") > 0, (x.cast("double") - col("__med")) / col("__iqr")))
       .drop("__g", "__med", "__iqr")

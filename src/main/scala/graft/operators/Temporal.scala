@@ -401,7 +401,10 @@ object Temporal {
     * (returning after a gap ≥ 2 days); plus CHURNED (active the
     * previous day, absent today — attributed to the day they failed to
     * show). new + retained + resurrected = dau on every row by
-    * construction.
+    * construction. The ledger ends at the LAST OBSERVED activity day:
+    * churn of users active on that final day is right-censored (we
+    * cannot know they left yet), so no phantom max_day+1 row is
+    * emitted.
     *
     * Scale shape: one distinct to the (user, day) activity table, two
     * windows (lag/lead/min) on the USER partitioning, then day-keyed
@@ -427,7 +430,13 @@ object Temporal {
       .filter(col("__next").isNull || datediff(col("__next"), col("__d")) > 1)
       .groupBy(date_add(col("__d"), 1).as("day"))
       .agg(count(lit(1)).as("churned"))
+    // Right-censor: churn attributed past the last observed activity
+    // day is unknowable, not real — clip the ledger at max(__d).
+    // One-row scalar attach, broadcast by construction.
+    val maxDay = days.agg(max(col("__d")).as("__maxd"))
     active.join(churned, Seq("day"), "full_outer")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("__maxd"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("new_users"), lit(0L)).as("new_users"),
@@ -510,7 +519,9 @@ object Temporal {
     * classic statistic, the offline scan form). Output per key: the
     * maximum |cusum|, and the EARLIEST order value attaining it (exact
     * equality join back — the cusum path is a deterministic sequential
-    * sum, so the argmax is reproducible).
+    * sum, so the argmax is reproducible). |cusum| is quantized to 6 dp
+    * BEFORE the max/argmax so two engines summing in different orders
+    * land on the same peak row, not merely epsilon-close peaks.
     *
     * Two windows + one join, ALL on the key partitioning: mean via a
     * full-partition frame, cusum via a running frame, argmax via a
@@ -524,7 +535,8 @@ object Temporal {
     val path = df
       .withColumn("__dev", x - avg(x).over(wAll))
       .withColumn("__cusum", sum(col("__dev")).over(wRun))
-      .select(keyCol.as("__k"), tsCol.as("__t"), abs(col("__cusum")).as("__a"))
+      .select(keyCol.as("__k"), tsCol.as("__t"),
+        round(abs(col("__cusum")), 6).as("__a"))
     val peaks = path.groupBy(col("__k").as("key"))
       .agg(max(col("__a")).as("max_abs_cusum"))
     peaks.join(path,
@@ -591,6 +603,77 @@ object Temporal {
     * rides a second tiny aggregate joined back on `from`, never a
     * window over the pair table.
     */
+  /** Seasonal-trend hourly forecast (SURVEY §2.8 M8): the capability of
+    * the reference's LSTM/Prophet hybrid
+    * (backend/NYC_Traffic_Congestion.py:57-92 — hourly volume forecast
+    * per borough; that file never ran: syntax error at :27, deps absent)
+    * re-expressed as the decomposition every classical forecaster
+    * shares: per key,
+    *   yhat(t) = trend(t) + s_hod(hour-of-day) + s_wd(weekday),
+    * with the trend a one-pass closed-form OLS on the hour index
+    * (slope = covar/var sufficient statistics — [[graft.metrics.Metrics.olsSimple]]'s
+    * shape, grouped per key) and each seasonal component the mean
+    * DETRENDED residual at that phase. Emits `horizonHours` rows per key
+    * beyond the key's own last observed hour. A point-prediction lookup
+    * (the reference's `:110` predict-for-timestamp) is a filter on
+    * (key, ts) of this output.
+    *
+    * Scale shape: events collapse to (key, hour) counts in one hash
+    * aggregate — everything after runs on that bucket-cardinality
+    * table: a per-key trend aggregate, a (key, phase) mean aggregate,
+    * and a key-sized explode of the horizon. No windows, no driver
+    * round-trips; every join is key-keyed on dimension-sized tables
+    * (AQE broadcasts them when small). Keys whose observed hours have
+    * zero variance (single bucket) get slope 0 / intercept = mean —
+    * the same degenerate-fit convention as SQL `regr_slope` (NULL,
+    * coalesced), so engines agree.
+    *
+    * Fitting runs on OBSERVED hour buckets only (absent hours are
+    * missing data, not zeros) — the same convention as fitting on the
+    * raw event stream; densify with [[resampleFill]] first if
+    * zero-filled semantics are wanted.
+    */
+  def seasonalForecast(df: DataFrame, keyCol: Column, tsCol: Column,
+      horizonHours: Int = 24): DataFrame = {
+    require(horizonHours >= 1, "horizonHours must be >= 1")
+    val hourly = df
+      .groupBy(keyCol.as("__k"), date_trunc("hour", tsCol).as("__h"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+      // hour index: __h is truncated to the hour, so /3600 is exact
+      .withColumn("__t", (unix_timestamp(col("__h")) / 3600).cast("long"))
+    val slope = covar_samp(col("__t").cast("double"), col("__y")) /
+      var_samp(col("__t").cast("double"))
+    val trend = hourly.groupBy(col("__k"))
+      .agg(slope.as("__b"), avg(col("__y")).as("__my"),
+        avg(col("__t").cast("double")).as("__mt"), max(col("__t")).as("__tmax"))
+      .select(col("__k"),
+        coalesce(col("__b"), lit(0.0)).as("__b"),
+        (col("__my") - coalesce(col("__b"), lit(0.0)) * col("__mt")).as("__a"),
+        col("__tmax"))
+    val resid = hourly.join(trend, "__k")
+      .withColumn("__r", col("__y") - (col("__a") + col("__b") * col("__t")))
+      .withColumn("__hod", hour(col("__h")))
+      .withColumn("__wd", graft.functions.DateTimeKit.weekdayMon0(col("__h")))
+    val sHod = resid.groupBy(col("__k").as("__kh"), col("__hod").as("__ph"))
+      .agg(avg(col("__r")).as("__s_hod"))
+    val sWd = resid.groupBy(col("__k").as("__kw"), col("__wd").as("__pw"))
+      .agg(avg(col("__r")).as("__s_wd"))
+    trend
+      .select(col("__k"), col("__a"), col("__b"),
+        explode(sequence(lit(1), lit(horizonHours))).as("__i"),
+        col("__tmax"))
+      .withColumn("__t", col("__tmax") + col("__i"))
+      .withColumn("__h", timestamp_seconds(col("__t") * 3600L))
+      .withColumn("__hod", hour(col("__h")))
+      .withColumn("__wd", graft.functions.DateTimeKit.weekdayMon0(col("__h")))
+      .join(sHod, col("__k") === col("__kh") && col("__hod") === col("__ph"), "left")
+      .join(sWd, col("__k") === col("__kw") && col("__wd") === col("__pw"), "left")
+      .select(col("__k").as("key"), col("__h").as("forecast_hour"),
+        (col("__a") + col("__b") * col("__t") +
+          coalesce(col("__s_hod"), lit(0.0)) +
+          coalesce(col("__s_wd"), lit(0.0))).as("yhat"))
+  }
+
   def transitionMatrix(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       state: Column): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)

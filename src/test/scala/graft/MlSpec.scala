@@ -175,6 +175,22 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-9)
   }
 
+  test("golden metrics: reference configs land in the published R2 bands on the seasonal fixture") {
+    // Runtime-bounded version of the committed METRICS_rN.json run
+    // (GoldenMetrics.main, full reference configs at nHours=8760): the
+    // same feature pipeline and model families on the same calibrated
+    // fixture, smaller ensemble/horizon. Band per SURVEY §7 risk 2:
+    // metric tolerance, not prediction identity. Deterministic — the
+    // fixture is hash-generated and every seed is fixed.
+    val (rfR2, gbtR2, nTrees) = graft.GoldenMetrics.fit(spark,
+      nHours = 2500, rfTrees = 30, gbtIter = 80)
+    assert(math.abs(rfR2 - graft.GoldenMetrics.publishedRf) <= 0.05,
+      s"rf r2=$rfR2 vs published ${graft.GoldenMetrics.publishedRf}")
+    assert(math.abs(gbtR2 - graft.GoldenMetrics.publishedGbt) <= 0.05,
+      s"gbt r2=$gbtR2 vs published ${graft.GoldenMetrics.publishedGbt}")
+    assert(nTrees <= 80)
+  }
+
   test("F15 one-hot drop_first drops the alphabetically-first value") {
     val df = Seq("b", "a", "c").toDF("v")
     val oh = Featurize.oneHot(df, "v", Seq("b", "a", "c"), "p")

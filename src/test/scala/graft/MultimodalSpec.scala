@@ -7,7 +7,7 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaFeatures, MediaRow}
 
 /** Multimodal binary-column plumbing: schema, encoder boundary,
-  * partition-batch decode stub, and the HLL error bound.
+  * partition-batch decode + fingerprint paths, and the HLL error bound.
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -25,10 +25,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("width") == 11)
   }
 
-  test("decodeFeatures stub computes deterministic byte statistics") {
+  test("byteFingerprint computes deterministic byte statistics") {
     val payload = "abcdef".getBytes("UTF-8")
     val ds = Seq(MediaRow(7L, payload, "text/plain", 6, 1)).toDS()
-    val f = Multimodal.decodeFeatures(ds, frameStride = 2).collect().head
+    val f = Multimodal.byteFingerprint(ds, frameStride = 2).collect().head
     assert(f.n_bytes == 6)
     assert(f.byte_sum == "abcdef".map(_.toLong).sum)
     assert(f.head_hex == payload.map("%02x".format(_)).mkString)
@@ -36,19 +36,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_sampled == 3)
   }
 
-  test("decode survives empty and binary-unsafe payloads") {
+  test("byteFingerprint survives empty and binary-unsafe payloads") {
     val ds = Seq(
       MediaRow(1L, Array.emptyByteArray, "text/plain", 0, 1),
       MediaRow(2L, Array[Byte](-1, 0, 127, -128), "application/octet-stream", 4, 1)).toDS()
-    val out = Multimodal.decodeFeatures(ds, 16).collect().sortBy(_.doc_id)
+    val out = Multimodal.byteFingerprint(ds, 16).collect().sortBy(_.doc_id)
     assert(out(0).n_bytes == 0 && out(0).byte_sum == 0 && out(0).n_sampled == 0)
     assert(out(1).byte_sum == 255 + 0 + 127 + 128) // unsigned fold
   }
 
-  test("decode runs partition-parallel with stable results") {
+  test("byteFingerprint runs partition-parallel with stable results") {
     val rows = (1L to 500L).map(i => MediaRow(i, s"payload-$i".getBytes, "t", 1, 1))
-    val a = Multimodal.decodeFeatures(rows.toDS().repartition(8)).collect().sortBy(_.doc_id)
-    val b = Multimodal.decodeFeatures(rows.toDS().repartition(3)).collect().sortBy(_.doc_id)
+    val a = Multimodal.byteFingerprint(rows.toDS().repartition(8)).collect().sortBy(_.doc_id)
+    val b = Multimodal.byteFingerprint(rows.toDS().repartition(3)).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
   }
 
@@ -188,6 +188,37 @@ class MultimodalSpec extends AnyFunSuite {
     val d = Multimodal.decodeMedia(ds).collect().head
     assert(d.format == "opaque") // signature matched, decode failed, fell back
     assert(d.n_bytes == truncated.length)
+  }
+
+  test("decodeMedia parses a JPEG: dimensions/channels + near-exact solid-color stats") {
+    // JPEG is lossy, so the fixture is a SOLID color: a constant block
+    // encodes as DC-only and survives quantization (near-)exactly. The
+    // encoder is javax.imageio's JPEG WRITER — a different codec path
+    // from the reader under test, and the assertion is against the
+    // known color, not a reader round-trip.
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128))
+    g.fillRect(0, 0, 4, 3); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) // is a JPEG
+    val d = Multimodal.decodeMedia(
+      Seq(Multimodal.MediaRow(12L, bytes, "image/jpeg", 4, 1)).toDS()).collect().head
+    assert(d.format == "jpeg")
+    assert(d.width == 4 && d.height == 3 && d.channels == 3 && d.n_samples == 12)
+    assert(math.abs(d.mean_value - 128.0) <= 2.0, s"mean=${d.mean_value}")
+    assert(math.abs(d.rms - 128.0) <= 2.0)
+  }
+
+  test("corrupt JPEG (signature + garbage) degrades to opaque, never crashes") {
+    val evil = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.fill[Byte](64)(0x55)
+    val d = Multimodal.decodeMedia(
+      Seq(Multimodal.MediaRow(13L, evil, "image/jpeg", 0, 1)).toDS()).collect().head
+    assert(d.format == "opaque" && d.n_bytes == evil.length)
   }
 
   test("decodeMedia parses a real WAV: rate/channels + exact PCM stats") {

@@ -49,6 +49,22 @@ class ProfilingSpec extends AnyFunSuite {
       byCol("s").isNullAt(5) && byCol("s").isNullAt(6))
   }
 
+  test("profileTable/validate: hostile column and check names (quotes, dots, spaces, backticks) are data, not SQL") {
+    val df = Seq((1L, "a"), (2L, "b"))
+      .toDF("weird.name", "it's a `col`")
+    val got = Profiling.profileTable(df, Seq("weird.name", "it's a `col`"))
+      .orderBy("column").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getString(0)).toSet == Set("weird.name", "it's a `col`"))
+    assert(got.forall(_.getLong(1) == 2)) // n_rows survives the odd names
+    val checks = Profiling.validate(df, Seq(
+      "name with 'quotes' and `ticks`" ->
+        Profiling.notNullViolations(col("`weird.name`")))).collect()
+    assert(checks.length == 1 &&
+      checks.head.getString(0) == "name with 'quotes' and `ticks`" &&
+      checks.head.getBoolean(2))
+  }
+
   test("mutualInfo: zero for independent columns, ln(2) for two perfectly-coupled fair bits") {
     val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
       yield (a, b)).toDF("a", "b")

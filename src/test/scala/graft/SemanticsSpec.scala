@@ -310,4 +310,16 @@ class SemanticsSpec extends AnyFunSuite {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  test("globalRowNumber: empty input yields an empty frame with the rn column, no crash") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq.empty[(Long, Long)].toDF("k", "id")
+    val got = graft.operators.Relational
+      .globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+    assert(got.columns.contains("rn"))
+    assert(got.count() == 0)
+    // downstream consumers must survive empty tables too
+    assert(graft.operators.Relational
+      .rankNormalize(df, col("id"), Seq(col("k")), "q").count() == 0)
+  }
 }

@@ -236,7 +236,7 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(4).getDouble(got(4).fieldIndex("mu")) == 10.0)
   }
 
-  test("growthAccounting: ledger identity holds; churn lands on the first missing day") {
+  test("growthAccounting: ledger identity holds; churn lands on the first missing day; right-censored at the last observed day") {
     val df = Seq(
       (1L, ts("2024-01-01 09:00:00")), // u1 new on 1st
       (1L, ts("2024-01-02 09:00:00")), // retained on 2nd
@@ -252,8 +252,10 @@ class TemporalSpec extends AnyFunSuite {
       ("2024-01-01", 1L, 1L, 0L, 0L, 0L),
       ("2024-01-02", 2L, 1L, 1L, 0L, 0L),
       ("2024-01-03", 0L, 0L, 0L, 0L, 2L), // u1 gap-churn + u2 last-day churn
-      ("2024-01-04", 1L, 0L, 0L, 1L, 0L),
-      ("2024-01-05", 0L, 0L, 0L, 0L, 1L))) // u1 churns after final day
+      ("2024-01-04", 1L, 0L, 0L, 1L, 0L)))
+    // NO "2024-01-05" row: u1 is active on the final observed day, and
+    // whether they churn after it is right-censored — the ledger must
+    // not report unknowable churn beyond the observation window
     // ledger identity: dau = new + retained + resurrected on every row
     got.foreach { case (_, dau, nw, ret, res, _) => assert(dau == nw + ret + res) }
   }
@@ -275,6 +277,37 @@ class TemporalSpec extends AnyFunSuite {
       ("2024-01-05", 1L, 1L, 1.0)))     // u1/u2 aged out; only u3
     // no rows for inactive days 01-03/01-04 despite the explode fan-out
     assert(!got.exists(r => r._1 == "2024-01-03" || r._1 == "2024-01-04"))
+  }
+
+  test("seasonalForecast: exact continuation of a pure linear trend (zero residuals)") {
+    // counts 1,2,3,4 in four consecutive hours: y = t exactly, so the
+    // per-key OLS is slope 1, all residuals are exactly 0 (every term
+    // is an exactly-representable double), and the 24-hour forecast is
+    // the continued line 5,6,...,28
+    val rows = for {
+      h <- 0 to 3
+      i <- 0 until (h + 1)
+    } yield (i.toLong, ts(f"2024-01-01 0$h%d:15:00"))
+    val df = rows.toDF("user_id", "at")
+    val got = Temporal.seasonalForecast(df, lit("a"), col("at"), horizonHours = 24)
+      .orderBy("forecast_hour").collect()
+    assert(got.length == 24)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(r.fieldIndex("yhat")) == 5.0 + i, s"row $i")
+    }
+    assert(got.head.getTimestamp(got.head.fieldIndex("forecast_hour")).toString
+      .startsWith("2024-01-01 04:00:00"))
+  }
+
+  test("seasonalForecast: degenerate single-bucket key gets slope 0 / mean intercept") {
+    val df = Seq((1L, ts("2024-01-01 09:05:00")), (2L, ts("2024-01-01 09:45:00")),
+      (3L, ts("2024-01-01 09:55:00"))).toDF("user_id", "at")
+    val got = Temporal.seasonalForecast(df, lit("k"), col("at"), horizonHours = 6)
+      .orderBy("forecast_hour").collect()
+    assert(got.length == 6)
+    // var(t) = 0 → slope coalesced to 0, intercept = mean(y) = 3; the
+    // future hours have no observed hod/wd seasonal rows → 0
+    got.foreach(r => assert(r.getDouble(r.fieldIndex("yhat")) == 3.0))
   }
 
   test("periodGrowth: per-key lag, first period null, exact pct change") {
