@@ -37,6 +37,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_seasonal_forecast: aggregates only — no Window operator anywhere in the plan") {
+    // The forecaster's 100 TB claim is that the trend is a grouped
+    // aggregate over hour buckets, NOT a regression over a sorted
+    // window frame (PLANS.md round 12) — a Window sneaking in would
+    // mean a per-key sort of the bucket table.
+    val p = plan("q_seasonal_forecast")
+    assert(!p.contains("Window"), "expected window-free plan:\n" + p.take(800))
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
+  test("saltedJoin plans as a shuffled hash join, not sort-merge") {
+    // Sorting both exchanges on (keys, salt) is pure overhead for the
+    // skew pattern (Relational.saltedJoin scaladoc; measured 5.4 → 1.4 s
+    // at sf1). A planner change that reverts this to SortMergeJoin
+    // should fail here, not in the bench.
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
   test("bench-measured plans retain Sort/Window/projection work (noop-sink validity)") {
     // The bench materializes each query's OWN plan through the noop sink
     // — what executedPlan shows here IS what gets timed. Under the old

@@ -13,7 +13,7 @@ excluded from "queries"/"total" — any Spark-vs-DuckDB ratio must be
 computed over the per-query JOIN of both engines' "queries" maps, never
 the two totals, or the engines silently compare different query sets.
 """
-import json, statistics, sys, time
+import json, os, statistics, sys, time
 
 import duckdb
 
@@ -27,6 +27,12 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     for t in TABLES:
+        # locally-generated decade dirs (/tmp/sf1) carry only the tables
+        # their bench family reads — skip absent ones (a query touching
+        # a missing table then errors per-query, which is the honest
+        # outcome, instead of failing the whole run at setup)
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(oracle_path))
