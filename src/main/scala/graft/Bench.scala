@@ -371,6 +371,15 @@ object Bench {
     // every measurement. cpuProbeMtMs needs no separate warm-up: its
     // threads run the same compiled cpuProbeMs body.
     locally { cpuProbeMs(); memProbeMs(); chaseProbeMs(); MiniProbe.triad(); () }
+    // One unmeasured Spark warm-up job: the first execution in a fresh
+    // JVM pays classloading, codegen infrastructure init, and the noop
+    // sink's setup (measured: flagship_e1 rep 1 at 97 s vs 18 s warm
+    // once the flagships moved to the FRONT of the suite) — pay that
+    // here, outside every measurement, so the flagships' medians read
+    // plan cost, not JVM birth.
+    spark.range(1L << 20).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").agg(count(lit(1)), avg("v"))
+      .write.format("noop").mode("overwrite").save()
     val probeStart = cpuProbeMs()
     val probeMtStart = cpuProbeMtMs()
     val probeMemStart = memProbeMs()

@@ -2325,6 +2325,22 @@ object Queries {
                    CAST(len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents ORDER BY doc_id"""))
 
+  /** BPE merge-candidate statistics: top-30 adjacent character pairs by
+    * frequency-weighted count — the inner counting step of tokenizer
+    * training, run on the vocabulary, not the corpus
+    * (see [[graft.operators.TextOps.bpePairStats]]).
+    */
+  val qBpePairs = QDef(
+    (s, d) => TextOps.bpePairStats(t(s, d, "documents"), col("text"), 30)
+      .select(col("pair"), col("cnt")),
+    Some(s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS w FROM documents),
+             wf AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY 1),
+             pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+                       FROM wf, unnest(range(1, length(w))) AS t(i)),
+             agg AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+                     FROM pairs GROUP BY 1)
+             SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 30"""))
+
   /** Quality-score feature block. */
   val qTextQuality = QDef(
     (s, d) => {
@@ -4470,6 +4486,7 @@ object Queries {
     "q_log_transforms" -> qLogTransforms,
     "q_conditional_buckets" -> qConditionalBuckets,
     "q_text_token_counts" -> qTextTokenCounts,
+    "q_bpe_pairs" -> qBpePairs,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,

@@ -124,6 +124,45 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\w]+|[^\\w\\s]"), lit(0)))
 
+  /** Adjacent-symbol pair statistics — the inner counting step of BPE
+    * tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units": each merge round
+    * picks the most frequent adjacent pair). One round, character
+    * symbols, expressed in the shape that scales:
+    *
+    *  1. ONE corpus-sized pass: explode to words, hash-aggregate to the
+    *     (word, frequency) vocabulary — the classic trick that makes
+    *     distributed BPE tractable, because every later round works on
+    *     the VOCABULARY (≤ millions of rows) weighted by frequency, not
+    *     on the corpus (billions of documents).
+    *  2. Vocabulary-sized work: each distinct word emits its adjacent
+    *     character pairs (repeats within a word count once per
+    *     occurrence, e.g. "aaa" → "aa"×2), weighted by the word's
+    *     corpus frequency; pair-keyed sum; deterministic top-K
+    *     (count desc, pair asc) via TakeOrdered — no global sort.
+    *
+    * Iterated merges would re-run step 2 on a re-segmented vocabulary;
+    * step 1 never re-runs — which is why the split matters at 100 TB.
+    */
+  def bpePairStats(df: DataFrame, textCol: Column, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val vocab = df.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    // sequence(1, len-1) would flip DESCENDING for 1-char words
+    // (Spark infers step -1 when start > stop) — guard to empty instead
+    val pairs = vocab
+      .withColumn("__ps",
+        when(length(col("__w")) >= 2,
+          transform(sequence(lit(1), length(col("__w")) - 1),
+            i => col("__w").substr(i, lit(2))))
+          .otherwise(array()))
+      .select(explode(col("__ps")).as("pair"), col("__f"))
+    pairs.groupBy(col("pair")).agg(sum(col("__f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — language ID at corpus scale is a
     * counting problem, not a model problem.

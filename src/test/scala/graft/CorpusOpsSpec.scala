@@ -501,4 +501,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       Literal.create(arr, ArrayType(StringType, containsNull = true)), Literal(2))
     assert(expr.eval(null) == rows.getInt(1))
   }
+
+  test("bpePairStats: frequency-weighted adjacent pairs, in-word repeats count per occurrence") {
+    val df = Seq((1L, "aaa bb aaa"), (2L, "ab x")).toDF("doc_id", "text")
+    // vocab: aaa f=2 -> pairs aa,aa (2 per occurrence) => aa cnt 4;
+    // bb f=1 => bb 1; ab f=1 => ab 1; x is 1-char => no pairs
+    val got = TextOps.bpePairStats(df, col("text"), 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aa", 4L), ("ab", 1L), ("bb", 1L)))
+    // top-K truncation keeps the deterministic (cnt desc, pair asc) head
+    val top1 = TextOps.bpePairStats(df, col("text"), 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "aa")
+  }
 }
