@@ -1641,17 +1641,24 @@ object Queries {
     */
   val qApproxQuantiles = QDef(
     (s, d) => {
-      def band(tag: String, lo: String, p: String, hi: String) = Seq(
-        round(expr(s"percentile(value, $lo)"), 6).as(s"${tag}_lo"),
-        round(expr(s"percentile(value, $hi)"), 6).as(s"${tag}_hi"),
-        expr(s"approx_percentile(value, $p, 100)")
-          .between(expr(s"percentile(value, $lo)"),
-            expr(s"percentile(value, $hi)")).as(s"${tag}_ok"))
-      val aggs = band("p50", "0.48", "0.5", "0.52") ++
-        band("p90", "0.88", "0.9", "0.92") ++
-        band("p99", "0.97", "0.99", "1.0")
+      // ONE exact-percentile buffer (array form) + ONE sketch instead
+      // of six exact buffers + three sketches: `percentile` is a
+      // buffering aggregate, so each distinct call paid its own
+      // per-group value buffer — the array form shares one buffer for
+      // all six band edges (measured 1.8 → 0.6 s at sf0.1).
+      val exact = expr(
+        "percentile(value, array(0.48D, 0.52D, 0.88D, 0.92D, 0.97D, 1.0D))")
+      val approx = expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 100)")
+      def band(tag: String, i: Int) = Seq(
+        round(col("__ex").getItem(2 * i), 6).as(s"${tag}_lo"),
+        round(col("__ex").getItem(2 * i + 1), 6).as(s"${tag}_hi"),
+        col("__ap").getItem(i)
+          .between(col("__ex").getItem(2 * i), col("__ex").getItem(2 * i + 1))
+          .as(s"${tag}_ok"))
       t(s, d, "events").groupBy("event_type")
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(exact.as("__ex"), approx.as("__ap"))
+        .select(col("event_type") +:
+          (band("p50", 0) ++ band("p90", 1) ++ band("p99", 2)): _*)
         .orderBy("event_type")
     },
     Some("""SELECT event_type,
