@@ -2811,6 +2811,39 @@ object Queries {
           ORDER BY id_a, id_b"""
     })
 
+  /** EXACT prefix-filtered similarity join (SSJoin/PPJoin pruning,
+    * [[graft.operators.Dedup.prefixJaccardPairs]]): candidates come only
+    * from each doc's rarest-shingle prefix, yet the result is the FULL
+    * Jaccard ≥ 0.5 pair set — which is exactly what the oracle asserts:
+    * it replays the ground truth via the unpruned all-shared-shingle
+    * join, so any pair the pruning wrongly dropped would hash-mismatch.
+    */
+  val qPrefixJaccard = QDef(
+    (s, d) => Dedup.prefixJaccardPairs(wideT(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b"),
+    Some {
+      val toks = toksSql("text")
+      val sh = shingleHashesSql("hts", 3)
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          th AS (SELECT doc_id, list_transform(toks, tk -> ${h60sql("tk")}) AS hts FROM t),
+          s AS (SELECT doc_id, list_distinct($sh) AS sh FROM th),
+          sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+          inv AS (SELECT doc_id, unnest(sh) AS sh_h FROM s),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM inv a JOIN inv b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+          ORDER BY id_a, id_b"""
+    })
+
   // =====================================================================
   // Similarity search over embeddings
   // =====================================================================
@@ -4512,6 +4545,7 @@ object Queries {
     "q_simhash" -> qSimhash,
     "q_simhash_neardup_pairs" -> qSimhashNearDupPairs,
     "q_ngram_jaccard_pairs" -> qNgramJaccardPairs,
+    "q_prefix_jaccard" -> qPrefixJaccard,
     "q_cosine_topk" -> qCosineTopK,
     "q_mmr_select" -> qMmrSelect,
     "q_ann_ivf" -> qAnnIvf,

@@ -671,6 +671,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT similarity join with prefix filtering (the SSJoin/PPJoin
+    * candidate-pruning idea — Chaudhuri/Ganti/Kaushik ICDE 2006, Xiao
+    * et al. WWW 2008 — re-expressed relationally): same result set as
+    * [[ngramJaccardPairs]] with NO frequency cap, but candidates are
+    * generated only from each document's PREFIX — its
+    * `|sh| − ⌈t·|sh|⌉ + 1` globally-rarest shingles. Two sets with
+    * Jaccard ≥ t must share at least one prefix element under any
+    * global total order, so pruning the common shingles from candidate
+    * generation loses nothing — and posting-list pairing is quadratic
+    * per posting, so generating from rare-only postings is the
+    * difference between Σ freq² over ALL shingles and over the rare
+    * tail. The guarantee holds without the approximation the hot-
+    * shingle cap introduces ([[ngramJaccardPairs]]'s `maxShingleFreq`
+    * drops hot shingles from Jaccard itself; here hot shingles still
+    * count toward the verified intersection — they just never generate
+    * candidates).
+    *
+    * Plan shape: one corpus pass to the per-doc shingle-hash arrays
+    * (materialized once, feeds rarity join + candidate generation +
+    * verification); shingle-keyed frequency aggregate; per-doc
+    * rarest-first sort of an ARRAY (array_sort on (freq, hash) structs
+    * — per-row, no window); prefix-posting pairing; exact
+    * array_intersect verification on the candidate pairs only. The
+    * global rank order ties on (freq, hash) so every engine and every
+    * run prunes identically.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val shingled = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
+      .select(col(idCol),
+        array_distinct(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val inv = shingled.select(col(idCol), explode(col("sh")).as("sh_h"))
+    val freq = inv.groupBy("sh_h").agg(count(lit(1)).as("__f"))
+    val prefixed = inv.join(freq, "sh_h")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__f"), col("sh_h")))).as("__ss"))
+      .select(col(idCol),
+        slice(transform(col("__ss"), s => s.getField("sh_h")), lit(1),
+          (size(col("__ss")) - ceil(lit(threshold) * size(col("__ss"))) + 1)
+            .cast("int")).as("__pref"))
+    val cands = prefixed
+      .select(col(idCol), explode(col("__pref")).as("sh_h"))
+      .groupBy("sh_h")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("p", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("p") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
+    val fa = shingled.select(col(idCol).as("id_a"), col("sh").as("__sa"))
+    val fb = shingled.select(col(idCol).as("id_b"), col("sh").as("__sb"))
+    cands.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("__ni", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__ni").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
     * ids of corpus documents sharing ANY word `n`-gram with any document
     * in `evalSet`. Eval/benchmark sets are small by definition, so their

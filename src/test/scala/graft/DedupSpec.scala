@@ -47,6 +47,29 @@ class DedupSpec extends AnyFunSuite {
     assert(p == Map((1L, 2L) -> 1.0), s"got $p")
   }
 
+  test("prefixJaccardPairs: exact parity with the uncapped join at every threshold") {
+    for (t <- Seq(0.1, 0.5, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+          threshold = t, maxShingleFreq = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pref = Dedup.prefixJaccardPairs(docs, "text", "doc_id", n = 3,
+          threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pref == full, s"threshold $t: prefix pruning changed the result")
+    }
+  }
+
+  test("prefixJaccardPairs: hot shingles never generate candidates but still count in Jaccard") {
+    // at t=0.9 each doc's prefix is its single RAREST shingle; the hot
+    // "x y z" (df=5) is never anyone's rarest except for docs 3/5 whose
+    // ONLY shingle it is — so the identical pair (3,5) must survive with
+    // jaccard exactly 1.0 (the hot shingle still counts in verification)
+    val p = Dedup.prefixJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p((3L, 5L)) == 1.0)
+    assert(p((1L, 2L)) == 1.0) // identical 7-token docs
+  }
+
   test("pageRank: matches a plain-Scala power iteration on a star + chain + isolate") {
     import spark.implicits._
     val verts = (1L to 7L).toDF("id")
