@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DateTimeKit, Hashing, Holidays}
-import graft.operators.{Dedup, Profiling, Relational, Similarity, Temporal, TextOps}
+import graft.operators.{Dedup, Drift, Profiling, Relational, Similarity, Temporal, TextOps}
 import graft.sources.Tables
 import graft.windows.TrailingFeatures
 
@@ -4433,7 +4433,220 @@ object Queries {
                    CAST(floor(least(CAST(n_chars AS DOUBLE) / 600.0, 1.0) * 10000) AS BIGINT)
              ORDER BY doc_id"""))
 
+  /** PSI drift per quantile bin between the even- and odd-event_id
+    * halves of the events table — the numeric-feature drift monitor
+    * ([[Drift.psiBins]]): reference-derived decile edges, both sides
+    * binned by literal column math, zero-count bins densified. The
+    * halves are iid samples of the same distribution, so the per-bin
+    * terms are near zero — the oracle replays edges (quantile_cont ==
+    * exact percentile, parity proven by q_percentile), binning,
+    * densification, and the eps-floored PSI terms value-for-value.
+    * psi_term is rounded at 9 dp (the terms are O(1e-5); 6 dp would
+    * erase them).
+    */
+  val qPsiDrift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      Drift.psiBins(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), col("value"), nBins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"),
+          round(col("p_cur"), 6).as("p_cur"),
+          round(col("psi_term"), 9).as("psi_term"))
+        .orderBy("bin")
+    },
+    Some("""WITH ref AS (SELECT event_id, value AS v FROM events
+                         WHERE event_id % 2 = 0 AND value IS NOT NULL),
+            cur AS (SELECT event_id, value AS v FROM events
+                    WHERE event_id % 2 = 1 AND value IS NOT NULL),
+            e AS (SELECT unnest(quantile_cont(v,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q
+                  FROM ref),
+            rb AS (SELECT r.event_id,
+                          count(*) FILTER (WHERE r.v > e.q) AS bin
+                   FROM ref r CROSS JOIN e GROUP BY r.event_id),
+            cb AS (SELECT c.event_id,
+                          count(*) FILTER (WHERE c.v > e.q) AS bin
+                   FROM cur c CROSS JOIN e GROUP BY c.event_id),
+            rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+            cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+            g AS (SELECT unnest(range(10)) AS bin),
+            j AS (SELECT g.bin, coalesce(rc.n_ref, 0) AS n_ref,
+                         coalesce(cc.n_cur, 0) AS n_cur
+                  FROM g LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+            tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+            SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round(n_ref / tr, 6) + 0.0 AS p_ref,
+                   round(n_cur / tc, 6) + 0.0 AS p_cur,
+                   round((n_cur / tc - n_ref / tr) *
+                         ln(greatest(n_cur / tc, 1e-6) /
+                            greatest(n_ref / tr, 1e-6)), 9) + 0.0 AS psi_term
+            FROM j CROSS JOIN tot ORDER BY bin"""))
+
+  /** Token-distribution Jensen-Shannon divergence between the even- and
+    * odd-doc_id halves of the corpus — the vocabulary-drift monitor
+    * ([[Drift.tokenJsDivergence]]): support-sized count tables, full
+    * outer join (one-sided tokens ARE the signal), zero-mass terms
+    * contribute exactly 0 so no smoothing is needed. The oracle replays
+    * tokenization (the repo parity tokenizer), the joint support, and
+    * both KL halves.
+    */
+  val qJsDrift = QDef(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Drift.tokenJsDivergence(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), col("text"))
+        .select(round(col("js_nats"), 6).as("js_nats"),
+          round(col("js_norm"), 6).as("js_norm"),
+          col("support"), col("one_sided"))
+    },
+    Some(s"""WITH ta AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents
+                         WHERE doc_id % 2 = 0),
+             tb AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents
+                    WHERE doc_id % 2 = 1),
+             ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+             cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+             j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                   FROM ca FULL JOIN cb USING (tok)),
+             tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+             p AS (SELECT ca / ta AS pa, cb / tb AS pb,
+                          (ca / ta + cb / tb) / 2 AS m
+                   FROM j CROSS JOIN tot)
+             SELECT round(sum(CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / m) ELSE 0 END) +
+                          sum(CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / m) ELSE 0 END), 6)
+                      + 0.0 AS js_nats,
+                    round((sum(CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / m) ELSE 0 END) +
+                           sum(CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / m) ELSE 0 END))
+                          / ln(2), 6) + 0.0 AS js_norm,
+                    count(*) AS support,
+                    CAST(sum(CASE WHEN pa > 0 AND pb > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                      AS one_sided
+             FROM p"""))
+
+  /** Two-sample KS statistic between the even/odd event halves —
+    * [[Drift.ksStatistic]]: distinct-value count tables, full-outer
+    * merge, one cumulative window over the value order (the
+    * dimension-sized-window contract), asymptotic α=0.05 critical
+    * value. `drifted` compares the UNROUNDED statistic on both engines
+    * (the computation is bit-identical integer-count arithmetic, so
+    * the boolean is engine-stable even when D lands near the critical
+    * value, as two iid halves will 5% of the time).
+    */
+  val qKsDrift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      Drift.ksStatistic(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), col("value"))
+        .select(round(col("ks_d"), 6).as("ks_d"),
+          round(col("ks_crit_005"), 6).as("ks_crit_005"),
+          col("n_ref"), col("n_cur"), col("drifted"))
+    },
+    Some("""WITH ref AS (SELECT value::DOUBLE AS v FROM events
+                         WHERE event_id % 2 = 0 AND value IS NOT NULL),
+            cur AS (SELECT value::DOUBLE AS v FROM events
+                    WHERE event_id % 2 = 1 AND value IS NOT NULL),
+            rc AS (SELECT v, count(*) AS cr FROM ref GROUP BY v),
+            cc AS (SELECT v, count(*) AS cc FROM cur GROUP BY v),
+            m AS (SELECT v, coalesce(rc.cr, 0) AS cr, coalesce(cc.cc, 0) AS cc
+                  FROM rc FULL JOIN cc USING (v)),
+            tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                           CAST(sum(cc) AS BIGINT) AS tc FROM m),
+            cum AS (SELECT abs(CAST(sum(cr) OVER (ORDER BY v) AS DOUBLE) / tr -
+                               CAST(sum(cc) OVER (ORDER BY v) AS DOUBLE) / tc) AS d
+                    FROM m CROSS JOIN tot),
+            agg AS (SELECT max(d) AS ks_d, (SELECT tr FROM tot) AS n_ref,
+                           (SELECT tc FROM tot) AS n_cur FROM cum)
+            SELECT round(ks_d, 6) + 0.0 AS ks_d,
+                   round(1.358 * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur)), 6)
+                     + 0.0 AS ks_crit_005,
+                   n_ref, n_cur,
+                   ks_d > 1.358 * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur))
+                     AS drifted
+            FROM agg"""))
+
+  /** Misra-Gries heavy-hitters certification: the k=3-counter sketch
+    * over h60(lang) is order-dependent in its exact counter values, so
+    * the checked row carries only the ORDER-INVARIANT guarantees
+    * (Misra & Gries 1982) — every language with frequency > n/(k+1)
+    * present in the sketch, every estimate within [true − n/(k+1),
+    * true], sketch never larger than k — as booleans the oracle asserts
+    * TRUE, plus the exact n and heavy-hitter count both engines compute.
+    * `en` is ~44% of the corpus (> n/4), so `n_heavy ≥ 1` and the
+    * presence guarantee is exercised non-vacuously. A sketch regression
+    * (lost heavy hitter, broken merge bound) flips a boolean and the
+    * hash goes red. See [[graft.functions.HeavyHitters]] for the 100 TB
+    * rationale (O(k) partial aggregate vs key-cardinality shuffle).
+    */
+  val qHeavyHitters = QDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = 3
+      val docs = t(s, d, "documents").filter(col("lang").isNotNull)
+      val keyed = docs.select(Hashing.h60(col("lang")).as("item"))
+      val sk = keyed.agg(
+          graft.functions.GraftFunctions.heavyHitters(col("item"), k).as("__sk"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true) // tiny (1 row); feeds three consumers below
+      val entries = sk.select(col("n"),
+          explode(col("__sk")).as("e"))
+        .select(col("n"), col("e.item").as("item"), col("e.est").as("est"))
+      val exact = keyed.groupBy("item").agg(count(lit(1)).as("c"))
+      val bounds = entries.join(exact, Seq("item"), "left")
+        .agg(coalesce(bool_and(col("est") <= col("c") &&
+            (col("c") - col("est")) <= col("n") / lit(k + 1.0)),
+          lit(true)).as("est_bounds_ok"))
+      val sizeOk = sk.select((size(col("__sk")) <= k).as("sketch_size_ok"))
+      val heavy = exact.crossJoin(broadcast(sk.select("n")))
+        .filter(col("c") > col("n") / lit(k + 1.0))
+      val presence = heavy
+        .join(entries.select(col("item"), lit(1L).as("__in")), Seq("item"), "left")
+        .agg(count(lit(1)).as("n_heavy"),
+          coalesce(bool_and(col("__in") === 1L), lit(true)).as("all_heavy_present"))
+      sk.select(col("n"), lit(k.toLong).as("k"))
+        .crossJoin(presence).crossJoin(bounds).crossJoin(sizeOk)
+        .select("n", "k", "n_heavy", "all_heavy_present", "est_bounds_ok",
+          "sketch_size_ok")
+    },
+    Some("""WITH d AS (SELECT lang FROM documents WHERE lang IS NOT NULL),
+            tot AS (SELECT count(*) AS n FROM d),
+            c AS (SELECT lang, count(*) AS c FROM d GROUP BY lang)
+            SELECT (SELECT n FROM tot) AS n, CAST(3 AS BIGINT) AS k,
+                   (SELECT count(*) FROM c CROSS JOIN tot
+                    WHERE c > n / 4.0) AS n_heavy,
+                   TRUE AS all_heavy_present, TRUE AS est_bounds_ok,
+                   TRUE AS sketch_size_ok"""))
+
+  /** Product-quantization ANN (compressed-domain ADC scan + exact
+    * re-rank of the k·refine shortlist — the FAISS IndexPQ +
+    * RefineFlat pipeline) over unit-normalized 64-dim embeddings,
+    * certified as a hash-checked recall@5 row exactly like
+    * q_ann_ivf/q_ann_lsh: the seeded quantizer makes the PQ result
+    * deterministic, the oracle recomputes the exact top-5 and asserts
+    * the committed bound. m=16/ksub=64/refine=20 measures recall
+    * 1.00/1.00/0.98 at sf0.001/0.01/0.1 (these near-uniform synthetic
+    * embeddings are the structureless worst case for a quantizer —
+    * ADC-only recall is 0.10-0.66 across configs, which is WHY the
+    * refine stage is the committed shape), so the 0.9 bound has
+    * real margin.
+    */
+  val qAnnPq = QDef(
+    (s, d) => {
+      val emb = wideT(s, d, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.pqTopK(emb, qset, "vec_id", "embedding",
+        5, m = 16, ksub = 64, refine = 20)
+      val exact = Similarity.bruteTopK(emb, qset, "vec_id", "embedding", 5)
+      Similarity.recallAtK(approx, exact, 0.9)
+    },
+    Some(annRecallSql("0.9")))
+
   val all: Seq[(String, QDef)] = Seq(
+    "q_psi_drift" -> qPsiDrift,
+    "q_js_drift" -> qJsDrift,
+    "q_ks_drift" -> qKsDrift,
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_ann_pq" -> qAnnPq,
     "q_scan_project" -> qScanProject,
     "q_filter_predicates" -> qFilterPredicates,
     "q_distinct_rows" -> qDistinctRows,

@@ -71,10 +71,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.centroidArgmaxFunctionDescriptor)
     ext.injectFunction(GraftFunctions.centroidCellsFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.heavyHittersFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
     ext.injectFunction(GraftFunctions.lshBucketsFunctionDescriptor)
     ext.injectFunction(GraftFunctions.hashedVectorFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.pqEncodeFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.pqAdcTableFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.pqAdcSumFunctionDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SortThroughProject)
   }
 }
@@ -108,6 +112,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
     BottomK.fromExprs _)
 
+  val heavyHittersFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+    HeavyHitters.fromExprs _)
+
   val topKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_top_k"),
     new ExpressionInfo(classOf[TopKScored].getName, "graft_top_k"),
@@ -128,6 +137,32 @@ object GraftFunctions {
     new ExpressionInfo(classOf[HashedVector].getName, "graft_hashed_vector"),
     (exprs: Seq[Expression]) => HashedVector(exprs.head, exprs(1)))
 
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+
+  private def litInt(e: Expression, usage: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case _ => throw new IllegalArgumentException(usage)
+  }
+
+  val pqEncodeFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+    (exprs: Seq[Expression]) => PqEncode(exprs.head, exprs(1),
+      litInt(exprs(2), "usage: graft_pq_encode(vec, codebooks, <literal int m>)")))
+
+  val pqAdcTableFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_adc_table"),
+    new ExpressionInfo(classOf[PqAdcTable].getName, "graft_pq_adc_table"),
+    (exprs: Seq[Expression]) => PqAdcTable(exprs.head, exprs(1),
+      litInt(exprs(2), "usage: graft_pq_adc_table(vec, codebooks, <literal int m>)")))
+
+  val pqAdcSumFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_adc_sum"),
+    new ExpressionInfo(classOf[PqAdcSum].getName, "graft_pq_adc_sum"),
+    (exprs: Seq[Expression]) => PqAdcSum(exprs.head, exprs(1),
+      litInt(exprs(2), "usage: graft_pq_adc_sum(dtab, codes, <literal int ksub>)")))
+
   /** Idempotently register graft's functions in the session's registry
     * (the supported path for wiring custom Catalyst expressions into the
     * Column API without touching Spark internals).
@@ -144,6 +179,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottom_k", BottomK.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters", HeavyHitters.fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_top_run",
@@ -154,6 +191,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hashed_vector",
       exprs => HashedVector(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode", pqEncodeFunctionDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc_table", pqAdcTableFunctionDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc_sum", pqAdcSumFunctionDescriptor._3, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -181,6 +224,12 @@ object GraftFunctions {
   /** KMV bottom-k sketch aggregate (requires [[register]]). */
   def bottomK(c: Column, k: Int): Column =
     call_function("graft_bottom_k", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Misra-Gries heavy-hitters sketch aggregate, k counters (requires
+    * [[register]]) — see [[HeavyHitters]].
+    */
+  def heavyHitters(c: Column, k: Int): Column =
+    call_function("graft_heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
 
   /** Grouped top-k by score, O(k) buffer + map-side partials (requires
     * [[register]]). Returns sorted array<struct<score, payload>>.
@@ -211,4 +260,25 @@ object GraftFunctions {
   def gramTopRun(toks: Column, n: Int): Column =
     call_function("graft_gram_top_run", toks,
       org.apache.spark.sql.functions.lit(n))
+
+  /** PQ code array, m subspaces (requires [[register]]) — see [[PqEncode]].
+    * `codebooks` is the m·ksub-row matrix, subspace-major.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Array[Double]], m: Int): Column =
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.typedlit(codebooks.map(_.toSeq)),
+      org.apache.spark.sql.functions.lit(m))
+
+  /** Per-query ADC distance table (requires [[register]]) — see
+    * [[PqAdcTable]].
+    */
+  def pqAdcTable(vec: Column, codebooks: Seq[Array[Double]], m: Int): Column =
+    call_function("graft_pq_adc_table", vec,
+      org.apache.spark.sql.functions.typedlit(codebooks.map(_.toSeq)),
+      org.apache.spark.sql.functions.lit(m))
+
+  /** ADC lookup-sum score (requires [[register]]) — see [[PqAdcSum]]. */
+  def pqAdcSum(dtab: Column, codes: Column, ksub: Int): Column =
+    call_function("graft_pq_adc_sum", dtab, codes,
+      org.apache.spark.sql.functions.lit(ksub))
 }

@@ -696,6 +696,21 @@ object Dedup {
     * array_intersect verification on the candidate pairs only. The
     * global rank order ties on (freq, hash) so every engine and every
     * run prunes identically.
+    *
+    * WHEN TO USE (measured r12, identical output verified at both
+    * scales): on the synthetic corpus this path LOSES to
+    * [[ngramJaccardPairs]](maxShingleFreq = None) — 6.9 s vs 1.4 s warm
+    * at sf0.1 (5k docs), 113 s vs 23 s at sf1 (50k docs) — because that
+    * corpus has no df-skew: posting lists are short, so Σf² is already
+    * tiny and the prefix machinery (a freq join over the full inverted
+    * index, a per-doc rarity sort, and a verification join carrying
+    * both full shingle arrays) is pure overhead. Prefix filtering pays
+    * precisely when posting lists are long — boilerplate-heavy or
+    * near-dup-rich corpora where a few shingles have df in the
+    * thousands and pair generation is quadratic per posting. Profile
+    * df first ([[graft.operators.Profiling.keySkew]] on the exploded
+    * shingle stream): top_share/df-p99 high → prefix join; flat → the
+    * plain posting-pair path.
     */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between a REFERENCE dataset (what the
+  * model/pipeline was built against) and a CURRENT dataset (what is
+  * arriving now) — the monitoring gate a production training pipeline
+  * runs before retraining or before trusting a new data drop.
+  *
+  * The reference repo has no drift surface (its data is a fixed CSV
+  * snapshot); these fill SURVEY §2's training-pipeline gap with the two
+  * standard detectors: PSI over quantile bins for numeric features
+  * (the credit-scoring-era Population Stability Index — public
+  * formulation, e.g. Yurdakul 2018's statistical treatment) and
+  * Jensen-Shannon divergence for categorical / token distributions
+  * (Lin 1991). Both reduce to a handful of hash aggregates whose
+  * output is bins- or support-sized, never data-sized.
+  */
+object Drift {
+
+  /** Per-bin PSI breakdown between `reference` and `current` for numeric
+    * column `x`: `nBins` quantile bins whose edges come from the
+    * REFERENCE distribution (the standard construction — bins hold
+    * ~equal reference mass, so drift shows up as current mass leaving
+    * them), each bin's reference/current share, and its PSI term
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)` (shares floored at `eps`
+    * so empty bins contribute a finite penalty instead of ±∞).
+    *
+    * Scale shape: ONE exact-percentile aggregate over the reference
+    * (1 row collected — O(nBins) driver data; at 100 TB swap in
+    * `approx_percentile`, same plan shape, and the certification
+    * pattern of q_approx_quantiles bounds the substitution), then the
+    * bin id is pure literal column math (no join against an edge
+    * table), one hash aggregate per side, and an nBins-row grid
+    * left-join to densify — zero-count bins MUST appear, they are
+    * where drift lives. Nothing after the scans is data-sized.
+    */
+  def psiBins(reference: DataFrame, current: DataFrame, x: Column,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins > 1, "nBins must be > 1")
+    val spark = reference.sparkSession
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val row = reference.filter(x.isNotNull)
+      .agg(percentile(x, typedlit(probs)).as("__q")).head()
+    if (row.isNullAt(0))
+      // empty/all-null reference: no bins to compare against
+      return spark.range(0).select(col("id").as("bin"),
+        lit(0L).as("n_ref"), lit(0L).as("n_cur"),
+        lit(0.0).as("p_ref"), lit(0.0).as("p_cur"),
+        lit(0.0).as("psi_term"))
+    val edges = row.getSeq[Double](0)
+    // bin = #edges strictly below x — ties land in the LOWER bin on
+    // both engines (the oracle uses the same strict comparison).
+    def binOf(c: Column): Column =
+      edges.map(e => when(c > lit(e), 1L).otherwise(0L))
+        .reduce(_ + _)
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(x.isNotNull).groupBy(binOf(x).as("bin"))
+        .agg(count(lit(1)).as(as))
+    val grid = spark.range(nBins).select(col("id").as("bin"))
+    val joined = grid
+      .join(counts(reference, "n_ref"), Seq("bin"), "left")
+      .join(counts(current, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (col("n_ref") / col("__tr")).as("p_ref"),
+        (col("n_cur") / col("__tc")).as("p_cur"))
+      .withColumn("psi_term",
+        (col("p_cur") - col("p_ref")) *
+          log(greatest(col("p_cur"), lit(eps)) /
+              greatest(col("p_ref"), lit(eps))))
+  }
+
+  /** One-row PSI summary over [[psiBins]]: the index itself plus the
+    * sample sizes. Standard reading (industry rule of thumb, not a
+    * statistical test): < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 action. The `drifted` boolean applies `threshold` so a
+    * pipeline can gate on one column.
+    */
+  def psi(reference: DataFrame, current: DataFrame, x: Column,
+      nBins: Int = 10, eps: Double = 1e-6,
+      threshold: Double = 0.25): DataFrame =
+    psiBins(reference, current, x, nBins, eps)
+      .agg(sum(col("psi_term")).as("psi"),
+        sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+      .select(col("psi"), (col("psi") > lit(threshold)).as("drifted"),
+        col("n_ref"), col("n_cur"))
+
+  /** Jensen-Shannon divergence (nats) between the categorical
+    * distributions of `key` in `a` vs `b`:
+    * JS = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2 — symmetric, finite
+    * (terms with zero mass contribute exactly 0, no smoothing needed
+    * because M > 0 wherever either side has mass), bounded by ln 2.
+    * `js_norm` divides by ln 2 → [0, 1]. Nulls are excluded (the
+    * divergence is over observed values).
+    *
+    * Scale shape: one hash aggregate per side to support-sized count
+    * tables, a full-outer equi-join of those two small tables (full
+    * outer because one-sided values are precisely the drift signal),
+    * two scalar totals broadcast back, one 1-row sum. After the scans
+    * everything is support-sized.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, key: Column): DataFrame = {
+    val ca = a.filter(key.isNotNull).groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(key.isNotNull).groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb, Seq("__k"), "full_outer")
+      .select(col("__k"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("__k"),
+        (col("__ca") / col("__ta")).as("__pa"),
+        (col("__cb") / col("__tb")).as("__pb"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .agg(
+        sum(when(col("__pa") > 0,
+            lit(0.5) * col("__pa") * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0))).plus(
+        sum(when(col("__pb") > 0,
+            lit(0.5) * col("__pb") * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0)))).as("js_nats"),
+        count(lit(1)).as("support"),
+        sum(when(col("__pa") > 0 && col("__pb") > 0, 0L).otherwise(1L))
+          .as("one_sided"))
+      .select(col("js_nats"),
+        (col("js_nats") / lit(math.log(2.0))).as("js_norm"),
+        col("support"), col("one_sided"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between `reference` and
+    * `current` for numeric `x`: D = max over observed values of
+    * |ECDF_ref(v) − ECDF_cur(v)|, with the asymptotic α=0.05 critical
+    * value c(α)·√((n₁+n₂)/(n₁·n₂)), c(0.05) = 1.358 (the classical
+    * two-sample approximation) and the `drifted` boolean D > crit —
+    * the distribution-shape drift test that catches what PSI's fixed
+    * bins can blur (PSI quantizes; KS compares the full ECDFs).
+    *
+    * Scale shape: one hash aggregate per side to DISTINCT-VALUE-sized
+    * count tables, a full-outer merge of those, then ONE unpartitioned
+    * cumulative window over the merged value order — value-cardinality
+    * rows, the same dimension-sized-window contract as
+    * [[Relational.cumulativeShare]]. That is the right shape for
+    * discrete/binned/low-cardinality features; for a CONTINUOUS column
+    * at corpus scale the distinct table is data-sized, so quantize
+    * first (the 6-dp round the repo uses everywhere caps the support
+    * at 10⁶·range values) or reach for [[psiBins]], whose edges
+    * collapse the support to nBins regardless of cardinality.
+    */
+  def ksStatistic(reference: DataFrame, current: DataFrame,
+      x: Column): DataFrame = {
+    val ref = reference.filter(x.isNotNull)
+      .groupBy(x.cast("double").as("__v")).agg(count(lit(1)).as("__cr"))
+    val cur = current.filter(x.isNotNull)
+      .groupBy(x.cast("double").as("__v")).agg(count(lit(1)).as("__cc"))
+    val merged = ref.join(cur, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val tot = merged.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__cc")).as("__tc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    merged.crossJoin(broadcast(tot))
+      .withColumn("__d", abs(sum(col("__cr")).over(w) / col("__tr") -
+        sum(col("__cc")).over(w) / col("__tc")))
+      .agg(max(col("__d")).as("ks_d"),
+        max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"))
+      .select(col("ks_d"),
+        (lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")))).as("ks_crit_005"),
+        col("n_ref"), col("n_cur"))
+      .withColumn("drifted", col("ks_d") > col("ks_crit_005"))
+  }
+
+  /** Token-distribution JS divergence between two corpora — the
+    * vocabulary-drift detector for text pipelines (new domain, new
+    * language, new boilerplate all move it). Tokenization is
+    * [[TextOps.tokens]] (the repo-wide parity tokenizer), then
+    * [[jsDivergence]] over the exploded token stream: the per-side
+    * aggregate is vocabulary-sized, so corpus size only pays the scan.
+    */
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: Column): DataFrame = {
+    def toks(df: DataFrame): DataFrame =
+      df.select(explode(TextOps.tokens(textCol)).as("__tok"))
+    jsDivergence(toks(a), toks(b), col("__tok"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Drift
+
+/** Drift detectors: PSI quantile-bin semantics and JS divergence
+  * identities (zero on identical, ln 2 on disjoint, symmetry).
+  */
+class DriftSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("psi is ~0 when current equals reference") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val row = Drift.psi(df, df, col("x"), nBins = 10).head()
+    assert(math.abs(row.getDouble(0)) < 1e-12)
+    assert(!row.getBoolean(1)) // not drifted
+    assert(row.getLong(2) == 1000L && row.getLong(3) == 1000L)
+  }
+
+  test("psi flags a shifted distribution") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    val cur = (1 to 1000).map(i => i.toDouble + 700.0).toDF("x")
+    val row = Drift.psi(ref, cur, col("x"), nBins = 10).head()
+    assert(row.getDouble(0) > 0.25)
+    assert(row.getBoolean(1))
+  }
+
+  test("psiBins emits every bin including zero-count ones") {
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    val cur = Seq(1.0, 2.0).toDF("x") // all current mass in bin 0
+    val bins = Drift.psiBins(ref, cur, col("x"), nBins = 5)
+      .orderBy("bin").collect()
+    assert(bins.length == 5)
+    assert(bins.map(_.getLong(0)).toSeq == (0L until 5L))
+    // reference mass ~uniform across bins; current only in bin 0
+    assert(bins.head.getLong(2) == 2L)
+    assert(bins.tail.forall(_.getLong(2) == 0L))
+    // zero-count current bins still carry a finite negative term
+    assert(bins.tail.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
+
+  test("psiBins on an empty reference returns an empty typed frame") {
+    val empty = Seq.empty[Double].toDF("x")
+    val cur = Seq(1.0).toDF("x")
+    val out = Drift.psiBins(empty, cur, col("x"), nBins = 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term"))
+  }
+
+  test("js divergence is 0 for identical distributions and ln2 for disjoint") {
+    val a = Seq("x", "x", "y", "z").toDF("k")
+    val same = Drift.jsDivergence(a, a, col("k")).head()
+    assert(math.abs(same.getDouble(0)) < 1e-12)
+    assert(same.getLong(3) == 0L) // no one-sided values
+    val b = Seq("p", "q").toDF("k")
+    val disj = Drift.jsDivergence(a, b, col("k")).head()
+    assert(math.abs(disj.getDouble(0) - math.log(2.0)) < 1e-12)
+    assert(math.abs(disj.getDouble(1) - 1.0) < 1e-12) // normalized = 1
+    assert(disj.getLong(3) == 5L)                     // all values one-sided
+  }
+
+  test("js divergence is symmetric") {
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val ab = Drift.jsDivergence(a, b, col("k")).head().getDouble(0)
+    val ba = Drift.jsDivergence(b, a, col("k")).head().getDouble(0)
+    assert(math.abs(ab - ba) < 1e-12)
+    assert(ab > 0.0 && ab < math.log(2.0))
+  }
+
+  test("ks statistic: 0 on identical, 1 on disjoint, flags a shift") {
+    val a = (1 to 500).map(_.toDouble).toDF("x")
+    val same = Drift.ksStatistic(a, a, col("x")).head()
+    assert(same.getDouble(0) == 0.0)
+    assert(!same.getBoolean(4))
+    val b = (1001 to 1500).map(_.toDouble).toDF("x")
+    val disj = Drift.ksStatistic(a, b, col("x")).head()
+    assert(disj.getDouble(0) == 1.0)
+    assert(disj.getBoolean(4))
+    // moderate shift: D = 0.2, crit ≈ 1.358·sqrt(2/500) ≈ 0.086
+    val shifted = (101 to 600).map(_.toDouble).toDF("x")
+    val row = Drift.ksStatistic(a, shifted, col("x")).head()
+    assert(math.abs(row.getDouble(0) - 0.2) < 1e-12)
+    assert(row.getBoolean(4))
+  }
+
+  test("token js divergence detects vocabulary drift") {
+    val a = Seq("the quick fox", "the lazy dog").toDF("text")
+    val sameCorpus = Drift.tokenJsDivergence(a, a, col("text")).head()
+    assert(math.abs(sameCorpus.getDouble(0)) < 1e-12)
+    val b = Seq("completely different words here").toDF("text")
+    val drifted = Drift.tokenJsDivergence(a, b, col("text")).head()
+    assert(math.abs(drifted.getDouble(1) - 1.0) < 1e-12) // disjoint vocab
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+/** Product-quantization kernels and the pqTopK pipeline: encode argmin
+  * vs a hand model, ADC table/lookup-sum consistency, exactness when
+  * the refine shortlist covers the corpus, recall band at the
+  * committed config.
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // 2 subspaces of 2 dims; subspace 0 centroids {(0,0),(10,10)},
+  // subspace 1 centroids {(0,0),(-10,-10)} — codebook layout is
+  // subspace-major, ksub=2
+  private val cb: Seq[Array[Double]] = Seq(
+    Array(0.0, 0.0), Array(10.0, 10.0),
+    Array(0.0, 0.0), Array(-10.0, -10.0))
+
+  test("pq encode picks the per-subspace argmin, ties to the lower code") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(9.0, 9.0, -9.0, -9.0)), // near c1 in sub0, near c1 in sub1
+      (2L, Seq(1.0, 1.0, 1.0, 1.0)),   // near c0 in both
+      (3L, Seq(5.0, 5.0, -5.0, -5.0))  // exactly between: tie → lower code
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+      GraftFunctions.pqEncode(col("v"), cb, 2).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 1))
+    assert(got(2L) == Seq(0, 0))
+    assert(got(3L) == Seq(0, 0))
+  }
+
+  test("adc table holds per-subspace squared distances; adc sum looks them up") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    val tab = df.select(GraftFunctions.pqAdcTable(col("v"), cb, 2).as("t"))
+      .head().getSeq[Double](0)
+    // sub0 vs (0,0): 1+4=5; vs (10,10): 81+64=145
+    // sub1 vs (0,0): 9+16=25; vs (-10,-10): 169+196=365
+    assert(tab == Seq(5.0, 145.0, 25.0, 365.0))
+    val s = df.select(GraftFunctions.pqAdcSum(
+        typedlit(tab), typedlit(Seq(1, 0)), 2).as("s"))
+      .head().getDouble(0)
+    assert(s == 145.0 + 25.0)
+  }
+
+  test("short vectors read missing elements as zero") {
+    GraftFunctions.register(spark)
+    val tab = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+      .select(GraftFunctions.pqAdcTable(col("v"), cb, 2).as("t"))
+      .head().getSeq[Double](0)
+    // sub1 = (3.0, 0.0): vs (0,0): 9; vs (-10,-10): 169+100=269
+    assert(tab(2) == 9.0 && tab(3) == 269.0)
+  }
+
+  test("null vector yields null codes / table") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
+    val r = df.select(GraftFunctions.pqEncode(col("v"), cb, 2).as("c"),
+      GraftFunctions.pqAdcTable(col("v"), cb, 2).as("t")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("pqTopK with a corpus-covering refine equals bruteTopK exactly") {
+    val rnd = new scala.util.Random(11)
+    val n = 60
+    val corpus = (0L until n).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    // refine ≥ corpus size ⇒ the shortlist is the whole corpus and the
+    // exact re-rank IS brute force, regardless of quantization error
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        5, m = 4, ksub = 4, refine = n.toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == brute)
+  }
+
+  test("ivfPqTopK with full probing and corpus-covering refine equals brute force") {
+    val rnd = new scala.util.Random(31)
+    val n = 80
+    val corpus = (0L until n).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    // nProbe == nCells ⇒ candidate generation complete; refine ≥ corpus
+    // ⇒ the re-rank IS brute force
+    val got = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        5, nCells = 4, nProbe = 4, m = 4, ksub = 4, refine = n.toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
+  test("ivfPqTopK recall band at a sparse-probe config") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 400L).map(i =>
+      (i, Seq.fill(64)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      5, nCells = 8, nProbe = 6, m = 16, ksub = 32, refine = 20)
+    val exact = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+    assert(Similarity.recallAtK(approx, exact, 0.8).head().getBoolean(3))
+  }
+
+  test("committed q_ann_pq config holds its recall bound on a fresh corpus") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 400L).map(i =>
+      (i, Seq.fill(64)(rnd.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      5, m = 16, ksub = 64, refine = 20)
+    val exact = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+    val ok = Similarity.recallAtK(approx, exact, 0.9)
+      .head().getBoolean(3)
+    assert(ok)
+  }
+}
