@@ -4641,6 +4641,68 @@ object Queries {
     },
     Some(annRecallSql("0.9")))
 
+  /** Streaming drift monitor — per-day PSI of the event stream's value
+    * distribution against the full corpus's decile bins
+    * ([[graft.streaming.Streams.driftMonitorAvailableNow]]): reference
+    * edges/proportions ride as literals, the stream pays ONE windowed
+    * aggregate (nBins conditional sums), PSI is a projection. The
+    * oracle replays reference derivation, binning, day bucketing, and
+    * the eps-floored terms in batch SQL — pinning stream==batch row
+    * parity like the other T3 rows. PSI is summed over a fixed
+    * 10-term expression tree on the Spark side vs an unordered SQL SUM
+    * on the oracle side, so the output is rounded at 6 dp (the
+    * accumulation-order tolerance every summed double in this file
+    * uses), not psi_term's 9.
+    */
+  val qStreamDrift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+      val probs = (1 until 10).map(_.toDouble / 10)
+      val edges = ev.agg(percentile(col("value"), typedlit(probs)).as("__q"))
+        .head().getSeq[Double](0)
+      def binOf(c: Column): Column =
+        edges.map(e => when(c > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+      val binCounts = ev.groupBy(binOf(col("value")).as("__bin"))
+        .agg(count(lit(1)).as("__c")).collect()
+        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val total = binCounts.values.sum.toDouble
+      val refProps = (0 until 10).map(i => binCounts.getOrElse(i, 0L) / total)
+      graft.streaming.Streams.driftMonitorAvailableNow(s, d, edges, refProps,
+          windowDur = "1 day", queryName = "q_stream_drift_mem")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("n"), round(col("psi"), 6).as("psi"))
+        .orderBy("day")
+    },
+    Some("""WITH src AS (SELECT event_id, ts, value AS v FROM events
+                         WHERE value IS NOT NULL),
+            e AS (SELECT unnest(quantile_cont(v,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q
+                  FROM src),
+            b AS (SELECT s.event_id, s.ts,
+                         count(*) FILTER (WHERE s.v > e.q) AS bin
+                  FROM src s CROSS JOIN e GROUP BY s.event_id, s.ts),
+            g AS (SELECT unnest(range(10)) AS bin),
+            rp AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+            rpp AS (SELECT g.bin,
+                           coalesce(rp.c, 0) / (SELECT count(*)::DOUBLE FROM src)
+                             AS p
+                    FROM g LEFT JOIN rp USING (bin)),
+            w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         bin FROM b),
+            wc AS (SELECT day, bin, count(*) AS c FROM w GROUP BY day, bin),
+            wn AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY day),
+            grid AS (SELECT wn.day, g.bin FROM wn CROSS JOIN g),
+            dense AS (SELECT grid.day, grid.bin, coalesce(wc.c, 0) AS c
+                      FROM grid LEFT JOIN wc USING (day, bin)),
+            terms AS (SELECT dense.day,
+                             (dense.c / wn.n - rpp.p) *
+                             ln(greatest(dense.c / wn.n, 1e-6) /
+                                greatest(rpp.p, 1e-6)) AS t
+                      FROM dense JOIN wn USING (day) JOIN rpp USING (bin))
+            SELECT terms.day, wn.n, round(sum(terms.t), 6) + 0.0 AS psi
+            FROM terms JOIN wn USING (day)
+            GROUP BY terms.day, wn.n ORDER BY terms.day"""))
+
   /** IVF-PQ composed ANN (coarse cells gate the candidate set, PQ codes
     * make each candidate m lookups, exact re-rank of the shortlist),
     * certified as a hash-checked recall@5 row like its parents.
@@ -4665,6 +4727,7 @@ object Queries {
     "q_psi_drift" -> qPsiDrift,
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,
+    "q_stream_drift" -> qStreamDrift,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,

@@ -172,6 +172,63 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming drift monitor: per-event-time-window PSI of the live
+    * `value` distribution against a STATIC reference — the
+    * production-monitoring companion to [[graft.operators.Drift]]: the
+    * batch detectors gate a data drop after the fact; this one watches
+    * drift arrive window by window at ingest.
+    *
+    * The reference rides as LITERALS (`edges` = its quantile bin edges,
+    * `refProps` = its per-bin mass — both O(nBins), computed once from
+    * the reference corpus, e.g. via [[graft.operators.Drift.psiBins]]),
+    * so the stream side is ONE windowed aggregate: binning is literal
+    * column math and the per-bin counts are nBins conditional sums in a
+    * single `agg` — Structured Streaming restricts chained streaming
+    * aggregations, so the second level (summing PSI terms over bins)
+    * is a pure PROJECTION over the nBins count columns, which is also
+    * exactly the state-minimal shape: one row of nBins longs per open
+    * window, nothing data-sized. Complete output + AvailableNow gives
+    * the batch-equivalent full result (oracle-checked stream==batch in
+    * q_stream_drift); a production deployment would use Update mode
+    * and alert on `psi` crossing its threshold as windows close.
+    */
+  def driftMonitorAvailableNow(spark: SparkSession, dir: String,
+      edges: Seq[Double], refProps: Seq[Double],
+      windowDur: String = "1 day", eps: Double = 1e-6,
+      queryName: String = "stream_drift",
+      statePartitions: Int = 8): DataFrame = {
+    require(refProps.length == edges.length + 1,
+      "refProps must have edges.length + 1 bins")
+    val nBins = refProps.length
+    def binOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      edges.map(e => when(c > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+    val binned = eventsStream(spark, dir)
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .withColumn("__bin", binOf(col("value")))
+    val aggs = (0 until nBins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agg = binned.groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamMetrics.record(q)
+    }
+    val n = (0 until nBins).map(i => col(s"__c$i")).reduce(_ + _)
+    val psi = (0 until nBins).map { i =>
+      val p = col(s"__c$i") / col("__n")
+      (p - lit(refProps(i))) *
+        log(greatest(p, lit(eps)) / lit(math.max(refProps(i), eps)))
+    }.reduce(_ + _)
+    spark.table(queryName)
+      .withColumn("__n", n)
+      .select(col("w.start").as("window_start"), col("__n").as("n"),
+        psi.as("psi"))
+  }
+
   /** T4: stream-static enrichment at ingest — the streaming side joins
     * a small STATIC dimension (here a tier mapping) before aggregating.
     * Spark plans the static side as a broadcast against every

@@ -38,6 +38,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor equals the batch PSI computation") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+    val probs = (1 until 10).map(_.toDouble / 10)
+    val edges = ev.agg(percentile(col("value"), typedlit(probs)).as("q"))
+      .head().getSeq[Double](0)
+    def binOf(c: org.apache.spark.sql.Column) =
+      edges.map(e => when(c > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+    val counts = ev.groupBy(binOf(col("value")).as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val refProps = (0 until 10).map(i => counts.getOrElse(i, 0L) / total)
+    val streamed = Streams.driftMonitorAvailableNow(spark, dir, edges, refProps,
+        windowDur = "1 day", queryName = "drift_mon_test")
+      .orderBy("window_start").collect()
+    // batch replay: same bins, same day bucketing, same eps-floored terms
+    val batch = ev
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("day").agg(
+        (0 until 10).map(i =>
+          sum(when(binOf(col("value")) === i, 1L).otherwise(0L)).as(s"c$i")).head,
+        (0 until 10).map(i =>
+          sum(when(binOf(col("value")) === i, 1L).otherwise(0L)).as(s"c$i")).tail: _*)
+      .orderBy("day").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s0, b0) =>
+      assert(s0.getTimestamp(0) == b0.getTimestamp(0))
+      val cs = (0 until 10).map(i => b0.getLong(i + 1))
+      val n = cs.sum
+      assert(s0.getLong(1) == n)
+      val psi = (0 until 10).map { i =>
+        val p = cs(i).toDouble / n
+        (p - refProps(i)) *
+          math.log(math.max(p, 1e-6) / math.max(refProps(i), 1e-6))
+      }.sum
+      assert(math.abs(s0.getDouble(2) - psi) < 1e-9)
+    }
+    // the reference IS the full corpus, so day-level PSI is small but
+    // nonzero — a constant-zero monitor would be broken
+    assert(streamed.exists(_.getDouble(2) > 0.0))
+  }
+
   test("T2 foreachBatch ingestion is exactly-once across restarts") {
     val src = Files.createTempDirectory("graft-src").toString
     val dest = Files.createTempDirectory("graft-dest").toString + "/out"
