@@ -67,10 +67,15 @@ object Drift {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
+    // shares are null (not a divide-by-zero throw under ANSI) when a
+    // side has zero total mass — a PSI against an empty current batch
+    // has no defined terms, and psi() filters the null through
     joined.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        (col("n_ref") / col("__tr")).as("p_ref"),
-        (col("n_cur") / col("__tc")).as("p_cur"))
+        when(col("__tr") > 0, col("n_ref").cast("double") / col("__tr"))
+          .as("p_ref"),
+        when(col("__tc") > 0, col("n_cur").cast("double") / col("__tc"))
+          .as("p_cur"))
       .withColumn("psi_term",
         (col("p_cur") - col("p_ref")) *
           log(greatest(col("p_cur"), lit(eps)) /
@@ -91,6 +96,10 @@ object Drift {
         sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
       .select(col("psi"), (col("psi") > lit(threshold)).as("drifted"),
         col("n_ref"), col("n_cur"))
+      // empty reference ⇒ psiBins is empty ⇒ the global agg emits its
+      // one all-null row; empty current ⇒ every psi_term is null. No
+      // measurable drift row is the honest answer to either.
+      .filter(col("psi").isNotNull)
 
   /** Jensen-Shannon divergence (nats) between the categorical
     * distributions of `key` in `a` vs `b`:
@@ -118,8 +127,10 @@ object Drift {
       sum(col("__cb")).as("__tb"))
     joined.crossJoin(broadcast(tot))
       .select(col("__k"),
-        (col("__ca") / col("__ta")).as("__pa"),
-        (col("__cb") / col("__tb")).as("__pb"))
+        when(col("__ta") > 0, col("__ca").cast("double") / col("__ta"))
+          .as("__pa"),
+        when(col("__tb") > 0, col("__cb").cast("double") / col("__tb"))
+          .as("__pb"))
       .withColumn("__m", (col("__pa") + col("__pb")) / 2)
       .agg(
         sum(when(col("__pa") > 0,
@@ -134,6 +145,9 @@ object Drift {
       .select(col("js_nats"),
         (col("js_nats") / lit(math.log(2.0))).as("js_norm"),
         col("support"), col("one_sided"))
+      // a divergence against zero observed mass is undefined: if either
+      // side (or both) is empty, emit NO row rather than a null/NaN one
+      .filter(col("support") > 0 && col("js_nats").isNotNull)
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic between `reference` and
@@ -170,8 +184,9 @@ object Drift {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     merged.crossJoin(broadcast(tot))
-      .withColumn("__d", abs(sum(col("__cr")).over(w) / col("__tr") -
-        sum(col("__cc")).over(w) / col("__tc")))
+      .withColumn("__d",
+        abs(sum(col("__cr")).over(w).cast("double") / col("__tr").cast("double") -
+          sum(col("__cc")).over(w).cast("double") / col("__tc").cast("double")))
       .agg(max(col("__d")).as("ks_d"),
         max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"))
       .select(col("ks_d"),
@@ -179,6 +194,8 @@ object Drift {
           (col("n_ref") * col("n_cur")))).as("ks_crit_005"),
         col("n_ref"), col("n_cur"))
       .withColumn("drifted", col("ks_d") > col("ks_crit_005"))
+      // ECDFs need mass on BOTH sides; an empty side emits no row
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
   }
 
   /** Token-distribution JS divergence between two corpora — the

@@ -88,4 +88,30 @@ class EmptyInputSpec extends AnyFunSuite {
     empt("profileTable n>0")(Profiling.profileTable(noDocs, Seq("text"))
       .filter(col("n_rows") > 0))
   }
+
+  test("drift operators: empty side in, empty out") {
+    import graft.operators.Drift
+    val someEvents = Seq((1L, 2L, "view",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // empty reference: no bins to compare against
+    empt("psiBins")(Drift.psiBins(noEvents, someEvents, col("value")))
+    empt("psi")(Drift.psi(noEvents, someEvents, col("value")))
+    // empty either side: divergence/ECDF against zero mass is undefined
+    empt("jsDivergence both empty")(Drift.jsDivergence(noEvents, noEvents,
+      col("event_type")))
+    empt("jsDivergence one empty")(Drift.jsDivergence(someEvents, noEvents,
+      col("event_type")))
+    empt("ksStatistic both empty")(Drift.ksStatistic(noEvents, noEvents,
+      col("value")))
+    empt("ksStatistic one empty")(Drift.ksStatistic(noEvents, someEvents,
+      col("value")))
+    empt("tokenJsDivergence")(Drift.tokenJsDivergence(noDocs, noDocs,
+      col("text")))
+    // non-empty sides must still emit their row after the guards
+    assert(Drift.psi(someEvents, someEvents, col("value")).count() == 1)
+    assert(Drift.jsDivergence(someEvents, someEvents, col("event_type"))
+      .count() == 1)
+    assert(Drift.ksStatistic(someEvents, someEvents, col("value")).count() == 1)
+  }
 }
