@@ -567,4 +567,42 @@ class PlanSpec extends AnyFunSuite {
     assert(res.passed, s"property failed: ${res.status}")
     assert(fired > 0, "vacuous property: the rule never rewrote any generated plan")
   }
+
+  test("heavyHitters aggregate partial-aggregates map-side") {
+    // The whole 100 TB claim of the sketch is map-side combine: each
+    // task ships one O(k) buffer, never its rows. (Probed on a fresh
+    // aggregate plan — inside q_heavy_hitters the sketch subtree is
+    // eagerly localCheckpoint'ed, so the certification query's final
+    // plan starts from the materialized RDD and can't carry the pin.)
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = docs.agg(graft.functions.GraftFunctions.heavyHitters(
+        graft.functions.Hashing.h60(col("lang")), 3))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_heavy_hitters"),
+      "expected a partial-mode MG aggregate:\n" + p.take(1200))
+  }
+
+  test("q_ann_pq: ADC scan reduces through the O(k)-buffer aggregate, shortlist joins broadcast") {
+    val p = plan("q_ann_pq")
+    // top-k over the N·Q scored stream must be the bounded-buffer
+    // aggregate (exchange carries queries·k·refine rows)…
+    assert(p.contains("partial_graft_top_k"),
+      "expected partial graft_top_k over the ADC scan:\n" + p.take(1200))
+    // …and every join in the pipeline — shortlist vector fetch AND the
+    // recall-certification join — must be a broadcast probe; a
+    // sort-merge join on the fetch side would shuffle the corpus
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q_psi_drift: literal-edge binning leaves a join-free aggregation pipeline") {
+    // Edges ride as literals (one collected percentile row), so binning
+    // must be pure column math: the only joins in the plan are the
+    // nBins-row grid densification and the 1-row totals attach — both
+    // broadcast. A shuffle join would mean the edge table went lazy.
+    val p = plan("q_psi_drift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(1200))
+  }
 }
