@@ -4565,6 +4565,104 @@ object Queries {
                      AS drifted
             FROM agg"""))
 
+  /** Chi-squared homogeneity drift between the even/odd event-type
+    * distributions — [[Drift.chiSquaredDrift]]: 2×K contingency cells
+    * with pooled-margin expectations, Wilson-Hilferty α=0.05 critical
+    * value (closed-form, engine-identical). Squares are explicit x·x
+    * (pow bit-parity is not guaranteed cross-engine); `drifted`
+    * compares unrounded values on both sides.
+    */
+  val qChi2Drift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      Drift.chiSquaredDrift(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), col("event_type"))
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"),
+          round(col("chi2_crit_005"), 6).as("chi2_crit_005"),
+          col("drifted"), col("n_ref"), col("n_cur"))
+    },
+    Some("""WITH ref AS (SELECT event_type AS k FROM events
+                         WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+            cur AS (SELECT event_type AS k FROM events
+                    WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+            ca AS (SELECT k, count(*) AS ca FROM ref GROUP BY k),
+            cb AS (SELECT k, count(*) AS cb FROM cur GROUP BY k),
+            j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                  FROM ca FULL JOIN cb USING (k)),
+            tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                           CAST(sum(cb) AS BIGINT) AS tb FROM j),
+            cells AS (SELECT ca, cb, ta, tb,
+                             (ca + cb) * CAST(ta AS DOUBLE) /
+                               CAST(ta + tb AS DOUBLE) AS ea,
+                             (ca + cb) * CAST(tb AS DOUBLE) /
+                               CAST(ta + tb AS DOUBLE) AS eb
+                      FROM j CROSS JOIN tot),
+            agg AS (SELECT sum((ca - ea) * (ca - ea) / ea +
+                               (cb - eb) * (cb - eb) / eb) AS chi2,
+                           CAST(count(*) - 1 AS BIGINT) AS dof,
+                           max(ta) AS n_ref, max(tb) AS n_cur FROM cells),
+            wh AS (SELECT chi2, dof,
+                          1.0 - 2.0 / (9.0 * dof) +
+                            1.6449 * sqrt(2.0 / (9.0 * dof)) AS w,
+                          n_ref, n_cur FROM agg),
+            f AS (SELECT chi2, dof, dof * (w * w * w) AS crit,
+                         n_ref, n_cur FROM wh)
+            SELECT round(chi2, 6) + 0.0 AS chi2, dof,
+                   round(crit, 6) + 0.0 AS chi2_crit_005,
+                   chi2 > crit AS drifted, n_ref, n_cur
+            FROM f"""))
+
+  /** Snapshot-profile drift between the even/odd event halves —
+    * [[Drift.profileDrift]]: two profileTable passes (batched
+    * multi-distinct aggregates, the q_profile_table shape), a
+    * columns-sized join, per-column null-rate/cardinality/mean deltas.
+    * The schema-level screen run before the distribution-level
+    * detectors.
+    */
+  val qProfileDrift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      Drift.profileDrift(ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          Seq("value", "event_type", "user_id"))
+        .select(col("column"), col("n_ref"), col("n_cur"),
+          round(col("null_rate_ref"), 6).as("null_rate_ref"),
+          round(col("null_rate_cur"), 6).as("null_rate_cur"),
+          col("distinct_ref"), col("distinct_cur"),
+          round(col("mean_ref"), 6).as("mean_ref"),
+          round(col("mean_cur"), 6).as("mean_cur"),
+          round(col("null_rate_delta"), 6).as("null_rate_delta"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"),
+          round(col("mean_shift"), 6).as("mean_shift"))
+        .orderBy("column")
+    },
+    Some {
+      def prof(src: String) =
+        s"""SELECT 'value' AS c, count(*) AS n, count(*) - count(value) AS nn,
+                   count(DISTINCT value) AS nd, avg(value) AS m FROM $src
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL FROM $src
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id), avg(user_id) FROM $src"""
+      s"""WITH ref AS (SELECT * FROM events WHERE event_id % 2 = 0),
+          cur AS (SELECT * FROM events WHERE event_id % 2 = 1),
+          pr AS (${prof("ref")}),
+          pc AS (${prof("cur")})
+          SELECT pr.c AS "column", pr.n AS n_ref, pc.n AS n_cur,
+                 round(pr.nn / CAST(pr.n AS DOUBLE), 6) + 0.0 AS null_rate_ref,
+                 round(pc.nn / CAST(pc.n AS DOUBLE), 6) + 0.0 AS null_rate_cur,
+                 pr.nd AS distinct_ref, pc.nd AS distinct_cur,
+                 round(pr.m, 6) + 0.0 AS mean_ref,
+                 round(pc.m, 6) + 0.0 AS mean_cur,
+                 round(pc.nn / CAST(pc.n AS DOUBLE) -
+                       pr.nn / CAST(pr.n AS DOUBLE), 6) + 0.0 AS null_rate_delta,
+                 round(pc.nd / CAST(pr.nd AS DOUBLE), 6) + 0.0 AS distinct_ratio,
+                 round((pc.m - pr.m) / abs(pr.m), 6) + 0.0 AS mean_shift
+          FROM pr JOIN pc ON pr.c = pc.c ORDER BY pr.c"""
+    })
+
   /** Misra-Gries heavy-hitters certification: the k=3-counter sketch
     * over h60(lang) is order-dependent in its exact counter values, so
     * the checked row carries only the ORDER-INVARIANT guarantees
@@ -4728,6 +4826,8 @@ object Queries {
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,
     "q_stream_drift" -> qStreamDrift,
+    "q_chi2_drift" -> qChi2Drift,
+    "q_profile_drift" -> qProfileDrift,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,

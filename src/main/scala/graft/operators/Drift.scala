@@ -198,6 +198,87 @@ object Drift {
       .filter(col("n_ref") > 0 && col("n_cur") > 0)
   }
 
+  /** Chi-squared two-sample homogeneity statistic for categorical
+    * `key`: the 2×K contingency table of (side, value) counts,
+    * χ² = Σ (O − E)²/E over its cells with expectations from the
+    * pooled margins, dof = K − 1, and an α=0.05 critical value via the
+    * Wilson-Hilferty cube approximation (public standard:
+    * dof·(1 − 2/(9·dof) + z·√(2/(9·dof)))³, z = 1.6449 — closed-form,
+    * so both engines compute it identically; an exact inverse-χ² CDF
+    * is not SQL-expressible). Complements [[jsDivergence]]: χ² weights
+    * cells by 1/E, so it is SENSITIVE to shifts in rare categories
+    * that a mass-weighted divergence shrugs off.
+    *
+    * Same scale shape as jsDivergence: support-sized count tables,
+    * full-outer merge, broadcast totals, one 1-row sum. Cells where a
+    * value is absent from one side contribute (O−E)²/E normally (E > 0
+    * whenever the pooled count is positive). Emits no row when either
+    * side is empty or the support is a single value (dof = 0).
+    */
+  def chiSquaredDrift(a: DataFrame, b: DataFrame, key: Column): DataFrame = {
+    val ca = a.filter(key.isNotNull).groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(key.isNotNull).groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb, Seq("__k"), "full_outer")
+      .select(col("__k"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(sum(col("__ca")).as("__ta"),
+      sum(col("__cb")).as("__tb"))
+    val z = 1.6449 // standard normal 95th percentile, 4 dp (public table)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__n", (col("__ta") + col("__tb")).cast("double"))
+      .withColumn("__ea",
+        (col("__ca") + col("__cb")) * col("__ta").cast("double") / col("__n"))
+      .withColumn("__eb",
+        (col("__ca") + col("__cb")) * col("__tb").cast("double") / col("__n"))
+      .agg(
+        // explicit squares, not pow(x, 2): pow's cross-engine bit
+        // parity is not guaranteed, x*x is
+        sum((col("__ca") - col("__ea")) * (col("__ca") - col("__ea")) / col("__ea")
+          + (col("__cb") - col("__eb")) * (col("__cb") - col("__eb")) / col("__eb"))
+          .as("chi2"),
+        (count(lit(1)) - 1).cast("long").as("dof"),
+        max(col("__ta")).as("n_ref"), max(col("__tb")).as("n_cur"))
+      .withColumn("__wh", lit(1.0) - lit(2.0) / (lit(9.0) * col("dof")) +
+        lit(z) * sqrt(lit(2.0) / (lit(9.0) * col("dof"))))
+      // explicit cube (not pow(x, 3)) for cross-engine bit parity
+      .withColumn("chi2_crit_005",
+        col("dof") * (col("__wh") * col("__wh") * col("__wh")))
+      .withColumn("drifted", col("chi2") > col("chi2_crit_005"))
+      .select(col("chi2"), col("dof"), col("chi2_crit_005"), col("drifted"),
+        col("n_ref"), col("n_cur"))
+      // empty side ⇒ E = 0 cells; single-value support ⇒ dof 0: no row
+      .filter(col("n_ref") > 0 && col("n_cur") > 0 && col("dof") > 0)
+  }
+
+  /** Snapshot-profile drift: per-column deltas between two snapshots'
+    * [[Profiling.profileTable]] rows — the SCHEMA-level drift screen
+    * (null-rate moved, cardinality collapsed, mean shifted) run before
+    * the distribution-level detectors above. One profile aggregate per
+    * snapshot, a columns-sized join, pure arithmetic — nothing
+    * data-sized after the two profile passes.
+    */
+  def profileDrift(reference: DataFrame, current: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, suffix: String): DataFrame =
+      Profiling.profileTable(df, cols).select(col("column"),
+        col("n_rows").as(s"n_$suffix"),
+        when(col("n_rows") > 0, col("n_null").cast("double") / col("n_rows"))
+          .as(s"null_rate_$suffix"),
+        col("n_distinct").as(s"distinct_$suffix"),
+        col("avg_d").as(s"mean_$suffix"))
+    side(reference, "ref").join(side(current, "cur"), Seq("column"))
+      .withColumn("null_rate_delta",
+        col("null_rate_cur") - col("null_rate_ref"))
+      .withColumn("distinct_ratio",
+        when(col("distinct_ref") > 0,
+          col("distinct_cur").cast("double") / col("distinct_ref")))
+      .withColumn("mean_shift",
+        when(abs(col("mean_ref")) > 0,
+          (col("mean_cur") - col("mean_ref")) / abs(col("mean_ref"))))
+  }
+
   /** Token-distribution JS divergence between two corpora — the
     * vocabulary-drift detector for text pipelines (new domain, new
     * language, new boilerplate all move it). Tokenization is

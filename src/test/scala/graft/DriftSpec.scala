@@ -89,6 +89,49 @@ class DriftSpec extends AnyFunSuite {
     assert(row.getBoolean(4))
   }
 
+  test("chi-squared drift: ~0 on identical counts, flags a category shift") {
+    val a = (Seq.fill(100)("x") ++ Seq.fill(100)("y") ++ Seq.fill(100)("z")).toDF("k")
+    val same = Drift.chiSquaredDrift(a, a, col("k")).head()
+    assert(math.abs(same.getDouble(0)) < 1e-12)
+    assert(same.getLong(1) == 2L) // dof = K - 1
+    assert(!same.getBoolean(3))
+    // b: mass moved from x to y — plainly inhomogeneous
+    val b = (Seq.fill(10)("x") ++ Seq.fill(190)("y") ++ Seq.fill(100)("z")).toDF("k")
+    val moved = Drift.chiSquaredDrift(a, b, col("k")).head()
+    assert(moved.getDouble(0) > moved.getDouble(2)) // chi2 > crit
+    assert(moved.getBoolean(3))
+  }
+
+  test("chi-squared drift: empty side or single-value support emits no row") {
+    val a = Seq("x", "x").toDF("k")
+    assert(Drift.chiSquaredDrift(a, Seq.empty[String].toDF("k"), col("k")).count() == 0)
+    // identical single-category sides: dof would be 0
+    assert(Drift.chiSquaredDrift(a, a, col("k")).count() == 0)
+  }
+
+  test("profile drift reports null-rate, cardinality, and mean deltas per column") {
+    val ref = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Some(30.0), "c"), (4L, None, "d"))
+      .toDF("id", "v", "s")
+    val cur = Seq((5L, Some(60.0), "a"), (6L, None, "a"),
+      (7L, None, "a"), (8L, None, "a"))
+      .toDF("id", "v", "s")
+    val got = Drift.profileDrift(ref, cur, Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    assert(v.getAs[Long]("n_ref") == 4L && v.getAs[Long]("n_cur") == 4L)
+    assert(math.abs(v.getAs[Double]("null_rate_ref") - 0.25) < 1e-12)
+    assert(math.abs(v.getAs[Double]("null_rate_cur") - 0.75) < 1e-12)
+    assert(math.abs(v.getAs[Double]("null_rate_delta") - 0.5) < 1e-12)
+    assert(math.abs(v.getAs[Double]("mean_ref") - 20.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("mean_cur") - 60.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("mean_shift") - 2.0) < 1e-12)
+    val s = got("s")
+    assert(s.getAs[Long]("distinct_ref") == 4L && s.getAs[Long]("distinct_cur") == 1L)
+    assert(math.abs(s.getAs[Double]("distinct_ratio") - 0.25) < 1e-12)
+    assert(s.isNullAt(s.fieldIndex("mean_shift"))) // non-numeric column
+  }
+
   test("token js divergence detects vocabulary drift") {
     val a = Seq("the quick fox", "the lazy dog").toDF("text")
     val sameCorpus = Drift.tokenJsDivergence(a, a, col("text")).head()
