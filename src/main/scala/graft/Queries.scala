@@ -4821,7 +4821,51 @@ object Queries {
     },
     Some(annRecallSql("0.9")))
 
+  /** Count-min sketch certification — and unlike the HLL/MG rows this
+    * one is a FULL value-level replay, not a guarantee boolean: the
+    * sketch's row hash is h60("d:x") (the repo's engine-portable md5
+    * primitive), so DuckDB rebuilds every cell count relationally and
+    * each point estimate hash-matches exactly. The sketch is fully
+    * order-invariant (counters are sums), which is what makes the
+    * estimates — not just their bounds — deterministic. width=64 over
+    * 150 users forces real collisions, so `est > n_exact` rows exist
+    * and the ≥ guarantee is exercised non-vacuously.
+    */
+  val qCountMin = QDef(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (width, depth) = (64, 4)
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      val sk = ev.agg(graft.functions.GraftFunctions
+        .countMin(col("user_id"), width, depth).as("sk"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      exact.crossJoin(broadcast(sk))
+        .withColumn("est", graft.functions.GraftFunctions
+          .countMinQuery(col("sk"), col("user_id"), width, depth))
+        .select(col("user_id"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("over_ok"))
+        .orderBy("user_id")
+    },
+    Some("""WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+            dd AS (SELECT unnest(range(4)) AS d),
+            cells AS (SELECT dd.d,
+                             ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                               CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+                               AS cell,
+                             count(*) AS n
+                      FROM src CROSS JOIN dd GROUP BY 1, 2),
+            exact AS (SELECT user_id, count(*) AS c FROM src GROUP BY 1),
+            est AS (SELECT e.user_id, e.c, min(cl.n) AS est
+                    FROM exact e CROSS JOIN dd
+                    JOIN cells cl ON cl.d = dd.d AND cl.cell =
+                      ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                        CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+                    GROUP BY e.user_id, e.c)
+            SELECT user_id, c AS n_exact, est, est >= c AS over_ok
+            FROM est ORDER BY user_id"""))
+
   val all: Seq[(String, QDef)] = Seq(
+    "q_count_min" -> qCountMin,
     "q_psi_drift" -> qPsiDrift,
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,

@@ -72,6 +72,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.centroidCellsFunctionDescriptor)
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.heavyHittersFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.countMinFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
     ext.injectFunction(GraftFunctions.lshBucketsFunctionDescriptor)
@@ -116,6 +117,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_heavy_hitters"),
     new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
     HeavyHitters.fromExprs _)
+
+  val countMinFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_count_min"),
+    new ExpressionInfo(classOf[CountMinSketch].getName, "graft_count_min"),
+    CountMinSketch.fromExprs _)
 
   val topKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_top_k"),
@@ -181,6 +187,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters", HeavyHitters.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_count_min", CountMinSketch.fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_top_run",
@@ -230,6 +238,29 @@ object GraftFunctions {
     */
   def heavyHitters(c: Column, k: Int): Column =
     call_function("graft_heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
+
+  /** Count-min sketch aggregate, width×depth counters as one flat array
+    * (requires [[register]]) — see [[CountMinSketch]]. Point-query with
+    * [[countMinQuery]].
+    */
+  def countMin(c: Column, width: Int, depth: Int): Column =
+    call_function("graft_count_min", c,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(depth))
+
+  /** Point query against a [[countMin]] sketch column: min over the
+    * item's depth cells — composed from builtins (element_at + least),
+    * cells addressed with the same h60("d:x") hash the aggregate uses.
+    */
+  def countMinQuery(sketch: Column, item: Column, width: Int, depth: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val cells = (0 until depth).map { d =>
+      element_at(sketch, (lit(d * width) +
+        pmod(Hashing.h60(concat(lit(s"$d:"), item.cast("string"))), lit(width.toLong))
+          .cast("int") + 1).cast("int"))
+    }
+    if (cells.length == 1) cells.head else least(cells: _*)
+  }
 
   /** Grouped top-k by score, O(k) buffer + map-side partials (requires
     * [[register]]). Returns sorted array<struct<score, payload>>.
