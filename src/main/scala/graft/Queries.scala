@@ -2814,13 +2814,23 @@ object Queries {
   /** EXACT prefix-filtered similarity join (SSJoin/PPJoin pruning,
     * [[graft.operators.Dedup.prefixJaccardPairs]]): candidates come only
     * from each doc's rarest-shingle prefix, yet the result is the FULL
-    * Jaccard ≥ 0.5 pair set — which is exactly what the oracle asserts:
+    * Jaccard ≥ t pair set — which is exactly what the oracle asserts:
     * it replays the ground truth via the unpruned all-shared-shingle
     * join, so any pair the pruning wrongly dropped would hash-mismatch.
+    * Demo threshold is 0.8 (the realistic near-dup setting, and the
+    * regime prefix filtering is FOR: prefix length is |sh|·(1−t)+1, so
+    * t=0.8 prunes 4× harder than the earlier t=0.5 demo), and the
+    * operator now applies the SSJoin size filter at pair generation
+    * (122k posting pairs → 43.6k candidates at sf0.1). Measured effect
+    * is honest but modest — 7.8 → ~6 s at sf0.1 — because on this
+    * df-flat corpus the FIXED machinery (freq join + rarity sort +
+    * array verification), not candidate volume, dominates: the
+    * committed negative-result verdict on the operator stands. The
+    * t=0.5 parity stays spec-covered in DedupSpec.
     */
   val qPrefixJaccard = QDef(
     (s, d) => Dedup.prefixJaccardPairs(wideT(s, d, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b"),
     Some {
@@ -2840,7 +2850,7 @@ object Queries {
           FROM inter
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
-          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
           ORDER BY id_a, id_b"""
     })
 
