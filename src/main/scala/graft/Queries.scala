@@ -4874,8 +4874,78 @@ object Queries {
             SELECT user_id, c AS n_exact, est, est >= c AS over_ok
             FROM est ORDER BY user_id"""))
 
+  /** BPE tokenizer training, 4 merge rounds ([[TextOps.bpeTrain]]) —
+    * the oracle replays the FULL loop: initial char+`</w>` segmentation,
+    * per-round pair counting, the (count desc, pair asc) argmax, and
+    * the greedy merge application via its island/parity form (a match
+    * position survives iff its offset within a run of consecutive
+    * matches is even — equivalent to greedy left-to-right, and
+    * window-expressible where the sequential fold is not). Each round
+    * is one CTE block; any divergence in any round's chosen pair or
+    * count hash-mismatches.
+    */
+  val qBpeTrain = QDef(
+    (s, d) => TextOps.bpeTrain(wideT(s, d, "documents"), col("text"), rounds = 4)
+      .orderBy("round"),
+    Some {
+      def roundSql(r: Int): String = {
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT f, syms[i] AS l, syms[i + 1] AS r2
+                    FROM (SELECT f, syms,
+                                 unnest(range(1, len(syms))) AS i
+                          FROM $prev)),
+            m$r AS (SELECT l, r2, sum(f) AS c FROM p$r GROUP BY l, r2
+                    ORDER BY c DESC, l, r2 LIMIT 1),
+            x$r AS (SELECT w, f, syms,
+                           unnest(range(1, len(syms) + 1)) AS i
+                    FROM $prev),
+            y$r AS (SELECT x.w, x.f, x.i, x.syms[x.i] AS s,
+                           CASE WHEN x.i < len(x.syms)
+                                 AND x.syms[x.i] = m.l
+                                 AND x.syms[x.i + 1] = m.r2
+                             THEN 1 ELSE 0 END AS mt
+                    FROM x$r x CROSS JOIN m$r m),
+            z$r AS (SELECT *, CASE WHEN mt = 1 THEN
+                             i - row_number() OVER (PARTITION BY w, mt ORDER BY i)
+                           END AS isl
+                    FROM y$r),
+            k$r AS (SELECT *, CASE WHEN mt = 1 AND
+                             (i - min(i) OVER (PARTITION BY w, isl)) % 2 = 0
+                           THEN 1 ELSE 0 END AS keep
+                    FROM z$r),
+            n$r AS (SELECT w, f, i,
+                           CASE WHEN keep = 1 THEN (SELECT l || r2 FROM m$r)
+                                WHEN lag(keep) OVER (PARTITION BY w ORDER BY i) = 1
+                                  THEN NULL
+                                ELSE s END AS ns,
+                           CASE WHEN keep = 1 THEN 1
+                                WHEN lag(keep) OVER (PARTITION BY w ORDER BY i) = 1
+                                  THEN NULL
+                                ELSE 1 END AS live
+                    FROM k$r),
+            s$r AS (SELECT w, any_value(f) AS f,
+                           list(ns ORDER BY i) FILTER (WHERE live IS NOT NULL)
+                             AS syms
+                    FROM n$r GROUP BY w)"""
+      }
+      val rounds = (1 to 4).map(roundSql).mkString(",\n          ")
+      val out = (1 to 4).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
+                   CAST(c AS BIGINT) AS pair_count FROM m$r""")
+        .mkString("\n             UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS w FROM documents),
+          v0 AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w),
+          s0 AS (SELECT w, f,
+                        list_append(list_transform(range(1, len(w) + 1),
+                          i -> substr(w, i, 1)), '</w>') AS syms
+                 FROM v0),
+          $rounds
+          SELECT * FROM ($out) ORDER BY round"""
+    })
+
   val all: Seq[(String, QDef)] = Seq(
     "q_count_min" -> qCountMin,
+    "q_bpe_train" -> qBpeTrain,
     "q_psi_drift" -> qPsiDrift,
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,

@@ -73,6 +73,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.bottomKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.heavyHittersFunctionDescriptor)
     ext.injectFunction(GraftFunctions.countMinFunctionDescriptor)
+    ext.injectFunction(GraftFunctions.bpeMergeFunctionDescriptor)
     ext.injectFunction(GraftFunctions.topKFunctionDescriptor)
     ext.injectFunction(GraftFunctions.gramTopRunFunctionDescriptor)
     ext.injectFunction(GraftFunctions.lshBucketsFunctionDescriptor)
@@ -122,6 +123,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_count_min"),
     new ExpressionInfo(classOf[CountMinSketch].getName, "graft_count_min"),
     CountMinSketch.fromExprs _)
+
+  val bpeMergeFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_merge"),
+    new ExpressionInfo(classOf[BpeMergePair].getName, "graft_bpe_merge"),
+    (exprs: Seq[Expression]) => BpeMergePair(exprs.head, exprs(1), exprs(2)))
 
   val topKFunctionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_top_k"),
@@ -189,6 +195,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_count_min", CountMinSketch.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_merge",
+      exprs => BpeMergePair(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k", TopKScored.fromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_top_run",
@@ -247,6 +256,14 @@ object GraftFunctions {
     call_function("graft_count_min", c,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(depth))
+
+  /** One greedy BPE merge application over a symbol array (requires
+    * [[register]]) — see [[BpeMergePair]].
+    */
+  def bpeMerge(symbols: Column, l: String, r: String): Column =
+    call_function("graft_bpe_merge", symbols,
+      org.apache.spark.sql.functions.lit(l),
+      org.apache.spark.sql.functions.lit(r))
 
   /** Point query against a [[countMin]] sketch column: min over the
     * item's depth cells — composed from builtins (element_at + least),

@@ -163,6 +163,72 @@ object TextOps {
       .limit(topK)
   }
 
+  /** BPE tokenizer TRAINING (the merge loop of Sennrich, Haddow &
+    * Birch, ACL 2016 — [[bpePairStats]] is its single-round counting
+    * step): `rounds` iterations of count-adjacent-pairs → pick the
+    * most frequent (ties: lexicographic (l, r), so every engine and
+    * run picks identically) → apply the greedy merge to every word.
+    * Words carry the classic `</w>` end-of-word marker so final-
+    * position merges stay distinct from word-internal ones. Returns
+    * the learned merge table (round, left, right, pair_count) —
+    * exactly what a BPE tokenizer ships as its merges file. Stops
+    * early when no adjacent pair remains.
+    *
+    * Scale shape: ONE corpus pass builds the (word, freq) vocabulary;
+    * every round after that is vocabulary-sized — a pair explode +
+    * hash aggregate + 1-row TakeOrdered collect (the argmax; O(1)
+    * driver data per round) + a map-only
+    * [[graft.functions.BpeMergePair]] projection. The vocabulary is
+    * localCheckpoint'ed each round (the iterative-loop lineage
+    * discipline of connectedComponents) so the plan never deepens.
+    * 100 TB: the corpus pass dominates, rounds amortize over a
+    * vocabulary that is ~10⁶ rows regardless of corpus size.
+    */
+  def bpeTrain(df: DataFrame, textCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    var vocab = df.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__f"),
+        concat(
+          transform(sequence(lit(1), length(col("__w"))),
+            i => col("__w").substr(i, lit(1))),
+          array(lit("</w>"))).as("__syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = vocab
+        .select(col("__f"), explode(
+          zip_with(slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+            slice(col("__syms"), lit(2), size(col("__syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p")).agg(sum(col("__f")).as("__c"))
+        .orderBy(col("__c").desc, col("__p.l"), col("__p.r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val p = row.getStruct(0)
+        val l = p.getString(0)
+        val r = p.getString(1)
+        val c = row.getLong(1)
+        merges += ((round, l, r, c))
+        vocab = vocab.withColumn("__syms",
+            graft.functions.GraftFunctions.bpeMerge(col("__syms"), l, r))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_count")
+      .select(col("round").cast("long").as("round"), col("left"),
+        col("right"), col("pair_count"))
+  }
+
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — language ID at corpus scale is a
     * counting problem, not a model problem.
