@@ -4874,21 +4874,12 @@ object Queries {
             SELECT user_id, c AS n_exact, est, est >= c AS over_ok
             FROM est ORDER BY user_id"""))
 
-  /** BPE tokenizer training, 4 merge rounds ([[TextOps.bpeTrain]]) —
-    * the oracle replays the FULL loop: initial char+`</w>` segmentation,
-    * per-round pair counting, the (count desc, pair asc) argmax, and
-    * the greedy merge application via its island/parity form (a match
-    * position survives iff its offset within a run of consecutive
-    * matches is even — equivalent to greedy left-to-right, and
-    * window-expressible where the sequential fold is not). Each round
-    * is one CTE block; any divergence in any round's chosen pair or
-    * count hash-mismatches.
+  /** Shared DuckDB replay of one BPE merge round (used by q_bpe_train
+    * and q_bpe_encode): pair counting over segmentation s{r-1}, the
+    * (count desc, pair asc) argmax as m{r}, and greedy merge
+    * application in its island/parity window form producing s{r}.
     */
-  val qBpeTrain = QDef(
-    (s, d) => TextOps.bpeTrain(wideT(s, d, "documents"), col("text"), rounds = 4)
-      .orderBy("round"),
-    Some {
-      def roundSql(r: Int): String = {
+  private def bpeRoundSql(r: Int): String = {
         val prev = s"s${r - 1}"
         s"""p$r AS (SELECT f, syms[i] AS l, syms[i + 1] AS r2
                     FROM (SELECT f, syms,
@@ -4927,25 +4918,73 @@ object Queries {
                            list(ns ORDER BY i) FILTER (WHERE live IS NOT NULL)
                              AS syms
                     FROM n$r GROUP BY w)"""
-      }
-      val rounds = (1 to 4).map(roundSql).mkString(",\n          ")
-      val out = (1 to 4).map(r =>
-        s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
-                   CAST(c AS BIGINT) AS pair_count FROM m$r""")
-        .mkString("\n             UNION ALL ")
-      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS w FROM documents),
+  }
+
+  /** Shared prologue: vocabulary + initial char+`</w>` segmentation. */
+  private def bpePrologueSql: String =
+    s"""toks AS (SELECT unnest(${toksSql("text")}) AS w FROM documents),
           v0 AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w),
           s0 AS (SELECT w, f,
                         list_append(list_transform(range(1, len(w) + 1),
                           i -> substr(w, i, 1)), '</w>') AS syms
-                 FROM v0),
+                 FROM v0)"""
+
+  /** BPE tokenizer training, 4 merge rounds ([[TextOps.bpeTrain]]) —
+    * the oracle replays the FULL loop: initial char+`</w>` segmentation,
+    * per-round pair counting, the (count desc, pair asc) argmax, and
+    * the greedy merge application via its island/parity form (a match
+    * position survives iff its offset within a run of consecutive
+    * matches is even — equivalent to greedy left-to-right, and
+    * window-expressible where the sequential fold is not). Each round
+    * is one CTE block; any divergence in any round's chosen pair or
+    * count hash-mismatches.
+    */
+  val qBpeTrain = QDef(
+    (s, d) => TextOps.bpeTrain(wideT(s, d, "documents"), col("text"), rounds = 4)
+      .orderBy("round"),
+    Some {
+      val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n          ")
+      val out = (1 to 4).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, l AS "left", r2 AS "right",
+                   CAST(c AS BIGINT) AS pair_count FROM m$r""")
+        .mkString("\n             UNION ALL ")
+      s"""WITH $bpePrologueSql,
           $rounds
           SELECT * FROM ($out) ORDER BY round"""
+    })
+
+  /** BPE tokenizer APPLICATION ([[TextOps.bpeSegment]]) under the same
+    * 4 trained merges: the per-word subword segmentation and subword
+    * count for the corpus vocabulary — the encode side of the
+    * tokenizer, verified end-to-end (train + apply) because the oracle
+    * replays the full training chain and reads its FINAL segmentation
+    * s4 (the Spark side re-applies the collected merge list through
+    * the same greedy kernel, so any train/apply disagreement
+    * hash-mismatches on the segmentation strings).
+    */
+  val qBpeEncode = QDef(
+    (s, d) => {
+      val docs = wideT(s, d, "documents")
+      val merges = TextOps.bpeTrain(docs, col("text"), rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeSegment(docs, col("text"), merges)
+        .orderBy("word")
+    },
+    Some {
+      val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n          ")
+      s"""WITH $bpePrologueSql,
+          $rounds
+          SELECT w AS word, f AS freq,
+                 array_to_string(syms, ' ') AS segmentation,
+                 CAST(len(syms) AS BIGINT) AS n_subwords
+          FROM s4 ORDER BY w"""
     })
 
   val all: Seq[(String, QDef)] = Seq(
     "q_count_min" -> qCountMin,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
     "q_psi_drift" -> qPsiDrift,
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,

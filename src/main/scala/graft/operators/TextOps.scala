@@ -229,6 +229,40 @@ object TextOps {
         col("right"), col("pair_count"))
   }
 
+  /** BPE tokenizer APPLICATION: segment the corpus VOCABULARY under an
+    * already-learned merge list (the inference side of [[bpeTrain]] —
+    * at encode time a tokenizer applies merges in learned order, and
+    * because segmentation is a pure function of the WORD, it runs once
+    * per distinct word, never per token: one corpus pass to the
+    * (word, freq) vocabulary, then `merges.length` map-only
+    * [[graft.functions.BpeMergePair]] projections over the
+    * vocabulary-sized table. Joining the result back to a token stream
+    * is a broadcast of the vocabulary's segmentation — the standard
+    * encode shape at any corpus size.)
+    *
+    * Returns (word, freq, segmentation, n_subwords), segmentation as
+    * the space-joined subword list.
+    */
+  def bpeSegment(df: DataFrame, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vocab = df.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    var seg = vocab.withColumn("__syms",
+      concat(
+        transform(sequence(lit(1), length(col("__w"))),
+          i => col("__w").substr(i, lit(1))),
+        array(lit("</w>"))))
+    merges.foreach { case (l, r) =>
+      seg = seg.withColumn("__syms",
+        graft.functions.GraftFunctions.bpeMerge(col("__syms"), l, r))
+    }
+    seg.select(col("__w").as("word"), col("__f").as("freq"),
+      array_join(col("__syms"), " ").as("segmentation"),
+      size(col("__syms")).cast("long").as("n_subwords"))
+  }
+
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — language ID at corpus scale is a
     * counting problem, not a model problem.

@@ -49,6 +49,17 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", "</w>", 1L), (2L, "b", "</w>", 1L)))
   }
 
+  test("bpeSegment applies a learned merge list to the vocabulary") {
+    val docs = Seq("low low low", "lower").toDF("text")
+    val learned = merges(docs, 3).map(m => (m._2, m._3)).toSeq
+    val seg = TextOps.bpeSegment(docs, col("text"), learned)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    // merges: (l,o), (lo,w), (low,</w>)
+    assert(seg("low") == ((3L, "low</w>", 1L)))
+    assert(seg("lower") == ((1L, "low e r </w>", 4L)))
+  }
+
   test("frequency weighting drives the argmax") {
     // 'zzz' (two z-z pairs per word) × 5 vs 'ab' × 1: (z,z) reaches 10,
     // every other pair ≤ 5, so frequency beats alphabetical order
