@@ -4673,6 +4673,44 @@ object Queries {
           FROM pr JOIN pc ON pr.c = pc.c ORDER BY pr.c"""
     })
 
+  /** Embedding-space drift between the even/odd vec_id halves —
+    * [[Drift.embeddingDrift]]: cosine of the two mean vectors plus the
+    * mean-norm ratio (the normalization-regression catch cosine is
+    * blind to). One per-dimension aggregate per side; everything after
+    * is dim-sized. The label-clustered synthetic embeddings give both
+    * halves the same label mix, so mean_cosine sits near 1 — a
+    * nontrivial value the oracle recomputes dimension-for-dimension.
+    */
+  val qEmbeddingDrift = QDef(
+    (s, d) => {
+      val emb = wideT(s, d, "embeddings")
+      Drift.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), col("embedding"))
+        .select(round(col("mean_cosine"), 6).as("mean_cosine"),
+          round(col("mean_norm_ratio"), 6).as("mean_norm_ratio"),
+          col("n_ref"), col("n_cur"))
+    },
+    Some("""WITH a AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id % 2 = 0),
+            b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id % 2 = 1),
+            ja AS (SELECT i, avg(x) AS ma, count(*) AS na
+                   FROM (SELECT unnest(range(0, len(v))) AS i,
+                                unnest(v) AS x FROM a) GROUP BY i),
+            jb AS (SELECT i, avg(x) AS mb, count(*) AS nb
+                   FROM (SELECT unnest(range(0, len(v))) AS i,
+                                unnest(v) AS x FROM b) GROUP BY i),
+            j AS (SELECT coalesce(ma, 0) AS ma, coalesce(mb, 0) AS mb,
+                         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                  FROM ja FULL JOIN jb USING (i)),
+            agg AS (SELECT sum(ma * mb) AS ab, sum(ma * ma) AS aa,
+                           sum(mb * mb) AS bb,
+                           max(na) AS n_ref, max(nb) AS n_cur FROM j)
+            SELECT round(ab / (sqrt(aa) * sqrt(bb)), 6) + 0.0 AS mean_cosine,
+                   round(sqrt(bb) / sqrt(aa), 6) + 0.0 AS mean_norm_ratio,
+                   CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+            FROM agg"""))
+
   /** Misra-Gries heavy-hitters certification: the k=3-counter sketch
     * over h60(lang) is order-dependent in its exact counter values, so
     * the checked row carries only the ORDER-INVARIANT guarantees
@@ -4991,6 +5029,7 @@ object Queries {
     "q_stream_drift" -> qStreamDrift,
     "q_chi2_drift" -> qChi2Drift,
     "q_profile_drift" -> qProfileDrift,
+    "q_embedding_drift" -> qEmbeddingDrift,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,

@@ -252,6 +252,40 @@ object Drift {
       .filter(col("n_ref") > 0 && col("n_cur") > 0 && col("dof") > 0)
   }
 
+  /** Embedding-space drift between two vector snapshots: the cosine
+    * between the two MEAN vectors (a new embedding model, a domain
+    * shift, or a normalization bug all move the centroid — cosine of
+    * means near 1 ⇒ same direction), the ratio of mean L2 norms
+    * (catches scale/normalization regressions cosine is blind to),
+    * and per-side mean within-snapshot norm. One per-dimension
+    * aggregate per side — posexplode to (dim, value), hash-aggregate
+    * to dim-cardinality rows — then all arithmetic on dim-sized
+    * tables. Emits no row when either side is empty.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vec: Column): DataFrame = {
+    def mean(df: DataFrame, side: String): DataFrame =
+      df.select(posexplode(vec.cast("array<double>")).as(Seq("__d", "__x")))
+        .groupBy("__d")
+        .agg(avg(col("__x")).as(s"__m_$side"), count(lit(1)).as(s"__n_$side"))
+    val joined = mean(a, "a").join(mean(b, "b"), Seq("__d"), "full_outer")
+      .select(col("__d"),
+        coalesce(col("__m_a"), lit(0.0)).as("__ma"),
+        coalesce(col("__m_b"), lit(0.0)).as("__mb"),
+        coalesce(col("__n_a"), lit(0L)).as("__na"),
+        coalesce(col("__n_b"), lit(0L)).as("__nb"))
+    joined
+      .agg(sum(col("__ma") * col("__mb")).as("__ab"),
+        sum(col("__ma") * col("__ma")).as("__aa"),
+        sum(col("__mb") * col("__mb")).as("__bb"),
+        max(col("__na")).as("n_ref"), max(col("__nb")).as("n_cur"))
+      .select(
+        (col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))))
+          .as("mean_cosine"),
+        (sqrt(col("__bb")) / sqrt(col("__aa"))).as("mean_norm_ratio"),
+        col("n_ref"), col("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+  }
+
   /** Snapshot-profile drift: per-column deltas between two snapshots'
     * [[Profiling.profileTable]] rows — the SCHEMA-level drift screen
     * (null-rate moved, cardinality collapsed, mean shifted) run before

@@ -132,6 +132,27 @@ class DriftSpec extends AnyFunSuite {
     assert(s.isNullAt(s.fieldIndex("mean_shift"))) // non-numeric column
   }
 
+  test("embedding drift: identical snapshots cosine 1, scaled snapshot moves the norm ratio") {
+    import graft.operators.Drift
+    val a = Seq(Seq(1.0, 0.0, 1.0), Seq(0.0, 1.0, 1.0)).toDF("embedding")
+    val same = Drift.embeddingDrift(a, a, col("embedding")).head()
+    assert(math.abs(same.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(same.getDouble(1) - 1.0) < 1e-12)
+    // current = reference scaled 2x: same direction, norm ratio 2
+    val b = Seq(Seq(2.0, 0.0, 2.0), Seq(0.0, 2.0, 2.0)).toDF("embedding")
+    val scaled = Drift.embeddingDrift(a, b, col("embedding")).head()
+    assert(math.abs(scaled.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(scaled.getDouble(1) - 2.0) < 1e-12)
+    // orthogonal mean directions: cosine 0
+    val c = Seq(Seq(0.0, 0.0, 1.0)).toDF("embedding")
+    val d = Seq(Seq(1.0, 0.0, 0.0)).toDF("embedding")
+    assert(math.abs(Drift.embeddingDrift(c, d, col("embedding"))
+      .head().getDouble(0)) < 1e-12)
+    // empty side: no row
+    val empty = Seq.empty[Seq[Double]].toDF("embedding")
+    assert(Drift.embeddingDrift(a, empty, col("embedding")).count() == 0)
+  }
+
   test("token js divergence detects vocabulary drift") {
     val a = Seq("the quick fox", "the lazy dog").toDF("text")
     val sameCorpus = Drift.tokenJsDivergence(a, a, col("text")).head()
