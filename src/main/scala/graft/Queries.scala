@@ -2481,6 +2481,40 @@ object Queries {
              WHERE ${h60sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.thr
              ORDER BY d.doc_id"""))
 
+  /** Temperature-scaled mixture sampling over the language column
+    * (α = 0.5, the multilingual-sampling default regime): target
+    * shares ∝ √p_lang, so the dominant `en` (~44%) is relatively
+    * downsampled while the tail languages keep more rows —
+    * [[Relational.temperatureSample]]. The oracle replays the powered
+    * shares (6-dp rounded, 1e-6 floored), feasibility scale, 6-dp
+    * fractions, and the deterministic h60 keep decision.
+    */
+  val qTemperatureSample = QDef(
+    (s, d) => Relational.temperatureSample(t(s, d, "documents"),
+        col("lang"), col("doc_id"), alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some(s"""WITH c AS (SELECT lang AS g, count(*) AS n FROM documents
+                        WHERE lang IS NOT NULL GROUP BY 1),
+             tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM c),
+             shares AS (SELECT g,
+                               greatest(round(pow(n / (SELECT tn FROM tot), 0.5), 6),
+                                        0.000001) AS share
+                        FROM c),
+             ss AS (SELECT sum(share) AS ssum FROM shares),
+             j AS (SELECT c.g, CAST(c.n AS DOUBLE) AS n,
+                          s.share / (SELECT ssum FROM ss) AS norm
+                   FROM c JOIN shares s ON c.g = s.g),
+             tt AS (SELECT min(n / norm) AS t FROM j),
+             th AS (SELECT g,
+                          CAST(round(round(least(1.0, (norm * (SELECT t FROM tt)) / n), 6)
+                               * 10000) AS BIGINT) AS thr
+                    FROM j)
+             SELECT d.doc_id, d.lang FROM documents d
+             JOIN th ON d.lang = th.g
+             WHERE ${h60sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < th.thr
+             ORDER BY d.doc_id"""))
+
   /** Exact grouped percentiles (p50/p95): Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition, so the
     * hashes match bit-for-bit after rounding. NOTE the 100 TB path is
@@ -5030,6 +5064,7 @@ object Queries {
     "q_chi2_drift" -> qChi2Drift,
     "q_profile_drift" -> qProfileDrift,
     "q_embedding_drift" -> qEmbeddingDrift,
+    "q_temperature_sample" -> qTemperatureSample,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,

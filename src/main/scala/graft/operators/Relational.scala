@@ -234,6 +234,34 @@ object Relational {
       defaultFraction = 0.0, denom = denom)
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual data-mixing
+    * standard — XLM-R / mT5 style): target shares ∝ p_g^α where p_g is
+    * the OBSERVED group share and α ∈ (0, 1] the temperature — α = 1
+    * keeps the natural mix, α → 0 flattens toward uniform, so
+    * high-resource groups are relatively downsampled and low-resource
+    * groups keep more of their rows. Powered shares are rounded to
+    * 6 dp (and floored at 1e-6) before feeding [[mixtureSample]], so a
+    * pow-ulp difference in a re-implementation cannot flip a keep
+    * threshold except exactly at a rounding boundary.
+    *
+    * Scale shape: one group-count aggregate (group-cardinality rows
+    * collected — the same bounded collect mixtureSample already does)
+    * then mixtureSample's map-only deterministic hash filter.
+    */
+  def temperatureSample(df: DataFrame, groupCol: Column, idCol: Column,
+      alpha: Double, denom: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.filter(groupCol.isNotNull)
+      .groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getAs[Any]("__g").toString -> r.getAs[Long]("__n"))
+    require(counts.nonEmpty, "no non-null groups present")
+    val total = counts.map(_._2).sum.toDouble
+    val target = counts.map { case (g, n) =>
+      g -> math.max(math.round(math.pow(n / total, alpha) * 1e6) / 1e6, 1e-6)
+    }.toMap
+    mixtureSample(df.filter(groupCol.isNotNull), groupCol, idCol, target, denom)
+  }
+
   /** Contiguous 1-based global row number under a total order, WITHOUT
     * the single-task window a bare `row_number() OVER (ORDER BY …)`
     * plans (one partition holding the entire table — the first thing

@@ -206,6 +206,23 @@ class SemanticsSpec extends AnyFunSuite {
       Map("src0" -> 1.0)).filter(col("source") =!= "src0").count() == 0)
   }
 
+  test("temperatureSample flattens a skewed mix toward uniform") {
+    // 800 'a' vs 100 'b' vs 100 'c': natural mix 8:1:1; α=0.5 targets
+    // ∝ √p ≈ 0.63 : 0.22 : 0.22 — the binding tail groups keep ~all
+    // rows and the head is downsampled toward ~(0.63/0.22)·100 ≈ 283
+    val rows = (Seq.fill(800)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }
+    val df = rows.toDF("doc_id", "g")
+    val kept = Relational.temperatureSample(df, col("g"), col("doc_id"), alpha = 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") > 85 && kept("c") > 85, kept.toString)
+    assert(kept("a") > 150 && kept("a") < 400, kept.toString)
+    // α=1 reproduces the natural mix: every group ~whole
+    val nat = Relational.temperatureSample(df, col("g"), col("doc_id"), alpha = 1.0)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("a") > 700 && nat("b") > 85 && nat("c") > 85, nat.toString)
+  }
+
   test("rolling hash matches hand-computed polynomial fold") {
     val got = Seq("ab").toDF("t")
       .select(TextOps.rollingHash($"t", 257L, 1000000007L)).collect()(0).getLong(0)
