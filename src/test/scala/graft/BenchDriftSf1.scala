@@ -58,6 +58,13 @@ object BenchDriftSf1 {
             docs.agg(graft.functions.GraftFunctions.heavyHitters(
               graft.functions.Hashing.h60(col("lang")), 3)).collect()
           }
+          val (tCm, _) = timeS {
+            ev.agg(graft.functions.GraftFunctions.countMin(
+              col("user_id"), 64, 4)).collect()
+          }
+          val (tBpe, _) = timeS {
+            operators.TextOps.bpeTrain(docs, col("text"), rounds = 4).collect()
+          }
           val qset = emb.filter(col("vec_id") < 10)
           val (tPq, pqRows) = timeS {
             Similarity.pqTopK(emb, qset, "vec_id", "embedding",
@@ -68,13 +75,15 @@ object BenchDriftSf1 {
               5, nCells = 16, nProbe = 14, m = 16, ksub = 64, refine = 20).count()
           }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-          (nEv, nDocs, nVecs, tPsi, tKs, tJs, tHh, tPq, pqRows, tIvfPq, ivfPqRows)
+          (nEv, nDocs, nVecs, tPsi, tKs, tJs, tHh, tCm, tBpe, tPq, pqRows, tIvfPq, ivfPqRows)
         }
-        val best = runs.minBy(r => r._4 + r._5 + r._6 + r._7 + r._8 + r._10)
-        val (nEv, nDocs, nVecs, tPsi, tKs, tJs, tHh, tPq, pqRows, tIvfPq, ivfPqRows) = best
+        val best = runs.minBy(r => r._4 + r._5 + r._6 + r._7 + r._8 + r._9 + r._10 + r._12)
+        val (nEv, nDocs, nVecs, tPsi, tKs, tJs, tHh, tCm, tBpe, tPq, pqRows, tIvfPq, ivfPqRows) = best
         s""""$tag":{"n_events":$nEv,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
           s""""psi_sec":${f3(tPsi)},"ks_sec":${f3(tKs)},"token_js_sec":${f3(tJs)},""" +
-          s""""heavy_hitters_sec":${f3(tHh)},"pq_topk_sec":${f3(tPq)},"pq_rows":$pqRows,""" +
+          s""""heavy_hitters_sec":${f3(tHh)},"count_min_sec":${f3(tCm)},""" +
+          s""""bpe_train4_sec":${f3(tBpe)},""" +
+          s""""pq_topk_sec":${f3(tPq)},"pq_rows":$pqRows,""" +
           s""""ivfpq_topk_sec":${f3(tIvfPq)},"ivfpq_rows":$ivfPqRows}"""
       }
     println(s"""{"metric":"drift_scaling","reps_each":$reps,"best_of":"sum_sec",${results.mkString(",")}}""")
