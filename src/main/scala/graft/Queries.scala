@@ -5053,7 +5053,51 @@ object Queries {
           FROM s4 ORDER BY w"""
     })
 
+  /** Snapshot diff between two versions of the events table —
+    * [[Relational.snapshotDiff]]: v1 drops every 5th event, v2 drops
+    * every 7th and bumps `value` on every 3rd, so all three change
+    * classes (added / removed / changed) are populated. One null-safe
+    * full-outer join on the key; output sized by churn, not the table.
+    * The oracle replays the same three-way classification with
+    * IS DISTINCT FROM.
+    */
+  val qSnapshotDiff = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val v1 = ev.filter(col("event_id") % 5 =!= 0)
+      val v2 = ev.filter(col("event_id") % 7 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 3 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      Relational.snapshotDiff(v1, v2, Seq("event_id"), Seq("event_type", "value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH v1 AS (SELECT event_id, event_type, value FROM events
+                        WHERE event_id % 5 <> 0),
+            v2 AS (SELECT event_id, event_type,
+                          CASE WHEN event_id % 3 = 0 THEN value + 1.0
+                               ELSE value END AS value
+                   FROM events WHERE event_id % 7 <> 0),
+            j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                         a.event_id IS NOT NULL AS ina,
+                         b.event_id IS NOT NULL AS inb,
+                         a.event_type AS event_type_old,
+                         b.event_type AS event_type_new,
+                         a.value AS value_old, b.value AS value_new
+                  FROM v1 a FULL JOIN v2 b ON a.event_id = b.event_id)
+            SELECT event_id,
+                   CASE WHEN NOT inb THEN 'removed'
+                        WHEN NOT ina THEN 'added'
+                        ELSE 'changed' END AS change,
+                   event_type_old, event_type_new, value_old, value_new
+            FROM j
+            WHERE NOT inb OR NOT ina
+               OR event_type_old IS DISTINCT FROM event_type_new
+               OR value_old IS DISTINCT FROM value_new
+            ORDER BY event_id"""))
+
   val all: Seq[(String, QDef)] = Seq(
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_count_min" -> qCountMin,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,

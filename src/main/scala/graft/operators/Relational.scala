@@ -429,4 +429,49 @@ object Relational {
       else (col("__rn") - 1).cast("double") / lit((n - 1).toDouble)
     ranked.withColumn(qCol, q).drop("__rn")
   }
+
+  /** Snapshot diff: classify every key of two table versions as
+    * `added` (only in v2), `removed` (only in v1), or `changed`
+    * (present in both with any compared column differing, null-safely).
+    * Unchanged keys are dropped — the output is the delta, sized by the
+    * churn rate, not the table. The pipeline use is data-version
+    * auditing: "what did this rebuild actually change" before promoting
+    * a 100 TB snapshot (the batch analog of the CDC/SCD2 operators).
+    *
+    * Output: the key columns (coalesced across sides), `change`, and
+    * `<c>_old` / `<c>_new` for every compared column.
+    *
+    * Scale shape: ONE full-outer shuffle join co-partitioned on the key
+    * — the minimum any exact diff pays. With both snapshots bucketed by
+    * the key (the layout a versioned table should have anyway) the
+    * exchange disappears entirely. The change classification and column
+    * comparisons are projections on the joined row; nothing is ever
+    * collected.
+    *
+    * Keys are assumed non-null (primary keys); compared columns may be
+    * null on either side — `<=>` makes null→value and value→null count
+    * as changes while null→null does not.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    // Rename both sides up front: v1/v2 usually derive from the SAME
+    // scan (two versions of one table), and side-qualified column refs
+    // on a self-join are exactly the ambiguity trap this avoids.
+    val l = v1.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__l_$c")) :+ lit(1).as("__a"): _*)
+    val r = v2.select(keys.map(k => col(k).as(s"__r_$k")) ++
+      compareCols.map(c => col(c).as(s"__r_$c")) :+ lit(1).as("__b"): _*)
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _)
+    val same = compareCols.map(c => col(s"__l_$c") <=> col(s"__r_$c")).reduce(_ && _)
+    val change = when(col("__b").isNull, lit("removed"))
+      .when(col("__a").isNull, lit("added"))
+      .when(!same, lit("changed"))
+    val keyOut = keys.map(k => coalesce(col(k), col(s"__r_$k")).as(k))
+    val valOut = compareCols.flatMap(c =>
+      Seq(col(s"__l_$c").as(s"${c}_old"), col(s"__r_$c").as(s"${c}_new")))
+    l.join(r, cond, "full_outer")
+      .withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select(keyOut ++ (col("change") +: valOut): _*)
+  }
 }

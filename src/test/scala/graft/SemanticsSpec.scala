@@ -339,4 +339,26 @@ class SemanticsSpec extends AnyFunSuite {
     assert(graft.operators.Relational
       .rankNormalize(df, col("id"), Seq(col("k")), "q").count() == 0)
   }
+
+  test("snapshotDiff: added/removed/changed classes, null-safe compares, unchanged dropped") {
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("keep")), (5L, Option.empty[String]))
+      .toDF("id", "v")
+    val v2 = Seq((2L, Some("B")), (3L, Some("now")), (4L, Some("keep")),
+      (5L, Option.empty[String]), (6L, Some("new")))
+      .toDF("id", "v")
+    val got = Relational.snapshotDiff(v1, v2, Seq("id"), Seq("v"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1 removed; 2 changed (b->B); 3 changed (null->now, null-safe);
+    // 4 identical -> dropped; 5 null==null -> dropped; 6 added.
+    assert(got == Seq((1L, "removed"), (2L, "changed"), (3L, "changed"),
+      (6L, "added")))
+    // both snapshots empty -> empty diff, schema intact
+    val e = v1.limit(0)
+    val emptyDiff = Relational.snapshotDiff(e, e, Seq("id"), Seq("v"))
+    assert(emptyDiff.columns.toSeq == Seq("id", "change", "v_old", "v_new"))
+    assert(emptyDiff.count() == 0)
+  }
 }
