@@ -5096,7 +5096,48 @@ object Queries {
                OR value_old IS DISTINCT FROM value_new
             ORDER BY event_id"""))
 
+  /** Weight-of-evidence / information value of o_totalprice against the
+    * binary target o_orderstatus = 'F' over 10 exact quantile bins —
+    * [[graft.ml.Featurize.woeIv]]. The oracle replays the ntile binning
+    * (deterministic tie-break, the q_ntile parity contract) and the
+    * smoothed WOE/IV math term for term.
+    */
+  val qWoeIv = QDef(
+    (s, d) => graft.ml.Featurize.woeIv(t(s, d, "orders"),
+        col("o_totalprice"), col("o_orderstatus") === "F",
+        nBins = 10, tieBreak = Seq(col("o_orderkey")))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("x_lo"), 2).as("x_lo"), round(col("x_hi"), 2).as("x_hi"),
+        round(col("woe"), 6).as("woe"),
+        round(col("iv_term"), 8).as("iv_term"),
+        round(col("iv"), 6).as("iv"))
+      .orderBy("bin"),
+    Some("""WITH r AS (SELECT o_totalprice AS x,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+                 FROM orders),
+            pb AS (SELECT bin, count(*) AS n, CAST(sum(t) AS BIGINT) AS np,
+                          CAST(count(*) - sum(t) AS BIGINT) AS nn,
+                          min(x) AS lo, max(x) AS hi
+                   FROM r GROUP BY bin),
+            tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+                           CAST(sum(nn) AS BIGINT) AS tn FROM pb),
+            w AS (SELECT bin, n, np, nn, lo, hi,
+                         ln(((np + 0.5) / tp) / ((nn + 0.5) / tn)) AS woe,
+                         (np / CAST(tp AS DOUBLE) - nn / CAST(tn AS DOUBLE)) *
+                           ln(((np + 0.5) / tp) / ((nn + 0.5) / tn)) AS ivt
+                  FROM pb CROSS JOIN tot),
+            iv AS (SELECT sum(ivt) AS iv FROM w)
+            SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+                   np AS n_pos, nn AS n_neg,
+                   round(lo, 2) + 0.0 AS x_lo, round(hi, 2) + 0.0 AS x_hi,
+                   round(woe, 6) + 0.0 AS woe,
+                   round(ivt, 8) + 0.0 AS iv_term,
+                   (SELECT round(iv, 6) + 0.0 FROM iv) AS iv
+            FROM w ORDER BY bin"""))
+
   val all: Seq[(String, QDef)] = Seq(
+    "q_woe_iv" -> qWoeIv,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_count_min" -> qCountMin,
     "q_bpe_train" -> qBpeTrain,

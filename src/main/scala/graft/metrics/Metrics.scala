@@ -147,4 +147,43 @@ object Metrics {
       .select((col("__u") / (col("n_pos") * col("n_neg"))).as("auc"),
         col("n_pos"), col("n_neg"))
   }
+
+  /** Calibration report for a probabilistic binary classifier —
+    * the reliability-curve companion to [[aucExact]] (AUC measures
+    * ranking; a model can rank perfectly and still be badly
+    * mis-calibrated). Scores in [0, 1] are cut into `nBins` equal-width
+    * bins (`floor(score·nBins)` clamped into the top bin, so score = 1.0
+    * lands in bin nBins−1); per bin: `n`, `mean_score` (confidence) and
+    * `frac_pos` (empirical accuracy). Two global scalars repeat on every
+    * row: `brier = avg((score − label)²)` and
+    * `ece = Σ_b (n_b/N) · |frac_pos_b − mean_score_b|` (expected
+    * calibration error, the standard reliability summary).
+    *
+    * Scale shape: the binning is a pure projection (no quantile window —
+    * equal-width bins are the calibration convention), followed by one
+    * nBins-sized hash aggregate and one 1-row aggregate; the two scalars
+    * attach via 1-row broadcasts. Nothing here depends on data volume
+    * beyond the two scans. Empty input yields zero bin rows.
+    */
+  def calibrationReport(df: DataFrame, label: Column, score: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be at least 1")
+    val binned = df.select(
+      least(floor(score * nBins), lit(nBins - 1)).cast("long").as("bin"),
+      score.as("__s"), label.cast("int").as("__t"))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        avg(col("__s")).as("mean_score"),
+        avg(col("__t").cast("double")).as("frac_pos"))
+      .localCheckpoint(true) // nBins rows; feeds the ECE total AND the output
+    val global = binned.agg(
+      avg(pow(col("__s") - col("__t"), 2)).as("brier"),
+      count(lit(1)).as("__N"))
+    val withG = perBin.crossJoin(broadcast(global))
+    val ece = withG.agg(
+      sum(col("n") / col("__N") * abs(col("frac_pos") - col("mean_score")))
+        .as("ece"))
+    withG.crossJoin(broadcast(ece))
+      .select("bin", "n", "mean_score", "frac_pos", "brier", "ece")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature construction (SURVEY.md §2.6 F14/F15, §2.8 assembly).
@@ -71,5 +72,54 @@ object Featurize {
         (col("__sy") - y + lit(m) * col("__prior")) /
           (col("__ny") - 1 + lit(m)))
       .drop("__cat", "__sy", "__ny", "__prior")
+  }
+
+  /** Weight-of-evidence / information-value scoring of a numeric feature
+    * against a binary target (the credit-scoring binning screen; also
+    * the standard "is this feature worth keeping" ranking before model
+    * fit). The feature is cut into `nBins` quantile bins (ntile with a
+    * deterministic tie-break, the q_ntile contract); per bin:
+    * `woe = ln(((n_pos + s)/T_pos) / ((n_neg + s)/T_neg))` with additive
+    * smoothing `s` in the numerators only, and
+    * `iv_term = (n_pos/T_pos − n_neg/T_neg) · woe`; `iv` is the total
+    * over bins, repeated on every row.
+    *
+    * Output: one row per bin — `bin, n, n_pos, n_neg, x_lo, x_hi, woe,
+    * iv_term, iv`.
+    *
+    * Scale note: exact ntile is an un-partitioned window — the global
+    * positional semantics funnel rows through one task (same inherent
+    * caveat as [[graft.operators.Relational.temporalSplitFlag]]). The
+    * 100 TB path is binning by approxQuantile cutoffs (map-only,
+    * pushed-down comparisons); exact quantile bins are the oracle-exact
+    * demo form. Everything after binning is one nBins-sized aggregate;
+    * the nBins-row stats frame is eagerly checkpointed because it feeds
+    * two consumers (the IV total and the output) and would otherwise
+    * re-run the global window twice.
+    */
+  def woeIv(df: DataFrame, x: Column, target: Column, nBins: Int,
+      tieBreak: Seq[Column], smoothing: Double = 0.5): DataFrame = {
+    require(nBins >= 2, "nBins must be at least 2")
+    val binned = df
+      .withColumn("__bin", ntile(nBins).over(Window.orderBy(x +: tieBreak: _*)))
+      .withColumn("__t", target.cast("int"))
+    val perBin = binned
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("__t"))).cast("long").as("n_neg"),
+        min(x).as("x_lo"), max(x).as("x_hi"))
+      .localCheckpoint(true) // nBins rows; feeds the IV total AND the output
+    val tot = perBin.agg(sum("n_pos").as("__tp"), sum("n_neg").as("__tn"))
+    val scored = perBin.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        log(((col("n_pos") + lit(smoothing)) / col("__tp")) /
+            ((col("n_neg") + lit(smoothing)) / col("__tn"))))
+      .withColumn("iv_term",
+        (col("n_pos") / col("__tp") - col("n_neg") / col("__tn")) * col("woe"))
+    val iv = scored.agg(sum("iv_term").as("iv"))
+    scored.crossJoin(broadcast(iv))
+      .select("bin", "n", "n_pos", "n_neg", "x_lo", "x_hi", "woe",
+        "iv_term", "iv")
   }
 }

@@ -198,4 +198,21 @@ class MlSpec extends AnyFunSuite {
     val row = oh.filter($"v" === "b").head()
     assert(row.getAs[Int]("p_b") == 1 && row.getAs[Int]("p_c") == 0)
   }
+
+  test("woeIv: hand-computed WOE and IV on a perfectly separating 2-bin split") {
+    import org.apache.spark.sql.functions.col
+    // x in {1,2,3,4}, target = x >= 3: bin 1 holds {1,2} (0 pos),
+    // bin 2 holds {3,4} (2 pos). With s=0.5, T_pos=T_neg=2:
+    //   woe_1 = ln((0.5/2)/(2.5/2)) = ln(0.2), woe_2 = ln(5)
+    //   iv    = (0-1)ln(0.2) + (1-0)ln(5) = 2·ln(5)
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("x", "t")
+    val got = Featurize.woeIv(df, col("x"), col("t") === 1, nBins = 2,
+      tieBreak = Seq(col("x"))).orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("n_pos")).toSeq == Seq(0L, 2L))
+    assert(math.abs(got(0).getAs[Double]("woe") - math.log(0.2)) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("woe") - math.log(5.0)) < 1e-12)
+    assert(math.abs(got(0).getAs[Double]("iv") - 2 * math.log(5.0)) < 1e-12)
+    assert(got(0).getAs[Double]("x_lo") == 1.0 &&
+      got(0).getAs[Double]("x_hi") == 2.0)
+  }
 }
