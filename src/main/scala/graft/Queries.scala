@@ -4967,7 +4967,11 @@ object Queries {
                                  AND x.syms[x.i] = m.l
                                  AND x.syms[x.i + 1] = m.r2
                              THEN 1 ELSE 0 END AS mt
-                    FROM x$r x CROSS JOIN m$r m),
+                    -- LEFT JOIN, not CROSS: when training exhausts before
+                    -- this round m$r is empty and the merge must degrade to
+                    -- a no-op (mt = 0 everywhere), not collapse s$r to zero
+                    -- rows while the Spark side keeps the real segmentation.
+                    FROM x$r x LEFT JOIN m$r m ON TRUE),
             z$r AS (SELECT *, CASE WHEN mt = 1 THEN
                              i - row_number() OVER (PARTITION BY w, mt ORDER BY i)
                            END AS isl

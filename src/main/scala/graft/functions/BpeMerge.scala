@@ -28,7 +28,13 @@ case class BpeMergePair(symbols: Expression, l: Expression, r: Expression)
 
   override def children: Seq[Expression] = Seq(symbols, l, r)
   override def inputTypes = Seq(ArrayType(StringType), StringType, StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull mirrors the input array: merge() passes null elements
+  // through unchanged (a null can never equal the foldable pair), so the
+  // output is null-free exactly when the input is.
+  override def dataType: DataType = symbols.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _                => ArrayType(StringType, containsNull = false)
+  }
   override def nullable: Boolean = symbols.nullable
   override def prettyName: String = "graft_bpe_merge"
   override def foldable: Boolean = children.forall(_.foldable)

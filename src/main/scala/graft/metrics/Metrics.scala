@@ -151,7 +151,9 @@ object Metrics {
   /** Calibration report for a probabilistic binary classifier —
     * the reliability-curve companion to [[aucExact]] (AUC measures
     * ranking; a model can rank perfectly and still be badly
-    * mis-calibrated). Scores in [0, 1] are cut into `nBins` equal-width
+    * mis-calibrated). Rows whose score is null or outside [0, 1] are
+    * excluded (out-of-domain for a probability — see the inline note).
+    * Scores in [0, 1] are cut into `nBins` equal-width
     * bins (`floor(score·nBins)` clamped into the top bin, so score = 1.0
     * lands in bin nBins−1); per bin: `n`, `mean_score` (confidence) and
     * `frac_pos` (empirical accuracy). Two global scalars repeat on every
@@ -168,7 +170,11 @@ object Metrics {
   def calibrationReport(df: DataFrame, label: Column, score: Column,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, "nBins must be at least 1")
-    val binned = df.select(
+    // Out-of-domain rows (score null or outside [0,1]) are rejected up
+    // front rather than silently binned: a probability outside the unit
+    // interval is a caller bug, and including it would corrupt both the
+    // bin histogram and the brier/ece scalars.
+    val binned = df.where(score.isNotNull && score.between(0d, 1d)).select(
       least(floor(score * nBins), lit(nBins - 1)).cast("long").as("bin"),
       score.as("__s"), label.cast("int").as("__t"))
     val perBin = binned.groupBy("bin")
@@ -177,7 +183,7 @@ object Metrics {
         avg(col("__t").cast("double")).as("frac_pos"))
       .localCheckpoint(true) // nBins rows; feeds the ECE total AND the output
     val global = binned.agg(
-      avg(pow(col("__s") - col("__t"), 2)).as("brier"),
+      avg((col("__s") - col("__t")) * (col("__s") - col("__t"))).as("brier"),
       count(lit(1)).as("__N"))
     val withG = perBin.crossJoin(broadcast(global))
     val ece = withG.agg(

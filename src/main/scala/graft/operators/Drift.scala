@@ -35,6 +35,16 @@ object Drift {
     * table), one hash aggregate per side, and an nBins-row grid
     * left-join to densify — zero-count bins MUST appear, they are
     * where drift lives. Nothing after the scans is data-sized.
+    *
+    * Degenerate references: edges come from exact percentiles, so a
+    * highly concentrated reference yields DUPLICATE edges and some of
+    * the nBins bins become structurally unreachable (zero mass on both
+    * sides, psi_term 0 after the eps floor). The PSI total is
+    * unaffected, but the effective bin count is then fewer than nBins —
+    * readers comparing bin granularity across features should count
+    * distinct edges, not output rows. Kept as-is (rather than
+    * deduplicating edges) so the bin ids stay aligned with the fixed
+    * nBins quantile grid the oracle replays.
     */
   def psiBins(reference: DataFrame, current: DataFrame, x: Column,
       nBins: Int = 10, eps: Double = 1e-6): DataFrame = {

@@ -143,6 +143,15 @@ object TextOps {
     *
     * Iterated merges would re-run step 2 on a re-segmented vocabulary;
     * step 1 never re-runs — which is why the split matters at 100 TB.
+    *
+    * NOTE: unlike [[bpeTrain]]'s round-1 counting, this standalone
+    * statistic is MARKER-FREE — words are NOT suffixed with the `</w>`
+    * end-of-word symbol, so final-position pairs (c, "</w>") never
+    * appear and last-character pair counts can differ from bpeTrain's
+    * round 1. The two are deliberately different views: bpePairStats
+    * is the corpus-exploration statistic (raw character bigrams);
+    * bpeTrain counts over the marker-carrying segmentation a tokenizer
+    * actually trains on.
     */
   def bpePairStats(df: DataFrame, textCol: Column, topK: Int): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
@@ -228,6 +237,207 @@ object TextOps {
       .select(col("round").cast("long").as("round"), col("left"),
         col("right"), col("pair_count"))
   }
+
+  /** Unsigned UTF-8 byte comparison — the collation Spark's UTF8String
+    * (and DuckDB's default) sorts strings by. The driver-local merge
+    * loop must break count ties with EXACTLY the same order as the
+    * distributed `orderBy(c desc, l, r)`, or the two trainers diverge
+    * on the first tie.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    * array — the driver-local twin of [[graft.functions.BpeMergePair]]'s
+    * kernel (same semantics, asserted equal by BpeTrainSpec parity).
+    */
+  private def mergeWordLocal(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    val merged = l + r
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** BPE tokenizer training with the merge loop run DRIVER-LOCAL — the
+    * production-scale form of [[bpeTrain]]. Identical semantics (same
+    * corpus pass, same (count desc, (l, r) utf8-asc) argmax, same
+    * greedy merge kernel — BpeTrainSpec asserts merge-list equality
+    * against the distributed form), but the per-round work is a heap
+    * pop + word-local count updates instead of a Spark job, so 30k–50k
+    * merges cost zero scheduler round-trips after the single corpus
+    * pass. This is Sennrich's own trainer shape: the merge loop is a
+    * function of the (word, freq) VOCABULARY, which after the one
+    * corpus-sized aggregate fits on the driver (~10⁶ rows regardless
+    * of corpus size — the same bound [[bpeTrain]]'s scaladoc states),
+    * so distributing it buys nothing and costs a scheduler round-trip
+    * per merge (the r12 verdict's "scale-killer class: driver-side
+    * iteration count").
+    *
+    * Algorithm: incremental pair-count maintenance with a
+    * lazy-invalidation max-heap (the standard fast-BPE structure, e.g.
+    * the HuggingFace tokenizers trainer): counts live in a hash map;
+    * every count CHANGE pushes a fresh heap entry; a popped entry is
+    * valid only if it matches the map. Each merge touches only the
+    * words that contain the chosen pair (an inverted pair→words index,
+    * verified on use because it can hold stale entries), recounting
+    * just those words' adjacent pairs — O(affected words × word length)
+    * per round, O(log #pairs) per count change.
+    *
+    * Returns the same (round, left, right, pair_count) merge table as
+    * [[bpeTrain]]. Keep the distributed form for the q_bpe_train
+    * oracle replay; use this one to actually train a tokenizer.
+    */
+  def bpeTrainLocal(df: DataFrame, textCol: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // ONE corpus-sized pass (identical to bpeTrain's), then collect the
+    // vocabulary — the only driver-sized object in the operator.
+    val vocabRows = df.select(explode(tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .collect()
+
+    val nWords = vocabRows.length
+    val words = new Array[Array[String]](nWords)
+    val freqs = new Array[Long](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      val w = vocabRows(wi).getString(0)
+      // code-point symbols + </w>, matching substr-by-character + marker
+      val cps = w.codePoints().toArray
+      val syms = new Array[String](cps.length + 1)
+      var ci = 0
+      while (ci < cps.length) {
+        syms(ci) = new String(Character.toChars(cps(ci))); ci += 1
+      }
+      syms(cps.length) = "</w>"
+      words(wi) = syms
+      freqs(wi) = vocabRows(wi).getLong(1)
+      wi += 1
+    }
+
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def addPair(p: (String, String), f: Long, idx: Int): Unit = {
+      pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+      pairWords.getOrElseUpdate(
+        p, scala.collection.mutable.HashSet.empty[Int]) += idx
+    }
+
+    wi = 0
+    while (wi < nWords) {
+      val s = words(wi)
+      var i = 0
+      while (i + 1 < s.length) { addPair((s(i), s(i + 1)), freqs(wi), wi); i += 1 }
+      wi += 1
+    }
+
+    // Max-heap with lazy invalidation: count desc, then (l, r) utf8 asc.
+    case class Entry(c: Long, l: String, r: String)
+    val heap = new java.util.PriorityQueue[Entry](
+      math.max(16, pairCounts.size),
+      new java.util.Comparator[Entry] {
+        def compare(a: Entry, b: Entry): Int = {
+          if (a.c != b.c) java.lang.Long.compare(b.c, a.c)
+          else {
+            val cl = utf8Cmp(a.l, b.l)
+            if (cl != 0) cl else utf8Cmp(a.r, b.r)
+          }
+        }
+      })
+    pairCounts.foreach { case (p, c) => heap.add(Entry(c, p._1, p._2)) }
+
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // Pop until a live entry (count matches the map) or the heap dries up.
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCounts.get((e.l, e.r)).contains(e.c)) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val (l, r) = (top.l, top.r)
+        merges += ((round, l, r, top.c))
+        val changed =
+          new scala.collection.mutable.HashSet[(String, String)]()
+        pairWords.remove((l, r)).foreach { holders =>
+          holders.foreach { idx =>
+            val old = words(idx)
+            // stale-index guard: the word may no longer contain (l, r)
+            var has = false
+            var i = 0
+            while (!has && i + 1 < old.length) {
+              has = old(i) == l && old(i + 1) == r; i += 1
+            }
+            if (has) {
+              val f = freqs(idx)
+              i = 0
+              while (i + 1 < old.length) {
+                val p = (old(i), old(i + 1))
+                pairCounts.update(p, pairCounts.getOrElse(p, 0L) - f)
+                changed += p
+                i += 1
+              }
+              val nw = mergeWordLocal(old, l, r)
+              words(idx) = nw
+              i = 0
+              while (i + 1 < nw.length) {
+                val p = (nw(i), nw(i + 1))
+                addPair(p, f, idx)
+                changed += p
+                i += 1
+              }
+            }
+          }
+        }
+        pairCounts.remove((l, r))
+        changed -= ((l, r))
+        changed.foreach { p =>
+          pairCounts.get(p) match {
+            case Some(c) if c > 0L => heap.add(Entry(c, p._1, p._2))
+            case _ => pairCounts.remove(p); pairWords.remove(p)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_count")
+      .select(col("round").cast("long").as("round"), col("left"),
+        col("right"), col("pair_count"))
+  }
+
+  /** Convenience: [[bpeTrainLocal]] collected to the (left, right) merge
+    * list [[bpeSegment]] consumes — train-then-encode without a second
+    * corpus pass through the merge table.
+    */
+  def bpeTrainLocalMerges(df: DataFrame, textCol: Column,
+      rounds: Int): Seq[(String, String)] =
+    bpeTrainLocal(df, textCol, rounds).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** BPE tokenizer APPLICATION: segment the corpus VOCABULARY under an
     * already-learned merge list (the inference side of [[bpeTrain]] —

@@ -60,6 +60,72 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(seg("lower") == ((1L, "low e r </w>", 4L)))
   }
 
+  private def mergesLocal(df: org.apache.spark.sql.DataFrame, rounds: Int) =
+    TextOps.bpeTrainLocal(df, col("text"), rounds).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("bpeTrainLocal matches the distributed trainer merge-for-merge") {
+    // golden fixture incl. ties, self-overlapping runs, early exhaustion
+    for (texts <- Seq(
+        Seq("low low low", "lower"),
+        Seq("a b"),
+        Seq("zzz zzz zzz zzz zzz ab"),
+        Seq("aaaa aaa aa", "abab baba", "the cat sat on the mat"))) {
+      val docs = texts.toDF("text")
+      assert(mergesLocal(docs, 6).toSeq == merges(docs, 6).toSeq,
+        s"divergence on fixture $texts")
+    }
+  }
+
+  test("bpeTrainLocal parity with distributed on real documents") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(mergesLocal(docs, 12).toSeq == merges(docs, 12).toSeq)
+  }
+
+  test("bpeTrainLocal trains 1000+ merges in one corpus pass (no per-round jobs)") {
+    // the shipped documents table has only 31 distinct words (vocab
+    // exhausts after ~106 merges), so the scale test needs a corpus
+    // with a real vocabulary: 20k deterministic pseudo-words, Zipf-ish
+    // because low ranks repeat — enough pair mass for thousands of
+    // merge rounds, which is the regime the driver-local loop exists for
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val vocabWords = (0 until 20000).map { _ =>
+      val len = 5 + rnd.nextInt(8)
+      (0 until len).map(_ => alphabet(rnd.nextInt(26))).mkString
+    }
+    val docs = vocabWords.grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val got = TextOps.bpeTrainLocal(docs, col("text"), rounds = 1500)
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let queued listener events drain
+      // either the vocab exhausted early or we trained the full budget
+      assert(got.length >= 1000,
+        s"expected >= 1000 merges, got ${got.length}")
+      // merge table is well-formed: rounds contiguous from 1, counts > 0
+      assert(got.map(_.getLong(0)).toSeq == (1L to got.length).toSeq)
+      assert(got.forall(_.getLong(3) > 0))
+      // the whole training run is jobs-bounded: ONE corpus pass (a scan +
+      // aggregate + collect, each ≤ a few jobs under AQE) — NOT one job
+      // per merge round. 20 is a generous ceiling; the r12 distributed
+      // trainer would need >= 1500.
+      assert(jobs.get() <= 20,
+        s"driver-local trainer ran ${jobs.get()} Spark jobs for 1500 rounds")
+      info(f"trained ${got.length} merges in $secs%.2f s with ${jobs.get()} Spark jobs")
+      assert(secs < 120.0, f"training took $secs%.1f s — not 'seconds'")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("frequency weighting drives the argmax") {
     // 'zzz' (two z-z pairs per word) × 5 vs 'ab' × 1: (z,z) reaches 10,
     // every other pair ≤ 5, so frequency beats alphabetical order

@@ -236,4 +236,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).take(2) == Seq(1L, 5L), s"picks were ${got.map(_._2)}")
     assert(got.map(_._2).toSet != Set(1L, 2L, 3L))
   }
+
+  /** Deterministic pseudo-random corpus for the batching tests: ids with
+    * hash-derived unit-ish vectors, enough near-ties to exercise the
+    * shortlist floor guard.
+    */
+  private def mmrCorpus(n: Int, dim: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() - 0.3))
+    }
+  }
+
+  test("mmrSelect: shortlist batching is selection-exact at every batch size") {
+    val corpus = mmrCorpus(300, 8).toDF("vec_id", "embedding")
+    val q = mmrCorpus(301, 8).last._2
+    def run(c: Int) = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+        q, k = 25, lambda = 0.7, shortlist = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // shortlist=1 degenerates to the classic one-job-per-pick greedy —
+    // the semantics reference; larger batches must select identically,
+    // scores included (bit-mirrored driver arithmetic)
+    val ref = run(1)
+    assert(ref.length == 25)
+    for (c <- Seq(3, 7, 25, 512)) assert(run(c) == ref, s"shortlist=$c diverged")
+  }
+
+  test("mmrSelect: batched greedy is jobs-bounded, not k-jobs") {
+    val corpus = mmrCorpus(400, 8).toDF("vec_id", "embedding")
+      .localCheckpoint(true) // fixture build jobs stay out of the count
+    val q = Array.fill(8)(0.5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+        q, k = 50, lambda = 0.7, shortlist = 512)
+      assert(got.count() == 50)
+      Thread.sleep(200) // drain listener bus
+      // one localCheckpoint + ceil(k/shortlist) fetches + result build;
+      // 8 is a generous ceiling — the r12 per-pick loop needed >= 50
+      assert(jobs.get() <= 8,
+        s"batched mmrSelect ran ${jobs.get()} jobs for k=50")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
