@@ -4883,6 +4883,34 @@ object Queries {
             FROM terms JOIN wn USING (day)
             GROUP BY terms.day, wn.n ORDER BY terms.day"""))
 
+  /** Streaming late-data admission under a watermark —
+    * [[graft.streaming.Streams.lateAdmissionAvailableNow]]: the
+    * two-micro-batch fixture (recent slice, then stragglers +
+    * re-deliveries) makes the watermark deterministic, so the batch
+    * oracle can restate EXACTLY which rows the stream admits: everything
+    * in the recent slice, plus stragglers at or above the watermark
+    * (floor-to-ms(max ts) − 72 h — Spark tracks event time in ms, hence
+    * the epoch_ms round-trip), minus re-delivered ids (dropped by dedup
+    * state, so they never appear twice). Completes the T3 streaming
+    * family: hourly agg, sessionize, enrich, stateful trailing, drift,
+    * near-dup, and now late-data semantics all carry hash-checked rows.
+    */
+  val qStreamLate = QDef(
+    (s, d) => graft.streaming.Streams.lateAdmissionAvailableNow(s, d,
+        queryName = "q_stream_late_mem")
+      .orderBy("event_id"),
+    Some("""WITH mx AS (SELECT epoch_ms(max(ts)) AS mms FROM events
+                        WHERE ts IS NOT NULL),
+            cut AS (SELECT make_timestamp((mms - 172800000) * 1000) AS c,
+                           make_timestamp((mms - 259200000) * 1000) AS wm
+                    FROM mx),
+            src AS (SELECT event_id, event_type, ts, value FROM events
+                    WHERE ts IS NOT NULL)
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+            FROM src, cut
+            WHERE ts >= cut.c OR (ts < cut.c AND ts >= cut.wm)
+            ORDER BY event_id"""))
+
   /** IVF-PQ composed ANN (coarse cells gate the candidate set, PQ codes
     * make each candidate m lookups, exact re-rank of the shortlist),
     * certified as a hash-checked recall@5 row like its parents.
@@ -5150,6 +5178,7 @@ object Queries {
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,
     "q_stream_drift" -> qStreamDrift,
+    "q_stream_late" -> qStreamLate,
     "q_chi2_drift" -> qChi2Drift,
     "q_profile_drift" -> qProfileDrift,
     "q_embedding_drift" -> qEmbeddingDrift,

@@ -617,6 +617,103 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** T3 late-data ADMISSION certification (q_stream_late — VERDICT r12,
+    * Next round #7): watermark late-drop semantics as a hash-checked
+    * oracle row, not just a spec. A three-micro-batch file stream is
+    * built from the events table:
+    *
+    *  - batch 0 — the RECENT slice (ts within `recentDays` of max; this
+    *    batch carries the global max event time);
+    *  - batch 1 — re-delivered copies of the `nRedelivered` newest
+    *    recent rows (all dropped as duplicates: their batch-0 state is
+    *    alive, their event time is above every watermark in play);
+    *  - batch 2 — every older row (the stragglers).
+    *
+    * `maxFilesPerTrigger=1` with explicit file modification times pins
+    * the batch boundaries. The three-batch shape matters because Spark
+    * filters late events with the watermark LAGGED ONE BATCH behind the
+    * eviction watermark (SPARK-40925 watermark propagation: batch N's
+    * late filter uses the value persisted for batch N−1, i.e. computed
+    * from data through batch N−2 — measured here: a 2-batch fixture
+    * drops NOTHING because the stragglers' batch still late-filters at
+    * wm=0). With the max in batch 0, batch 2's late filter stands
+    * deterministically at floor-to-ms(max ts) − `lateness` (Spark
+    * tracks event time in milliseconds), and the stragglers divide
+    * exactly: ADMITTED iff ts ≥ watermark. The certified operator is
+    * the watermarked streaming DEDUP (`dropDuplicates` with the event
+    * time column in the key set — the form whose late-data contract is
+    * defined), deliberately not a windowed aggregate: Append-mode dedup
+    * emits admitted rows in their arrival batch, so the oracle only has
+    * to restate the admission rule — no window-finalization timing to
+    * replay. Defaults (2-day recent slice, 72 h lateness) make every
+    * outcome non-vacuous on the 30-day events fixture: one day's worth
+    * of stragglers is admitted late, everything older is dropped, and
+    * the re-deliveries exercise the dedup path.
+    *
+    * Returns (event_id, event_type, ts_us, value) for the admitted set.
+    */
+  def lateAdmissionAvailableNow(spark: SparkSession, dir: String,
+      recentDays: Int = 2, lateness: String = "72 hours",
+      nRedelivered: Int = 10, statePartitions: Int = 8,
+      queryName: String = "stream_late"): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .filter(col("ts").isNotNull)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // ms precision on purpose: the stream's watermark arithmetic is ms
+    val cutoff =
+      new java.sql.Timestamp(maxTs.getTime - recentDays * 86400000L)
+    val recent = ev.filter(col("ts") >= lit(cutoff))
+    val redelivered = recent.orderBy(col("event_id").desc).limit(nRedelivered)
+    val stragglers = ev.filter(col("ts") < lit(cutoff))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    try {
+      val srcDir = root.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = root.resolve(s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for $name"))
+        val dest = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime): Unit
+      }
+      val t0 = System.currentTimeMillis() - 300000L
+      writeBatchFile(recent, "b0", t0)
+      writeBatchFile(redelivered, "b1", t0 + 60000L)
+      writeBatchFile(stragglers, "b2", t0 + 120000L)
+      // dropDuplicates WITH the event-time column in the key set: that is
+      // the form whose late-data contract is defined (rows below the
+      // watermark are dropped before touching state). The horizon-bounded
+      // [[dedupStream]] (dropDuplicatesWithinWatermark) deliberately does
+      // NOT drop late rows — its state may already have expired, so it
+      // admits them as new — which is exactly the wrong operator to
+      // certify admission semantics on. Re-deliveries carry the original
+      // (event_id, ts), so dedup still drops them.
+      val admitted = spark.readStream.schema(recent.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .withWatermark("ts", lateness)
+        .dropDuplicates("event_id", "ts")
+      withStatePartitions(spark, statePartitions) {
+        val q = admitted.writeStream.format("memory").queryName(queryName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamMetrics.record(q)
+      }
+      spark.table(queryName)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        // the memory table dies with the session but the files don't —
+        // materialize before the finally-block deletes the source dir
+        .localCheckpoint(true)
+    } finally deleteRecursively(root)
+  }
+
   /** Best-effort recursive delete for harness-scoped temp dirs. */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
