@@ -116,6 +116,66 @@ class PqSpec extends AnyFunSuite {
     assert(Similarity.recallAtK(approx, exact, 0.8).head().getBoolean(3))
   }
 
+  /** k well-separated unit blobs — the CLUSTERED fixture (VERDICT r12,
+    * Next round #3): structureless uniform embeddings are the quantizer
+    * worst case (Voronoi cells have no locality to exploit, so only
+    * near-exhaustive probing reaches high recall); real embedding
+    * corpora cluster, and on a clustered corpus sparse probing must
+    * show BOTH high recall AND sub-linear candidate scans.
+    */
+  private def blobCorpus(nBlobs: Int, perBlob: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nBlobs) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    (0 until nBlobs * perBlob).map { i =>
+      val c = centers(i % nBlobs)
+      val v = c.map(x => x + rnd.nextGaussian() * 0.05)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("clustered corpus: sparse-probe IVF certifies recall >= 0.9 AND sub-linear probing") {
+    val corpus = blobCorpus(nBlobs = 16, perBlob = 250, dim = 32, seed = 99)
+    val queries = corpus.filter(col("vec_id") < 40)
+    val (nCells, nProbe) = (16, 2)
+    val approx = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      5, nCells = nCells, nProbe = nProbe)
+    val exact = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+    assert(Similarity.recallAtK(approx, exact, 0.9).head().getBoolean(3),
+      "recall@5 < 0.9 on the clustered corpus at nProbe=2/16")
+    // sub-linearity: the candidate pairs the probes scan, as a fraction
+    // of the brute-force QxN pair space, must track nProbe/nCells (2x
+    // slack for cell-size skew from the seeded quantizer fit)
+    val census = Similarity.ivfProbeCensus(corpus, queries, "vec_id",
+      "embedding", nCells = nCells, nProbe = nProbe).head()
+    val frac = census.getDouble(3)
+    val nominal = census.getDouble(4)
+    assert(nominal == nProbe.toDouble / nCells)
+    assert(frac <= nominal * 2.0,
+      f"probe fraction $frac%.4f exceeds 2x the nominal $nominal%.4f")
+    assert(frac < 0.5, f"probe fraction $frac%.4f is not sub-linear")
+  }
+
+  test("clustered corpus: sparse-probe IVF-PQ holds the same recall bound") {
+    val corpus = blobCorpus(nBlobs = 16, perBlob = 250, dim = 32, seed = 77)
+    val queries = corpus.filter(col("vec_id") < 40)
+    // HALF the code budget of the structureless configs (m=8, ksub=16):
+    // residual encoding (IVFADC) spends the codes on within-cell detail,
+    // so a tight blob resolves with far fewer centroids than raw-vector
+    // codes needed — this small budget is the point of the residual
+    // change (raw-vector codes measured recall 0.42 here even at
+    // m=16/ksub=64)
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      5, nCells = 16, nProbe = 2, m = 8, ksub = 16, refine = 40)
+    val exact = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 5)
+    assert(Similarity.recallAtK(approx, exact, 0.9).head().getBoolean(3),
+      "IVF-PQ recall@5 < 0.9 on the clustered corpus at nProbe=2/16")
+  }
+
   test("committed q_ann_pq config holds its recall bound on a fresh corpus") {
     val rnd = new scala.util.Random(23)
     val corpus = (0L until 400L).map(i =>
