@@ -13,9 +13,15 @@ excluded from "queries"/"total" — any Spark-vs-DuckDB ratio must be
 computed over the per-query JOIN of both engines' "queries" maps, never
 the two totals, or the engines silently compare different query sets.
 """
-import json, os, statistics, sys, time
+import json, os, statistics, sys, threading, time
 
 import duckdb
+
+# Per-query wall clamp (seconds): at sf1 a pathological oracle (quadratic
+# self-join) could otherwise hang the whole matched-pair window. An
+# interrupted query is recorded in "errors" like any other failure and
+# excluded from the ratio join. Override with DUCK_QUERY_TIMEOUT.
+QUERY_TIMEOUT = float(os.environ.get("DUCK_QUERY_TIMEOUT", "300"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -41,6 +47,10 @@ def main():
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
+            # watchdog: duckdb honors Connection.interrupt() from another
+            # thread; the interrupted execute() raises and lands in errs
+            timer = threading.Timer(QUERY_TIMEOUT, con.interrupt)
+            timer.start()
             try:
                 con.execute(sql).fetchall()  # full materialization
                 ts.append(time.perf_counter() - t0)
@@ -49,6 +59,10 @@ def main():
                 # a single flaky rep must not leave a lone cold first-run
                 # time standing in as this query's "median"
                 errs.setdefault(name, str(e)[:200])
+                if time.perf_counter() - t0 >= QUERY_TIMEOUT:
+                    break  # timed out — don't burn reps x timeout more wall
+            finally:
+                timer.cancel()
         # a query that errored on ANY rep is reported in errors only —
         # a partial-rep median would silently skew the suite total the
         # Spark/DuckDB ratio is computed against
