@@ -1231,6 +1231,97 @@ object Queries {
                    CAST(sum(nn) AS BIGINT) AS n_neg
             FROM r"""))
 
+  /** Calibration reliability report of a synthetic near-calibrated
+    * scorer (score = id-derived uniform in [0,1], label drawn so
+    * P(label=1 | score) ≈ score — both pure integer-arithmetic
+    * derivations the oracle replays bit-identically): 10 equal-width
+    * bins with per-bin count / mean score / empirical positive rate,
+    * plus the global Brier score and expected calibration error
+    * (see [[graft.metrics.Metrics.calibrationReport]]).
+    */
+  val qCalibration = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events").select(
+        ((col("event_id") % 1000) / lit(999.0)).as("score"),
+        ((col("event_id") * 37) % 1000 < col("event_id") % 1000)
+          .cast("int").as("label"))
+      graft.metrics.Metrics.calibrationReport(ev, col("label"), col("score"), 10)
+        .select(col("bin"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("frac_pos"), 6).as("frac_pos"),
+          round(col("brier"), 6).as("brier"),
+          round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT (event_id % 1000) / 999.0 AS s,
+                              CASE WHEN (event_id * 37) % 1000 < event_id % 1000
+                                   THEN 1 ELSE 0 END AS t
+                       FROM events),
+            pb AS (SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+                          count(*) AS n, avg(s) AS mean_score,
+                          avg(CAST(t AS DOUBLE)) AS frac_pos
+                   FROM b GROUP BY 1),
+            g AS (SELECT avg((s - t) * (s - t)) AS brier, count(*) AS nn FROM b),
+            e AS (SELECT sum(n / nn * abs(frac_pos - mean_score)) AS ece
+                  FROM pb CROSS JOIN g)
+            SELECT bin, n, round(mean_score, 6) + 0.0 AS mean_score,
+                   round(frac_pos, 6) + 0.0 AS frac_pos,
+                   round(brier, 6) + 0.0 AS brier,
+                   round(ece, 6) + 0.0 AS ece
+            FROM pb CROSS JOIN g CROSS JOIN e ORDER BY bin"""))
+
+  /** Cohen's kappa between two synthetic raters of order priority
+    * (rater B agrees with rater A on a deterministic 70% of keys and
+    * votes the majority class otherwise): chance-corrected agreement —
+    * n / n_agree exact integers, po/pe/kappa the standard rational
+    * forms (see [[graft.metrics.Metrics.cohenKappa]]).
+    */
+  val qKappa = QDef(
+    (s, d) => {
+      val o = t(s, d, "orders").select(
+        col("o_orderpriority").as("rater_a"),
+        when(col("o_orderkey") % 10 < 7, col("o_orderpriority"))
+          .otherwise(lit("3-MEDIUM")).as("rater_b"))
+      graft.metrics.Metrics.cohenKappa(o, col("rater_a"), col("rater_b"))
+        .select(col("n"), col("n_agree"),
+          round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+          round(col("kappa"), 6).as("kappa"))
+    },
+    Some("""WITH p AS (SELECT o_orderpriority AS a,
+                              CASE WHEN o_orderkey % 10 < 7
+                                   THEN o_orderpriority
+                                   ELSE '3-MEDIUM' END AS b
+                       FROM orders),
+            ag AS (SELECT count(*) AS n,
+                          CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+                   FROM p),
+            ma AS (SELECT a AS cat, count(*) AS n_a FROM p GROUP BY 1),
+            mb AS (SELECT b AS cat, count(*) AS n_b FROM p GROUP BY 1),
+            cr AS (SELECT CAST(sum(coalesce(n_a, 0) * coalesce(n_b, 0)) AS BIGINT) AS c
+                   FROM ma FULL OUTER JOIN mb USING (cat))
+            SELECT n, n_agree,
+                   round(n_agree / (1.0 * n), 6) + 0.0 AS po,
+                   round(c / (1.0 * n * n), 6) + 0.0 AS pe,
+                   round((n_agree / (1.0 * n) - c / (1.0 * n * n))
+                         / (1 - c / (1.0 * n * n)), 6) + 0.0 AS kappa
+            FROM ag CROSS JOIN cr"""))
+
+  /** Deterministic 5-fold cross-validation assignment over the corpus,
+    * summarized per (lang, fold) — the per-stratum counts demonstrate
+    * the hash folds stay language-balanced without any shuffle
+    * (see [[Relational.kfold]]; fold is a pure function of doc_id).
+    */
+  val qKfold = QDef(
+    (s, d) => Relational.kfold(t(s, d, "documents"), col("doc_id"), 5)
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "fold"),
+    Some(s"""WITH f AS (SELECT lang, doc_id,
+                               ${h60sql("CAST(doc_id AS VARCHAR)")} % 5 AS fold
+                        FROM documents)
+             SELECT lang, fold, count(*) AS n, min(doc_id) AS min_doc
+             FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** CUSUM change-point screen per event type: max |running sum of
     * mean-deviations| (6-dp quantized for cross-engine argmax
     * stability) and the earliest timestamp attaining it
@@ -5242,6 +5333,9 @@ object Queries {
     "q_pareto" -> qPareto,
     "q_ab_test" -> qAbTest,
     "q_auc" -> qAuc,
+    "q_calibration" -> qCalibration,
+    "q_kappa" -> qKappa,
+    "q_kfold" -> qKfold,
     "q_cusum" -> qCusum,
     "q_seasonal_forecast" -> qSeasonalForecast,
     "q_target_encode" -> qTargetEncode,

@@ -192,4 +192,44 @@ object Metrics {
     withG.crossJoin(broadcast(ece))
       .select("bin", "n", "mean_score", "frac_pos", "brier", "ece")
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters over the same items (Cohen 1960): `κ = (p_o − p_e)/(1 − p_e)`
+    * with `p_o` the observed agreement rate and
+    * `p_e = Σ_c p_a(c) · p_b(c)` the agreement expected if both raters
+    * drew independently from their own marginals. The labeled-training-
+    * data QA staple: raw agreement overstates reliability whenever the
+    * category mix is skewed, κ does not.
+    *
+    * Rows where either rating is null are excluded (an unrated item says
+    * nothing about agreement). Output is ONE row:
+    * (n, n_agree, po, pe, kappa); `kappa` is null when `p_e = 1` (both
+    * raters constant and identical — chance explains everything, the
+    * statistic is undefined).
+    *
+    * Scale shape: one scalar aggregate for (n, n_agree) plus two
+    * category-cardinality hash aggregates (map-side combine — each
+    * executor emits at most |categories| partial rows) joined on
+    * category for the `Σ n_a·n_b` term. Nothing materializes beyond the
+    * marginal tables; no window, no per-item shuffle beyond the two
+    * tiny aggs.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val pairs = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+    val agree = pairs.agg(count(lit(1)).as("n"),
+      sum((col("__a") === col("__b")).cast("long")).as("n_agree"))
+    val ma = pairs.groupBy(col("__a").as("cat")).agg(count(lit(1)).as("n_a"))
+    val mb = pairs.groupBy(col("__b").as("cat")).agg(count(lit(1)).as("n_b"))
+    // full outer: a category used by only one rater contributes 0 to pe
+    val cross = ma.join(mb, Seq("cat"), "full")
+      .agg(sum(coalesce(col("n_a"), lit(0L)) * coalesce(col("n_b"), lit(0L)))
+        .as("__cross"))
+    val po = col("n_agree") / col("n")
+    val pe = col("__cross") / (col("n") * col("n"))
+    agree.crossJoin(broadcast(cross)).select(
+      col("n"), col("n_agree"),
+      po.as("po"), pe.as("pe"),
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -198,6 +198,27 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Deterministic k-fold assignment: `fold = h60(id) mod k`, appended
+    * as a column. The cross-validation partitioner done the way it has
+    * to be done at corpus scale: the fold is a PURE FUNCTION of the row
+    * key — stable across runs, machines, partitionings, and re-ingests
+    * (a row keeps its fold when the table grows), so train/eval splits
+    * never leak under re-shuffles. A row_number-based round-robin would
+    * give exact fold sizes but ties the assignment to a global sort
+    * (one total-order bottleneck) and to the CURRENT dataset contents;
+    * the hash form is map-only — zero shuffle — and fold sizes converge
+    * to n/k by the same md5-uniformity every sampler here relies on.
+    *
+    * Training view for fold i is `.filter(col("fold") =!= i)`, eval view
+    * `=== i` — both stay pushdown-friendly scans of the same table.
+    */
+  def kfold(df: DataFrame, idCol: Column, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    df.withColumn(foldCol,
+      pmod(graft.functions.Hashing.h60(idCol.cast("string")), lit(k.toLong)))
+  }
+
   /** Mixture sampling: deterministically carve the LARGEST corpus subset
     * whose per-group composition matches `targetShares` (e.g. 60% web /
     * 30% books / 10% code). The binding group — the one whose supply

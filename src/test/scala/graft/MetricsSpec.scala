@@ -83,4 +83,61 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - (10 + 2 * prior) / 3) < 1e-12)
     assert(math.abs(got(2) - prior) < 1e-12)
   }
+
+  test("calibrationReport: hand-computed bins, brier, ece; rejects out-of-domain scores") {
+    import spark.implicits._
+    // in-domain rows: bins 0 {0.05→0}, 1 {0.15→0, 0.15→1}, 9 {0.95→1, 1.0→1}
+    // (score exactly 1.0 must clamp into the top bin, not bin 10);
+    // the 1.5 and null scores are out-of-domain and must not appear.
+    val df = Seq(
+      (Some(0.05), 0), (Some(0.15), 0), (Some(0.15), 1),
+      (Some(0.95), 1), (Some(1.0), 1), (Some(1.5), 1),
+      (Option.empty[Double], 0)).toDF("s", "y")
+    val r = Metrics.calibrationReport(df, col("y"), col("s"), 10)
+      .orderBy("bin").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 9L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L))
+    val mean = r.map(_.getDouble(2))
+    val frac = r.map(_.getDouble(3))
+    assert(math.abs(mean(0) - 0.05) < 1e-12 && math.abs(frac(0) - 0.0) < 1e-12)
+    assert(math.abs(mean(1) - 0.15) < 1e-12 && math.abs(frac(1) - 0.5) < 1e-12)
+    assert(math.abs(mean(2) - 0.975) < 1e-12 && math.abs(frac(2) - 1.0) < 1e-12)
+    // brier over the 5 admitted rows:
+    // (.05² + .15² + .85² + .05² + 0²)/5 = 0.75/5 = 0.15
+    assert(math.abs(r.head.getDouble(4) - 0.15) < 1e-12)
+    // ece = (1/5)|0−.05| + (2/5)|.5−.15| + (2/5)|1−.975| = .01+.14+.01 = .16
+    assert(math.abs(r.head.getDouble(5) - 0.16) < 1e-12)
+  }
+
+  test("cohenKappa: Cohen's worked 50-item table gives κ=0.4; exact marginals") {
+    import spark.implicits._
+    // 20 both-yes, 15 both-no, 5 A-yes/B-no, 10 A-no/B-yes:
+    // po = 35/50 = 0.7; pA(yes)=0.5, pB(yes)=0.6 → pe = 0.5·0.6+0.5·0.4 = 0.5
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(math.abs(r.getDouble(2) - 0.7) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.4) < 1e-12)
+  }
+
+  test("cohenKappa: one-sided categories contribute zero to pe; degenerate pe=1 → null") {
+    import spark.implicits._
+    // categories b (A only) and c (B only) have zero cross-marginal mass:
+    // pe = 1·1/4 = 0.25, po = 0.5 → κ = 1/3
+    val r = Metrics.cohenKappa(Seq(("a", "a"), ("b", "c")).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(math.abs(r.getDouble(3) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-12)
+    // both raters constant and identical: chance explains everything
+    val d = Metrics.cohenKappa(Seq(("x", "x"), ("x", "x")).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0 && d.isNullAt(4))
+    // null ratings are excluded, not counted as disagreement
+    val n = Metrics.cohenKappa(
+      Seq(("a", Some("a")), ("b", Option.empty[String])).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(n.getLong(0) == 1L && n.getLong(1) == 1L)
+  }
 }

@@ -185,6 +185,32 @@ class SemanticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kfold: pure function of the id — partitioning-stable, growth-stable, balanced") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val folds = Relational.kfold(df, col("id"), 5)
+    val got = folds.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(f => f >= 0 && f < 5))
+    // exact disjoint cover: train(i) ∪ eval(i) = all, for every fold
+    val n = df.count()
+    (0 until 5).foreach { i =>
+      val ev = folds.filter(col("fold") === i).count()
+      val tr = folds.filter(col("fold") =!= i).count()
+      assert(ev + tr == n && ev > 0)
+    }
+    // balance: md5-uniform folds of 500 ids land near 100 each
+    val sizes = folds.groupBy("fold").count().collect().map(_.getLong(1))
+    assert(sizes.forall(s => s > 60 && s < 140), sizes.mkString(","))
+    // partitioning-stable
+    val re = Relational.kfold(df.repartition(13), col("id"), 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == got)
+    // growth-stable: a row keeps its fold when the table doubles
+    val grown = Relational.kfold(
+      (1L to 1000L).map(i => (i, "g")).toDF("id", "g"), col("id"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, f) => grown(id) == f })
+  }
+
   test("mixtureSample hits the target mix; binding group kept whole") {
     // 600/300/100 rows; target 50/30/20 → src2 binds (100/0.2 = 500
     // total): expect ~250/150/100
