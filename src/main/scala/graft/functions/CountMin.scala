@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -37,14 +37,17 @@ case class CountMinSketch(
     child: Expression,
     width: Int,
     depth: Int,
+    weight: Expression = Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
 
   require(width > 0 && depth > 0, "width and depth must be positive")
 
-  override def inputTypes = Seq(LongType)
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_count_min"
@@ -63,12 +66,21 @@ case class CountMinSketch(
     (java.lang.Long.parseLong(hex, 16) % width).toInt
   }
 
+  /** Counters are sums, so a weighted insert of (x, w) is exactly w unit
+    * inserts of x — the pre-aggregated build path (build the sketch from
+    * a grouped (item, count) table in |distinct| hash evals, not |rows|).
+    * Null item or null weight contributes nothing.
+    */
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
-      var d = 0
-      while (d < depth) { buf(d * width + cell(d, x)) += 1L; d += 1 }
+      val w = weight.eval(input)
+      if (w != null && w.asInstanceOf[Long] != 0L) {
+        val x = v.asInstanceOf[Long]
+        val inc = w.asInstanceOf[Long]
+        var d = 0
+        while (d < depth) { buf(d * width + cell(d, x)) += inc; d += 1 }
+      }
     }
     buf
   }
@@ -96,16 +108,21 @@ case class CountMinSketch(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): CountMinSketch =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMinSketch =
+    copy(child = newLeft, weight = newRight)
 }
 
 object CountMinSketch {
-  /** Builder for registry use: graft_count_min(col, width, depth). */
+  /** Builder for registry use: graft_count_min(col, width, depth) or the
+    * weighted form graft_count_min(col, weightCol, width, depth).
+    */
   def fromExprs(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(child, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
       CountMinSketch(child, w, d).toAggregateExpression()
+    case Seq(child, weight, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+      CountMinSketch(child, w, d, weight).toAggregateExpression()
     case _ => throw new IllegalArgumentException(
-      "usage: graft_count_min(longCol, <literal int width>, <literal int depth>)")
+      "usage: graft_count_min(longCol[, longWeightCol], <literal int width>, <literal int depth>)")
   }
 }

@@ -257,6 +257,15 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(depth))
 
+  /** Weighted count-min insert: item `c` counted `w` times per row —
+    * the pre-aggregated build path (see [[CountMinSketch.update]]).
+    * Bit-identical to the unweighted sketch over the exploded rows.
+    */
+  def countMinWeighted(c: Column, w: Column, width: Int, depth: Int): Column =
+    call_function("graft_count_min", c, w,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(depth))
+
   /** One greedy BPE merge application over a symbol array (requires
     * [[register]]) — see [[BpeMergePair]].
     */

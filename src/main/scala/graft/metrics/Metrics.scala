@@ -193,6 +193,64 @@ object Metrics {
       .select("bin", "n", "mean_score", "frac_pos", "brier", "ece")
   }
 
+  /** Per-class classification report — precision / recall / F1 /
+    * support per class plus global accuracy and macro-F1, the
+    * confusion-matrix complement to [[aucExact]]/[[calibrationReport]]
+    * (those grade scores; this grades hard predictions).
+    *
+    * Semantics (sklearn's classification_report conventions):
+    *  - the class set is the UNION of observed labels and predictions —
+    *    a class that is predicted but never true appears with support 0;
+    *  - precision(c) = TP_c / #predicted-as-c, null when c is never
+    *    predicted; recall(c) = TP_c / support_c, null when support is 0
+    *    (undefined, not 0 — the caller chooses a zero_division policy);
+    *  - f1(c) = 2PR/(P+R), null when either side is null, 0.0 when both
+    *    are defined but sum to 0;
+    *  - accuracy = Σ TP / N; macro_f1 averages f1 over classes where it
+    *    is defined (repeated on every row, like calibration's brier/ece).
+    * Rows with a null label or prediction are excluded.
+    *
+    * Scale shape: ONE hash aggregate to the confusion-cell table
+    * (|classes|² rows max — classes are enumerable by definition), then
+    * everything else is arithmetic over that tiny table: two
+    * |classes|-sized re-aggregations joined full-outer, a 1-row total
+    * attached via broadcast. The data is scanned exactly once.
+    */
+  def classificationReport(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    val cells = df.filter(label.isNotNull && pred.isNotNull)
+      .groupBy(label.cast("string").as("__y"), pred.cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // |classes|² rows; feeds four consumers
+    val byLabel = cells.groupBy(col("__y").as("cls"))
+      .agg(sum(col("__n")).as("support"))
+    val byPred = cells.groupBy(col("__p").as("cls"))
+      .agg(sum(col("__n")).as("n_pred"))
+    val tp = cells.filter(col("__y") === col("__p"))
+      .select(col("__y").as("cls"), col("__n").as("__tp"))
+    val total = cells.agg(sum(col("__n")).as("__N"),
+      sum(when(col("__y") === col("__p"), col("__n")).otherwise(0L)).as("__TP"))
+    val perClass = byLabel.join(byPred, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("__tp"), lit(0L)).as("tp"),
+        (coalesce(col("__tp"), lit(0L)).cast("double") / col("n_pred"))
+          .as("precision"), // null when n_pred null (class never predicted)
+        (coalesce(col("__tp"), lit(0L)).cast("double") / col("support"))
+          .as("recall")) // null when support null→0 (class never true)
+    val withF1 = perClass.withColumn("f1",
+      when(col("precision").isNotNull && col("recall").isNotNull,
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0))))
+    val macroAvg = withF1.agg(avg(col("f1")).as("macro_f1")) // avg skips nulls
+    withF1.crossJoin(broadcast(total)).crossJoin(broadcast(macroAvg))
+      .select(col("cls"), col("support"), col("tp"), col("precision"),
+        col("recall"), col("f1"),
+        (col("__TP").cast("double") / col("__N")).as("accuracy"),
+        col("macro_f1"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters over the same items (Cohen 1960): `κ = (p_o − p_e)/(1 − p_e)`
     * with `p_o` the observed agreement rate and
@@ -214,6 +272,50 @@ object Metrics {
     * marginal tables; no window, no per-item shuffle beyond the two
     * tiny aggs.
     */
+  /** Weighted Cohen's kappa (Cohen 1968) — the ordinal-label extension
+    * of [[cohenKappa]]: disagreements are penalized by how FAR apart the
+    * two ratings are, `κ_w = 1 − D_obs / D_exp` with
+    * `D_obs = Σ_ij O_ij·w_ij / N` the observed mean disagreement,
+    * `D_exp = Σ_ij n_i·m_j·w_ij / N²` the mean disagreement of
+    * independent raters with the same marginals, and
+    * `w_ij = (v_i − v_j)²` (quadratic, the default — equivalent to an
+    * ICC) or `|v_i − v_j|` (linear). The weight normalization constant
+    * cancels in the ratio, so none is applied. Ratings are numeric
+    * ordinals; distance is taken on their actual values, so unequal
+    * gaps (e.g. severity 1, 2, 5) penalize accordingly.
+    *
+    * Null-rated rows are excluded. Output is ONE row
+    * (n, d_obs, d_exp, kappa_w); `kappa_w` is null when `D_exp = 0`
+    * (both raters constant — chance explains everything; matches the
+    * unweighted convention).
+    *
+    * Scale shape: one |ratings|²-max hash aggregate to the confusion
+    * cells, then marginal cross-products over the tiny cell table —
+    * identical to [[cohenKappa]] plus one |r|×|r| crossJoin of
+    * rating-cardinality aggregates. One scan of the data.
+    */
+  def weightedKappa(df: DataFrame, a: Column, b: Column,
+      quadratic: Boolean = true): DataFrame = {
+    def w(x: Column, y: Column): Column =
+      if (quadratic) (x - y) * (x - y) else abs(x - y)
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("double").as("__a"), b.cast("double").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // |ratings|² rows; feeds obs + two marginals
+    val obs = cells.agg(sum(col("__n")).as("n"),
+      sum(col("__n") * w(col("__a"), col("__b"))).as("__o"))
+    val ma = cells.groupBy(col("__a").as("va")).agg(sum(col("__n")).as("n_a"))
+    val mb = cells.groupBy(col("__b").as("vb")).agg(sum(col("__n")).as("n_b"))
+    val exp = ma.crossJoin(mb)
+      .agg(sum(col("n_a") * col("n_b") * w(col("va"), col("vb"))).as("__e"))
+    obs.crossJoin(broadcast(exp)).select(
+      col("n"),
+      (col("__o") / col("n")).as("d_obs"),
+      (col("__e") / (col("n") * col("n"))).as("d_exp"),
+      when(col("__e") > 0,
+        lit(1.0) - col("__o") * col("n") / col("__e")).as("kappa_w"))
+  }
+
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val pairs = df.filter(a.isNotNull && b.isNotNull)
       .select(a.cast("string").as("__a"), b.cast("string").as("__b"))

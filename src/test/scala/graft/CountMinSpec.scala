@@ -68,6 +68,28 @@ class CountMinSpec extends AnyFunSuite {
     assert(sk.length == 16 && sk.forall(_ == 0L))
   }
 
+  test("weighted insert over grouped rows equals unweighted over raw rows") {
+    GraftFunctions.register(spark)
+    val rows = (0L until 400L).flatMap(i => Seq.fill((i % 7).toInt + 1)(i % 37L))
+    val raw = rows.toDF("v")
+      .agg(GraftFunctions.countMin(col("v"), 16, 3).as("s"))
+      .head().getSeq[Long](0)
+    val grouped = rows.toDF("v").groupBy("v").agg(count(lit(1)).as("n"))
+      .agg(GraftFunctions.countMinWeighted(col("v"), col("n"), 16, 3).as("s"))
+      .head().getSeq[Long](0)
+    assert(raw == grouped) // counters are sums: n unit inserts ≡ one weight-n insert
+  }
+
+  test("weighted insert: null and zero weights contribute nothing") {
+    GraftFunctions.register(spark)
+    val sk = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null),
+        (3L, java.lang.Long.valueOf(0L)))
+      .toDF("v", "n")
+      .agg(GraftFunctions.countMinWeighted(col("v"), col("n"), 8, 2).as("s"))
+      .head().getSeq[Long](0)
+    assert(sk.sum == 5L * 2) // only (1, 5) lands, once per depth row
+  }
+
   test("SQL surface via registry") {
     GraftFunctions.register(spark)
     Seq(7L, 7L, 8L).toDF("v").createOrReplaceTempView("cm_in")

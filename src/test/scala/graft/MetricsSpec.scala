@@ -140,4 +140,57 @@ class MetricsSpec extends AnyFunSuite {
       col("a"), col("b")).head()
     assert(n.getLong(0) == 1L && n.getLong(1) == 1L)
   }
+
+  test("classificationReport: hand-computed per-class P/R/F1, phantom class, macro-F1") {
+    import spark.implicits._
+    // cells: (cat,cat)×3 (cat,dog)×1 (dog,dog)×2 (dog,cat)×2 (bird,ghost)×2
+    val rows = Seq.fill(3)(("cat", "cat")) ++ Seq(("cat", "dog")) ++
+      Seq.fill(2)(("dog", "dog")) ++ Seq.fill(2)(("dog", "cat")) ++
+      Seq.fill(2)(("bird", "ghost"))
+    val got = Metrics.classificationReport(rows.toDF("y", "p"), col("y"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("bird", "cat", "dog", "ghost"))
+    val cat = got("cat")
+    assert(cat.getLong(1) == 4L && cat.getLong(2) == 3L)
+    assert(math.abs(cat.getDouble(3) - 0.6) < 1e-12)   // precision 3/5
+    assert(math.abs(cat.getDouble(4) - 0.75) < 1e-12)  // recall 3/4
+    assert(math.abs(cat.getDouble(5) - 2.0 / 3) < 1e-12)
+    val dog = got("dog")
+    assert(math.abs(dog.getDouble(3) - 2.0 / 3) < 1e-12)
+    assert(math.abs(dog.getDouble(4) - 0.5) < 1e-12)
+    assert(math.abs(dog.getDouble(5) - 4.0 / 7) < 1e-12)
+    // bird is never predicted: precision undefined (null), recall 0, f1 null
+    val bird = got("bird")
+    assert(bird.getLong(1) == 2L && bird.isNullAt(3))
+    assert(bird.getDouble(4) == 0.0 && bird.isNullAt(5))
+    // ghost is predicted but never true: support 0, precision 0, recall null
+    val ghost = got("ghost")
+    assert(ghost.getLong(1) == 0L && ghost.getDouble(3) == 0.0 && ghost.isNullAt(4))
+    // accuracy 5/10 on every row; macro-F1 averages the two DEFINED f1s
+    assert(math.abs(cat.getDouble(6) - 0.5) < 1e-12)
+    assert(math.abs(cat.getDouble(7) - 13.0 / 21) < 1e-12)
+  }
+
+  test("weightedKappa: quadratic and linear hand fixtures; constant raters → null") {
+    import spark.implicits._
+    // cells (0,0)×2 (1,1)×2 (2,2)×2 (0,2)×1 (2,0)×1:
+    // quadratic D_obs = 8/8 = 1, D_exp = 96/64 = 1.5 → κw = 1/3
+    val rows = Seq.fill(2)((0, 0)) ++ Seq.fill(2)((1, 1)) ++
+      Seq.fill(2)((2, 2)) ++ Seq((0, 2), (2, 0))
+    val q = Metrics.weightedKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(q.getLong(0) == 8L)
+    assert(math.abs(q.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(q.getDouble(2) - 1.5) < 1e-12)
+    assert(math.abs(q.getDouble(3) - 1.0 / 3) < 1e-12)
+    // linear: D_obs = 4/8 = 0.5, D_exp = 60/64 → κw = 1 − 32/60
+    val l = Metrics.weightedKappa(rows.toDF("a", "b"), col("a"), col("b"),
+      quadratic = false).head()
+    assert(math.abs(l.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(l.getDouble(2) - 60.0 / 64) < 1e-12)
+    assert(math.abs(l.getDouble(3) - (1.0 - 32.0 / 60)) < 1e-12)
+    // both raters constant: D_exp = 0, chance explains everything → null
+    val d = Metrics.weightedKappa(Seq((1, 1), (1, 1)).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(d.isNullAt(3))
+  }
 }
