@@ -41,6 +41,43 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m(Seq("x"), "x", "y") == Seq("x")) // no pair in a singleton
   }
 
+  test("graft_bpe_merge passes null elements through; containsNull mirrors input") {
+    GraftFunctions.register(spark)
+    // A null can never equal the foldable pair, so it survives unchanged
+    // and breaks adjacency (the pair straddling it must NOT merge).
+    val df = Seq(Seq[String]("a", null, "a", "a", "a")).toDF("s")
+      .select(GraftFunctions.bpeMerge(col("s"), "a", "a").as("m"))
+    val schema = df.schema("m").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(schema.containsNull) // input Seq[String] with null → containsNull=true mirrored
+    assert(df.head().getSeq[String](0) == Seq("a", null, "aa", "a"))
+    // null-free input stays declared null-free through the merge
+    val clean = Seq(Seq("x", "y")).toDF("s")
+      .select(GraftFunctions.bpeMerge(col("s"), "x", "y").as("m"))
+    assert(clean.head().getSeq[String](0) == Seq("xy"))
+    // null ARRAY (not element) → null out
+    val nullArr = Seq(Option.empty[Seq[String]]).toDF("s")
+      .select(GraftFunctions.bpeMerge(col("s"), "x", "y").as("m"))
+    assert(nullArr.head().isNullAt(0))
+  }
+
+  test("degenerate corpus: training exhausts early, returned merges stay applicable") {
+    // vocab {a×2, b×2, c×1}, all single chars: merges are exactly
+    // (a,</w>), (b,</w>), (c,</w>) then exhaustion — rounds 4+ yield
+    // nothing. The 4-round oracle replay of this corpus must degrade
+    // its round-4 merge to a no-op (the bpeRoundSql LEFT JOIN path);
+    // tools/check_bpe_degenerate.py replays it in DuckDB end-to-end.
+    val docs = Seq("a b", "a b", "c").toDF("text")
+    val got = merges(docs, 4)
+    assert(got.toSeq == Seq((1L, "a", "</w>", 2L), (2L, "b", "</w>", 2L),
+      (3L, "c", "</w>", 1L)))
+    // applying the SHORT merge list segments every word to one token
+    val seg = TextOps.bpeSegment(docs, col("text"),
+        got.map(m => (m._2, m._3)).toSeq)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg == Map("a" -> "a</w>", "b" -> "b</w>", "c" -> "c</w>"))
+  }
+
   test("training stops when no adjacent pair remains") {
     val docs = Seq("a b").toDF("text")
     // r1: (a,</w>)=1 ties (b,</w>)=1 → lex picks a; r2: (b,</w>);
