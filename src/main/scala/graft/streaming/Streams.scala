@@ -714,6 +714,130 @@ object Streams {
     } finally deleteRecursively(root)
   }
 
+  /** Stream-stream event-time interval join with BOTH sides watermarked
+    * (q_stream_stream_join — VERDICT r13, Next round #6: the one
+    * Structured Streaming surface the inventory lacked; everything else
+    * stops at stream-static enrichment).
+    *
+    * Fixture: the left stream is the events table; the right stream is
+    * a derived ack stream — one ack per event, `ack_ts = ts +
+    * (event_id % ackModSeconds) seconds` — so ground truth is
+    * restatable in batch SQL with no randomness. The join is the
+    * canonical interval form: equal ids, ack within [ts, ts +
+    * matchWindow), with `ackModSeconds ≤ matchWindow` so every
+    * co-admitted pair matches.
+    *
+    * Three pinned micro-batches per side (same mtime trick as
+    * [[lateAdmissionAvailableNow]]; two source directories, each under
+    * `maxFilesPerTrigger=1`, advance in lockstep):
+    *
+    *  - batch 0 — left: the recent slice (carries the global max event
+    *    time); right: recent acks EXCEPT the held-back subset
+    *    (`event_id % holdbackMod == 0`);
+    *  - batch 1 — left: an empty file (pure batch-boundary spacer);
+    *    right: the held-back acks — these must pair against LEFT STATE
+    *    from batch 0, certifying the cross-batch buffered-state path
+    *    (the thing a within-batch join never exercises);
+    *  - batch 2 — left: the stragglers; right: their acks. The late
+    *    filter here stands at the batch-0 watermark (SPARK-40925
+    *    one-batch lag, as in [[lateAdmissionAvailableNow]]):
+    *    `min(floor_ms(max left ts in b0), floor_ms(max right ack in
+    *    b0)) − lateness` — the min because the default multi-watermark
+    *    policy takes the lagging side. A straggler pair survives iff
+    *    its LEFT time is admitted (`ts ≥ wm` ⇒ `ack_ts ≥ wm` since the
+    *    delta is non-negative; an ack whose event was dropped finds no
+    *    partner — inner-join semantics).
+    *
+    * Recent left state is never evicted mid-run: eviction needs
+    * `ts + matchWindow < wm`, and the recent slice sits `recentDays`
+    * (< lateness) above the watermark by construction — so the batch-1
+    * holdback pairs are deterministic, not a race against cleanup.
+    *
+    * Returns (event_id, event_type, ts_us, ack_us, value) for the
+    * admitted pairs. State scale: per-side state is bounded by
+    * lateness × arrival rate and evicted by watermark — the standard
+    * production contract; nothing here is fixture-only except the
+    * batch pinning.
+    */
+  def streamStreamJoinAvailableNow(spark: SparkSession, dir: String,
+      recentDays: Int = 2, lateness: String = "72 hours",
+      ackModSeconds: Int = 600, matchWindowSeconds: Int = 600,
+      holdbackMod: Int = 20, statePartitions: Int = 8,
+      queryName: String = "stream_stream_join"): DataFrame = {
+    require(ackModSeconds <= matchWindowSeconds,
+      "every ack must fall inside the join window")
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .filter(col("ts").isNotNull)
+    val withAck = ev.withColumn("ack_ts",
+      timestamp_add("SECOND", col("event_id") % ackModSeconds, col("ts")))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoff =
+      new java.sql.Timestamp(maxTs.getTime - recentDays * 86400000L)
+    val leftCols = Seq(col("event_id"), col("event_type"), col("ts"),
+      col("value"))
+    val rightCols = Seq(col("event_id").as("ack_id"), col("ack_ts"))
+    val recent = withAck.filter(col("ts") >= lit(cutoff))
+    val stragglers = withAck.filter(col("ts") < lit(cutoff))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ssj")
+    try {
+      val srcL = root.resolve("left"); val srcR = root.resolve("right")
+      java.nio.file.Files.createDirectories(srcL)
+      java.nio.file.Files.createDirectories(srcR)
+      def writeBatchFile(df: DataFrame, dest: java.nio.file.Path,
+          name: String, mtime: Long): Unit = {
+        val tmp = root.resolve(s"tmp_${dest.getFileName}_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for $name"))
+        val out = dest.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, out)
+        out.toFile.setLastModified(mtime): Unit
+      }
+      val t0 = System.currentTimeMillis() - 300000L
+      val holdback = col("ack_id") % holdbackMod === 0
+      writeBatchFile(recent.select(leftCols: _*), srcL, "b0", t0)
+      writeBatchFile(recent.select(leftCols: _*).limit(0), srcL, "b1",
+        t0 + 60000L)
+      writeBatchFile(stragglers.select(leftCols: _*), srcL, "b2",
+        t0 + 120000L)
+      writeBatchFile(recent.select(rightCols: _*).filter(!holdback),
+        srcR, "b0", t0)
+      writeBatchFile(recent.select(rightCols: _*).filter(holdback),
+        srcR, "b1", t0 + 60000L)
+      writeBatchFile(stragglers.select(rightCols: _*), srcR, "b2",
+        t0 + 120000L)
+      val leftSchema = recent.select(leftCols: _*).schema
+      val rightSchema = recent.select(rightCols: _*).schema
+      val left = spark.readStream.schema(leftSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcL.toString)
+        .withWatermark("ts", lateness)
+      val right = spark.readStream.schema(rightSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcR.toString)
+        .withWatermark("ack_ts", lateness)
+      val joined = left.join(right,
+        col("event_id") === col("ack_id") &&
+          col("ack_ts") >= col("ts") &&
+          col("ack_ts") < col("ts") +
+            expr(s"INTERVAL $matchWindowSeconds SECONDS"))
+      withStatePartitions(spark, statePartitions) {
+        val q = joined.writeStream.format("memory").queryName(queryName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamMetrics.record(q)
+      }
+      spark.table(queryName)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ack_ts")).as("ack_us"), col("value"))
+        // materialize before the finally-block deletes the source dirs
+        .localCheckpoint(true)
+    } finally deleteRecursively(root)
+  }
+
   /** Best-effort recursive delete for harness-scoped temp dirs. */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -205,6 +205,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2024-01-01 10:00:00") == 2L) // late row 4.0 NOT counted
   }
 
+  test("stream-stream interval join: cross-batch holdback pairs via buffered state, stragglers split at the watermark") {
+    val out = Streams.streamStreamJoinAvailableNow(spark, dir,
+      queryName = "ssj_spec_mem")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val gotIds = got.map(_._1).toSet
+    // restate the fixture's ground truth from the batch table
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxUs = ev.map(_._2).max
+    val cutoffUs = (maxUs / 1000 - 2L * 86400000L) * 1000
+    def ackUs(id: Long, tsUs: Long) = tsUs + (id % 600) * 1000000L
+    val recent = ev.filter(_._2 >= cutoffUs)
+    // wm = min over sides of floor_ms(batch-0 max) − 72 h; right batch 0
+    // excludes the holdback subset
+    val wmL = maxUs / 1000
+    val wmR = recent.filter(_._1 % 20 != 0)
+      .map { case (id, t) => ackUs(id, t) / 1000 }.max
+    val wmUs = (math.min(wmL, wmR) - 259200000L) * 1000
+    // 1. every held-back ack paired — against LEFT STATE from batch 0
+    val heldback = recent.filter(_._1 % 20 == 0).map(_._1).toSet
+    assert(heldback.nonEmpty, "fixture must exercise the holdback path")
+    assert(heldback.subsetOf(gotIds))
+    // 2. stragglers divide exactly at the watermark
+    val (lateAdmitted, dropped) = ev.filter(_._2 < cutoffUs)
+      .partition(_._2 >= wmUs)
+    assert(lateAdmitted.nonEmpty && dropped.nonEmpty,
+      "fixture must be non-vacuous on both sides of the watermark")
+    assert(lateAdmitted.map(_._1).toSet.subsetOf(gotIds))
+    assert(dropped.map(_._1).toSet.intersect(gotIds).isEmpty)
+    // 3. each pair's ack is the derived one (join matched, not fanned)
+    assert(got.forall { case (id, tsUs, aUs) => aUs == ackUs(id, tsUs) })
+    assert(got.size == recent.size + lateAdmitted.size)
+  }
+
   test("streaming decontamination at ingest equals the batch decision, row for row") {
     import graft.operators.{Dedup, TextOps}
     import graft.functions.Hashing
