@@ -176,6 +176,31 @@ class PqSpec extends AnyFunSuite {
       "IVF-PQ recall@5 < 0.9 on the clustered corpus at nProbe=2/16")
   }
 
+  test("persisted index: build → search equals the inline ivfPqTopK row-for-row") {
+    val corpus = blobCorpus(nBlobs = 8, perBlob = 100, dim = 32, seed = 7)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    // same seed + same config → the stored quantizer is bit-identical to
+    // the inline fit, so the two search paths must agree exactly
+    Similarity.buildAnnIndex(corpus, "vec_id", "embedding", path,
+      nCells = 8, m = 8, ksub = 16)
+    val stored = Similarity.searchAnnIndex(spark, path, corpus, queries,
+      "vec_id", "embedding", 5, nProbe = 3, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inline = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      5, nCells = 8, nProbe = 3, m = 8, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == inline && stored.nonEmpty)
+    // the stored artifacts are bounded: quantizer state is
+    // cells + m·ksub rows, codes are one row per corpus vector
+    assert(spark.read.parquet(s"$path/coarse").count() == 8L)
+    assert(spark.read.parquet(s"$path/pq").count() == 8L * 16)
+    assert(spark.read.parquet(s"$path/codes").count() == corpus.count())
+    // codes land partitioned by coarse cell (the pruning structure)
+    assert(new java.io.File(s"$path/codes").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
+
   test("committed q_ann_pq config holds its recall bound on a fresh corpus") {
     val rnd = new scala.util.Random(23)
     val corpus = (0L until 400L).map(i =>
