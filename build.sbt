@@ -40,4 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap ceiling, and a GC-bound rep is indistinguishable from a real
   // regression. Bench.scala emits per-rep GC/heap so the artifact decides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // -Xms = -Xmx: a fresh JVM otherwise starts with a small committed
+  // heap and pays the flagship's first rep in heap-expansion GC storms
+  // (BENCH_r13 e1 rep 1: 7.5 s GC of a 106 s rep vs ≤0.4 s on every
+  // warm rep). Pre-committing the heap removes expansion pauses from
+  // the measurement; the machine has the memory either way.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -442,9 +442,9 @@ object Bench {
     val rowsPerHour = 40
     val nHours = math.max(1L, e1Rows / rowsPerHour).toInt
     def runE1(windowKeyCols: Seq[String],
-        chunkSpanHours: Option[Long] = None): Long = {
-      val traffic = pipelines.DomainFixtures.traffic(spark, nHours, rowsPerHour)
-      val weather = pipelines.DomainFixtures.weather(spark, nHours)
+        chunkSpanHours: Option[Long] = None, hours: Int = nHours): Long = {
+      val traffic = pipelines.DomainFixtures.traffic(spark, hours, rowsPerHour)
+      val weather = pipelines.DomainFixtures.weather(spark, hours)
       val feat = pipelines.TrainingPipeline.featureTable(traffic, weather,
         windowKeyCols, chunkSpanHours)
       // ONE execution: the aggregate's counts also give the row total
@@ -464,6 +464,20 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("plain", "segmented", "chunked", "geo", "corpus"))
     def wantE1(v: String) = !skipE1 && e1Variants.contains(v)
+    // Flagship plan warm-up (VERDICT r13, Next round #7): one
+    // small-scale (≈2% of bench size) pass of each E1 plan SHAPE before
+    // any timed rep. The generic range/groupBy warm-up above covers JVM
+    // birth but not the flagship plans' own first-execution costs —
+    // Janino compilation of the window/join/feature codegen stages and
+    // the localCheckpoint machinery — which landed entirely on e1 rep 1
+    // (BENCH_r13: 106.5 s vs 15.8 s median, the only rep with multi-
+    // second GC). ~3 s unmeasured here buys rep 1 reading plan cost.
+    if (!skipE1 && e1Variants.exists(Set("plain", "segmented", "chunked"))) {
+      val warmHours = math.max(48, nHours / 50)
+      runE1(Seq("borough"), hours = warmHours)
+      runE1(Seq("borough"), chunkSpanHours = Some(24L), hours = warmHours)
+      releasePersisted()
+    }
     val e1 = if (!wantE1("plain")) skipped
       else timeFlagship(e1Reps) { runE1(Seq("borough")) }
     val e1JoinedRows = e1.first.getOrElse(-1L)
@@ -583,6 +597,29 @@ object Bench {
     }
     releasePersisted()
 
+    // Persisted-ANN query-only latency (VERDICT r13, Next round #3): the
+    // q_ann_* certification rows re-fit quantizers and run a brute-force
+    // exact side every rep (that's what makes them certifiable), so they
+    // can never show what serving actually pays. This row builds the
+    // IVF-PQ index ONCE outside the timed region, then times the search
+    // path alone — quantizer load + probed-cell code scan + ADC top-k +
+    // exact re-rank of the shortlist — which is the per-query-batch cost
+    // of the stored-index shape.
+    val annSearch = if (skipE1) skipped else {
+      val emb = sources.Tables.embeddings(spark, sfDir, widen = true)
+      val annQ = emb.filter(col("vec_id") < 10)
+      val annIdx = "/tmp/graft_bench_ann_index"
+      operators.Similarity.buildAnnIndex(emb, "vec_id", "embedding", annIdx,
+        nCells = 16, m = 16, ksub = 64) // unconditional: bench must not reuse stale state
+      timeAdaptive(reps, 2) {
+        operators.Similarity.searchAnnIndex(spark, annIdx, emb, annQ,
+          "vec_id", "embedding", 5, nProbe = 14, refine = 20)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+    }
+    releasePersisted()
+
     // E2 serving latency (VERDICT r12, Next round #6): the reference's
     // /predict path is a single-row transform — registry dispatch →
     // 1-row DataFrame → PipelineModel.transform → head. One OLS fit on a
@@ -636,7 +673,8 @@ object Bench {
       "flagship_e1_chunked" -> e1Chunk.median,
       "flagship_geo" -> geo.median,
       "flagship_corpus" -> corpus.median,
-      "bpe_train_local_1500" -> bpeLocal.median)
+      "bpe_train_local_1500" -> bpeLocal.median,
+      "ann_search_persisted" -> annSearch.median)
     val qs = (results.toSeq ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -647,7 +685,8 @@ object Bench {
     val allTimed: Seq[(String, Timed[_])] = measured.toSeq ++
       Seq("flagship_e1" -> e1, "flagship_e1_segmented" -> e1Seg,
         "flagship_e1_chunked" -> e1Chunk, "flagship_geo" -> geo,
-        "flagship_corpus" -> corpus, "bpe_train_local_1500" -> bpeLocal)
+        "flagship_corpus" -> corpus, "bpe_train_local_1500" -> bpeLocal,
+        "ann_search_persisted" -> annSearch)
     def repMap[T](f: Timed[_] => Seq[T]): String = allTimed
       .map { case (k, t) => "\"" + k + "\":" + f(t).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -668,14 +707,15 @@ object Bench {
       e1Chunk.err.map("flagship_e1_chunked" -> _) ++
       geo.err.map("flagship_geo" -> _) ++
       corpus.err.map("flagship_corpus" -> _) ++
-      bpeLocal.err.map("bpe_train_local_1500" -> _)
+      bpeLocal.err.map("bpe_train_local_1500" -> _) ++
+      annSearch.err.map("ann_search_persisted" -> _)
     val errJson = allErrors
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median) +
       math.max(0, geo.median) + math.max(0, corpus.median) +
-      math.max(0, bpeLocal.median)
+      math.max(0, bpeLocal.median) + math.max(0, annSearch.median)
     // stream_progress: the stream queries' micro-batch duration
     // decomposition (addBatch vs walCommit vs the rest, summed over the
     // final rep's batches) — makes their fixed floor a number in the
