@@ -1406,6 +1406,72 @@ object Queries {
                    round(1 - obs * n / ex, 6) + 0.0 AS kappa_w
             FROM o CROSS JOIN e"""))
 
+  /** Krippendorff's alpha (nominal AND interval) over a synthetic
+    * multi-rater long-format table — 3 rater slots per unit with ~14%
+    * missingness, so some units carry 3 ratings, some 2, and the
+    * single-rating units are EXCLUDED (the pairable-data rule kappa
+    * cannot express; see [[graft.metrics.Metrics.krippendorffAlpha]]).
+    * Disagreeing ratings drift by a slot-dependent offset on a
+    * deterministic 20% of rows; all derivations are integer arithmetic
+    * the oracle replays exactly, and both metrics reduce to closed
+    * forms over per-unit sufficient statistics — the SQL restates those
+    * forms, not a pairwise explode.
+    */
+  val qKrippendorff = QDef(
+    (s, d) => {
+      val r = t(s, d, "events")
+        .select(col("event_id"), expr("event_id div 3").as("u"))
+        .filter((col("event_id") * 13) % 7 =!= 0)
+        .withColumn("v", when((col("event_id") * 7919) % 10 < 2,
+          (col("u") + 1 + col("event_id") % 3) % 5)
+          .otherwise(col("u") % 5))
+      val nom = graft.metrics.Metrics.krippendorffAlpha(r, col("u"), col("v"))
+        .select(col("n_units"), col("n"),
+          round(col("d_obs"), 6).as("d_obs_nom"),
+          round(col("d_exp"), 6).as("d_exp_nom"),
+          round(col("alpha"), 6).as("alpha_nom"))
+      val itv = graft.metrics.Metrics.krippendorffAlpha(r, col("u"), col("v"),
+          nominal = false)
+        .select(round(col("d_obs"), 6).as("d_obs_int"),
+          round(col("d_exp"), 6).as("d_exp_int"),
+          round(col("alpha"), 6).as("alpha_int"))
+      nom.crossJoin(itv)
+    },
+    Some("""WITH r AS (SELECT event_id // 3 AS u,
+                              CASE WHEN (event_id * 7919) % 10 < 2
+                                   THEN (event_id // 3 + 1 + event_id % 3) % 5
+                                   ELSE (event_id // 3) % 5 END AS v
+                       FROM events WHERE (event_id * 13) % 7 <> 0),
+            uc AS (SELECT u, v, count(*) AS nuc FROM r GROUP BY 1, 2),
+            um AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS m,
+                          sum(nuc * nuc) AS sc2,
+                          sum(nuc * v) AS s1, sum(nuc * v * v) AS s2
+                   FROM uc GROUP BY 1),
+            pu AS (SELECT * FROM um WHERE m >= 2),
+            o AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                         CAST(sum(m) AS BIGINT) AS n,
+                         sum((m * 1.0 * m - sc2) / (m - 1.0)) AS don,
+                         sum(2.0 * (m * s2 - s1 * s1) / (m - 1.0)) AS doi,
+                         sum(s1) AS gs1, sum(s2) AS gs2
+                  FROM pu),
+            nc AS (SELECT uc.v, sum(uc.nuc) AS n_c
+                   FROM uc JOIN pu USING (u) GROUP BY 1),
+            m2 AS (SELECT sum(n_c * n_c) AS sc2g FROM nc)
+            SELECT n_units, n,
+                   round(don / n, 6) + 0.0 AS d_obs_nom,
+                   round((n * 1.0 * n - sc2g) / (n * 1.0 * (n - 1)), 6) + 0.0
+                     AS d_exp_nom,
+                   round(1 - (don / n) /
+                         ((n * 1.0 * n - sc2g) / (n * 1.0 * (n - 1))), 6) + 0.0
+                     AS alpha_nom,
+                   round(doi / n, 6) + 0.0 AS d_obs_int,
+                   round(2.0 * (n * gs2 - gs1 * gs1) / (n * 1.0 * (n - 1)), 6)
+                     + 0.0 AS d_exp_int,
+                   round(1 - (doi / n) /
+                         (2.0 * (n * gs2 - gs1 * gs1) / (n * 1.0 * (n - 1))), 6)
+                     + 0.0 AS alpha_int
+            FROM o CROSS JOIN m2"""))
+
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
     * the hash folds stay language-balanced without any shuffle
@@ -5517,6 +5583,7 @@ object Queries {
     "q_auc" -> qAuc,
     "q_calibration" -> qCalibration,
     "q_kappa" -> qKappa,
+    "q_krippendorff" -> qKrippendorff,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

@@ -316,6 +316,89 @@ object Metrics {
         lit(1.0) - col("__o") * col("n") / col("__e")).as("kappa_w"))
   }
 
+  /** Krippendorff's alpha over LONG-format ratings (one row per
+    * (unit, value) rating; rater identity is irrelevant to alpha) —
+    * the >2-raters / missing-data generalization of the kappa family
+    * (Krippendorff, "Content Analysis", 2004, ch. 11; the r13 label-QA
+    * verdict's stretch item). `alpha = 1 − D_obs/D_exp` with
+    * disagreement measured inside units vs across the pooled marginals.
+    *
+    * Both metrics reduce to CLOSED FORMS over per-unit sufficient
+    * statistics — no pairwise self-join anywhere, which is what makes
+    * this 100 TB-safe (the textbook coincidence-matrix construction is
+    * a within-unit pair explode):
+    *
+    *  - nominal: `Σ_c n_uc(m_u − n_uc)` counts a unit's disagreeing
+    *    ordered pairs, so `D_obs = (1/n) Σ_cells n_uc(m_u−n_uc)/(m_u−1)`
+    *    — a sum over the (unit, value) cell table — and
+    *    `D_exp = (n² − Σ_c n_c²) / (n(n−1))` over the value marginals.
+    *  - interval (`nominal = false`, numeric values, δ = (v_i−v_j)²):
+    *    `Σ_{i,j} (v_i−v_j)² = 2(m·Σv² − (Σv)²)`, per unit and globally,
+    *    so one `groupBy(unit).agg(count, sum, sum-of-squares)` carries
+    *    everything.
+    *
+    * Units with fewer than two non-null ratings are excluded everywhere
+    * (they contain no pairable information — the standard treatment of
+    * missing data, and the thing kappa simply cannot do). Output is one
+    * row (n_units, n, d_obs, d_exp, alpha); `alpha` is null when
+    * `D_exp = 0` (all pairable ratings identical — chance explains
+    * everything, same convention as the kappas).
+    *
+    * Scale shape: nominal is two bounded shuffles — the (unit, value)
+    * hash aggregate, then a unit-keyed window over the CELL table (≤ one
+    * row per distinct value per unit) plus a value-keyed regroup for the
+    * marginals; interval is a single unit-keyed aggregate. Final
+    * reductions are single rows.
+    */
+  def krippendorffAlpha(df: DataFrame, unit: Column, value: Column,
+      nominal: Boolean = true): DataFrame = {
+    val rated = df.filter(unit.isNotNull && value.isNotNull)
+    val (obs, marg) = if (nominal) {
+      val uc = rated
+        .groupBy(unit.as("__u"), value.cast("string").as("__v"))
+        .agg(count(lit(1)).as("__nuc"))
+      val withM = uc
+        .withColumn("__m", sum(col("__nuc")).over(Window.partitionBy("__u")))
+        .filter(col("__m") >= 2)
+        .localCheckpoint(true) // cell table; feeds D_obs + the marginals
+      val o = withM.agg(
+        countDistinct(col("__u")).as("n_units"),
+        sum(col("__nuc")).as("n"),
+        sum(col("__nuc") * (col("__m") - col("__nuc")) / (col("__m") - 1))
+          .as("__do_num"))
+      val m = withM.groupBy(col("__v")).agg(sum(col("__nuc")).as("__nc"))
+        .agg(sum(col("__nc") * col("__nc")).as("__sc2"))
+      (o, m)
+    } else {
+      val um = rated
+        .groupBy(unit.as("__u"))
+        .agg(count(lit(1)).as("__m"),
+          sum(value.cast("double")).as("__s1"),
+          sum(value.cast("double") * value.cast("double")).as("__s2"))
+        .filter(col("__m") >= 2)
+      val o = um.agg(
+        count(lit(1)).as("n_units"),
+        sum(col("__m")).as("n"),
+        sum(lit(2.0) * (col("__m") * col("__s2") - col("__s1") * col("__s1"))
+          / (col("__m") - 1)).as("__do_num"),
+        sum(col("__s1")).as("__S1"),
+        sum(col("__s2")).as("__S2"))
+      (o, null)
+    }
+    val joined =
+      if (marg != null) obs.crossJoin(broadcast(marg))
+        .withColumn("__de_num", col("n") * col("n") - col("__sc2"))
+      else obs
+        .withColumn("__de_num",
+          lit(2.0) * (col("n") * col("__S2") - col("__S1") * col("__S1")))
+    val dObs = col("__do_num") / col("n")
+    val dExp = col("__de_num") / (col("n") * (col("n") - 1))
+    joined.select(
+      col("n_units"), col("n"),
+      dObs.as("d_obs"), dExp.as("d_exp"),
+      when(col("__de_num") > 0, lit(1.0) - dObs / dExp).as("alpha"))
+  }
+
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val pairs = df.filter(a.isNotNull && b.isNotNull)
       .select(a.cast("string").as("__a"), b.cast("string").as("__b"))

@@ -193,4 +193,39 @@ class MetricsSpec extends AnyFunSuite {
       col("a"), col("b")).head()
     assert(d.isNullAt(3))
   }
+
+  test("krippendorffAlpha: hand fixtures nominal vs interval; single-rating units excluded; degenerate → null") {
+    import spark.implicits._
+    // units A:[1,2] B:[3,3] C:[1,1], plus D:[2] which MUST be excluded
+    // (no pairable information). Hand computation over pairable ratings
+    // (n = 6): nominal D_obs = 2/6, marginals n1=3 n2=1 n3=2 →
+    // D_exp = (36−14)/30 = 22/30 → α = 1 − (1/3)/(11/15) = 6/11.
+    // interval D_obs = 2(2·5−9)/1 / 6 = 1/3, S1=11 S2=25 →
+    // D_exp = 2(6·25−121)/30 = 58/30 → α = 1 − (1/3)/(29/15) = 24/29.
+    val rows = Seq(("A", 1), ("A", 2), ("B", 3), ("B", 3),
+      ("C", 1), ("C", 1), ("D", 2)).toDF("u", "v")
+    val nom = Metrics.krippendorffAlpha(rows, col("u"), col("v")).head()
+    assert(nom.getLong(0) == 3L && nom.getLong(1) == 6L)
+    assert(math.abs(nom.getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(math.abs(nom.getDouble(3) - 22.0 / 30) < 1e-12)
+    assert(math.abs(nom.getDouble(4) - 6.0 / 11) < 1e-12)
+    val itv = Metrics.krippendorffAlpha(rows, col("u"), col("v"),
+      nominal = false).head()
+    assert(itv.getLong(0) == 3L && itv.getLong(1) == 6L)
+    assert(math.abs(itv.getDouble(2) - 1.0 / 3) < 1e-12)
+    assert(math.abs(itv.getDouble(3) - 58.0 / 30) < 1e-12)
+    assert(math.abs(itv.getDouble(4) - 24.0 / 29) < 1e-12)
+    // binary values: nominal and interval coincide (δ = 1 either way)
+    val bin = Seq(("A", 0), ("A", 1), ("B", 1), ("B", 1), ("C", 0), ("C", 0))
+      .toDF("u", "v")
+    val bn = Metrics.krippendorffAlpha(bin, col("u"), col("v")).head()
+    val bi = Metrics.krippendorffAlpha(bin, col("u"), col("v"),
+      nominal = false).head()
+    assert(math.abs(bn.getDouble(4) - bi.getDouble(4)) < 1e-12)
+    // all pairable ratings identical → D_exp = 0 → α null (kappa convention)
+    val dg = Metrics.krippendorffAlpha(
+      Seq(("A", 1), ("A", 1), ("B", 1), ("B", 1)).toDF("u", "v"),
+      col("u"), col("v")).head()
+    assert(dg.isNullAt(4))
+  }
 }

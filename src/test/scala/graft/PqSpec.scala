@@ -201,6 +201,31 @@ class PqSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")))
   }
 
+  test("persisted index append: new vectors are searchable without re-fitting the quantizer") {
+    val corpus = blobCorpus(nBlobs = 8, perBlob = 100, dim = 32, seed = 11)
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ann_idx_app").toString
+    Similarity.buildAnnIndex(half1, "vec_id", "embedding", path,
+      nCells = 8, m = 8, ksub = 16)
+    Similarity.appendAnnIndex(spark, path, half2, "vec_id", "embedding")
+    // codes table now covers the full corpus, still cell-partitioned
+    assert(spark.read.parquet(s"$path/codes").count() == corpus.count())
+    // appended vectors are fully integrated: with complete probing and a
+    // corpus-covering shortlist the stored-index search IS brute force,
+    // so it must equal bruteTopK over the WHOLE corpus — impossible if
+    // any appended code were missing or mis-celled
+    val queries = half2.filter(col("vec_id") < 20)
+    val got = Similarity.searchAnnIndex(spark, path, corpus, queries,
+        "vec_id", "embedding", 3, nProbe = 8, refine = 300)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("committed q_ann_pq config holds its recall bound on a fresh corpus") {
     val rnd = new scala.util.Random(23)
     val corpus = (0L until 400L).map(i =>
