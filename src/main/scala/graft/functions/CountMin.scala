@@ -69,7 +69,11 @@ case class CountMinSketch(
   /** Counters are sums, so a weighted insert of (x, w) is exactly w unit
     * inserts of x — the pre-aggregated build path (build the sketch from
     * a grouped (item, count) table in |distinct| hash evals, not |rows|).
-    * Null item or null weight contributes nothing.
+    * Null item or null weight contributes nothing. A NEGATIVE weight
+    * fails loudly: decrementing counters would break the sketch's
+    * one-sided est >= true-count guarantee the certification rows rely
+    * on (count-min is not count-mean-min; deletions need a different
+    * sketch).
     */
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -78,6 +82,9 @@ case class CountMinSketch(
       if (w != null && w.asInstanceOf[Long] != 0L) {
         val x = v.asInstanceOf[Long]
         val inc = w.asInstanceOf[Long]
+        if (inc < 0L) throw new IllegalArgumentException(
+          s"graft_count_min: negative weight $inc for item $x — " +
+            "count-min counters are monotone (est >= true requires w >= 0)")
         var d = 0
         while (d < depth) { buf(d * width + cell(d, x)) += inc; d += 1 }
       }

@@ -206,8 +206,11 @@ object Metrics {
     *    (undefined, not 0 — the caller chooses a zero_division policy);
     *  - f1(c) = 2PR/(P+R), null when either side is null, 0.0 when both
     *    are defined but sum to 0;
-    *  - accuracy = Σ TP / N; macro_f1 averages f1 over classes where it
-    *    is defined (repeated on every row, like calibration's brier/ece).
+    *  - accuracy = Σ TP / N; macro_f1 averages f1 over ALL classes,
+    *    counting an undefined (null) F1 as 0.0 — sklearn's default
+    *    zero_division=0 policy — while the per-class cells keep the
+    *    null so callers can still tell "undefined" from "truly 0"
+    *    (repeated on every row, like calibration's brier/ece).
     * Rows with a null label or prediction are excluded.
     *
     * Scale shape: ONE hash aggregate to the confusion-cell table
@@ -243,7 +246,8 @@ object Metrics {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(lit(0.0))))
-    val macroAvg = withF1.agg(avg(col("f1")).as("macro_f1")) // avg skips nulls
+    val macroAvg = withF1 // null F1 counts as 0.0: sklearn zero_division=0
+      .agg(avg(coalesce(col("f1"), lit(0.0))).as("macro_f1"))
     withF1.crossJoin(broadcast(total)).crossJoin(broadcast(macroAvg))
       .select(col("cls"), col("support"), col("tp"), col("precision"),
         col("recall"), col("f1"),
@@ -306,12 +310,16 @@ object Metrics {
       sum(col("__n") * w(col("__a"), col("__b"))).as("__o"))
     val ma = cells.groupBy(col("__a").as("va")).agg(sum(col("__n")).as("n_a"))
     val mb = cells.groupBy(col("__b").as("vb")).agg(sum(col("__n")).as("n_b"))
+    // n_a/n are LongType; square/cross-multiply in double (matching the
+    // oracle's `1.0 * n * n`) — Long·Long silently wraps past n ≈ 3e9
+    // under non-ANSI Spark, exactly the 100 TB row counts this targets.
     val exp = ma.crossJoin(mb)
-      .agg(sum(col("n_a") * col("n_b") * w(col("va"), col("vb"))).as("__e"))
+      .agg(sum(col("n_a").cast("double") * col("n_b") *
+        w(col("va"), col("vb"))).as("__e"))
     obs.crossJoin(broadcast(exp)).select(
       col("n"),
       (col("__o") / col("n")).as("d_obs"),
-      (col("__e") / (col("n") * col("n"))).as("d_exp"),
+      (col("__e") / (col("n").cast("double") * col("n"))).as("d_exp"),
       when(col("__e") > 0,
         lit(1.0) - col("__o") * col("n") / col("__e")).as("kappa_w"))
   }
@@ -367,7 +375,8 @@ object Metrics {
         sum(col("__nuc") * (col("__m") - col("__nuc")) / (col("__m") - 1))
           .as("__do_num"))
       val m = withM.groupBy(col("__v")).agg(sum(col("__nuc")).as("__nc"))
-        .agg(sum(col("__nc") * col("__nc")).as("__sc2"))
+        // squared marginals in double — Long·Long wraps past ~3e9
+        .agg(sum(col("__nc").cast("double") * col("__nc")).as("__sc2"))
       (o, m)
     } else {
       val um = rated
@@ -385,14 +394,17 @@ object Metrics {
         sum(col("__s2")).as("__S2"))
       (o, null)
     }
+    // all n-squared terms in double (the oracle computes `1.0 * n * n`);
+    // LongType n·n wraps past n ≈ 3e9 under non-ANSI Spark.
     val joined =
       if (marg != null) obs.crossJoin(broadcast(marg))
-        .withColumn("__de_num", col("n") * col("n") - col("__sc2"))
+        .withColumn("__de_num",
+          col("n").cast("double") * col("n") - col("__sc2"))
       else obs
         .withColumn("__de_num",
           lit(2.0) * (col("n") * col("__S2") - col("__S1") * col("__S1")))
     val dObs = col("__do_num") / col("n")
-    val dExp = col("__de_num") / (col("n") * (col("n") - 1))
+    val dExp = col("__de_num") / (col("n").cast("double") * (col("n") - 1))
     joined.select(
       col("n_units"), col("n"),
       dObs.as("d_obs"), dExp.as("d_exp"),
@@ -407,11 +419,13 @@ object Metrics {
     val ma = pairs.groupBy(col("__a").as("cat")).agg(count(lit(1)).as("n_a"))
     val mb = pairs.groupBy(col("__b").as("cat")).agg(count(lit(1)).as("n_b"))
     // full outer: a category used by only one rater contributes 0 to pe
+    // marginal products and n² in double (oracle: `1.0 * n * n`) — the
+    // Long forms wrap once marginals pass ~3e9 rows.
     val cross = ma.join(mb, Seq("cat"), "full")
-      .agg(sum(coalesce(col("n_a"), lit(0L)) * coalesce(col("n_b"), lit(0L)))
-        .as("__cross"))
+      .agg(sum(coalesce(col("n_a").cast("double"), lit(0.0)) *
+        coalesce(col("n_b"), lit(0L))).as("__cross"))
     val po = col("n_agree") / col("n")
-    val pe = col("__cross") / (col("n") * col("n"))
+    val pe = col("__cross") / (col("n").cast("double") * col("n"))
     agree.crossJoin(broadcast(cross)).select(
       col("n"), col("n_agree"),
       po.as("po"), pe.as("pe"),

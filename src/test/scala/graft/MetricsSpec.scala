@@ -166,9 +166,10 @@ class MetricsSpec extends AnyFunSuite {
     // ghost is predicted but never true: support 0, precision 0, recall null
     val ghost = got("ghost")
     assert(ghost.getLong(1) == 0L && ghost.getDouble(3) == 0.0 && ghost.isNullAt(4))
-    // accuracy 5/10 on every row; macro-F1 averages the two DEFINED f1s
+    // accuracy 5/10 on every row; macro-F1 counts bird/ghost's undefined
+    // f1 as 0.0 (sklearn zero_division=0): (2/3 + 4/7 + 0 + 0)/4
     assert(math.abs(cat.getDouble(6) - 0.5) < 1e-12)
-    assert(math.abs(cat.getDouble(7) - 13.0 / 21) < 1e-12)
+    assert(math.abs(cat.getDouble(7) - 13.0 / 42) < 1e-12)
   }
 
   test("weightedKappa: quadratic and linear hand fixtures; constant raters → null") {

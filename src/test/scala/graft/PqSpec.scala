@@ -208,9 +208,21 @@ class PqSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("ann_idx_app").toString
     Similarity.buildAnnIndex(half1, "vec_id", "embedding", path,
       nCells = 8, m = 8, ksub = 16)
+    def codeMap() = spark.read.parquet(s"$path/codes")
+      .collect().map(r => r.getLong(r.fieldIndex("neighbor_id")) ->
+        ((r.getSeq[Any](r.fieldIndex("codes")).toList,
+          r.getInt(r.fieldIndex("cell"))))).toMap
+    val before = codeMap()
     Similarity.appendAnnIndex(spark, path, half2, "vec_id", "embedding")
     // codes table now covers the full corpus, still cell-partitioned
     assert(spark.read.parquet(s"$path/codes").count() == corpus.count())
+    // append is PURELY additive: every pre-existing (code, cell) row
+    // survives bit-identically — append never rewrites, re-cells, or
+    // re-codes the built half (concurrent readers depend on this)
+    val after = codeMap()
+    assert(before.keySet.subsetOf(after.keySet))
+    assert(before.forall { case (id, v) => after(id) == v },
+      "append mutated codes of previously-indexed vectors")
     // appended vectors are fully integrated: with complete probing and a
     // corpus-covering shortlist the stored-index search IS brute force,
     // so it must equal bruteTopK over the WHOLE corpus — impossible if
