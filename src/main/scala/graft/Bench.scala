@@ -452,8 +452,12 @@ object Bench {
     // the new ANN lane and p50 drifted 17.8 → 21.6 ms with zero
     // ServingPipeline changes — lane contention, not regression. First
     // in the suite it reads the same clean window every round. One OLS
-    // fit on a 9-feature fixture (the PredictRequest shape), 20 warm-up
-    // calls, then p50/p95 milliseconds over 100 timed calls.
+    // fit on a 9-feature fixture (the PredictRequest shape), 200 warm-up
+    // calls, then p50/p95 milliseconds over 100 timed calls. 200, not 20:
+    // first-in-suite the predict path's codegen/JIT has seen nothing yet
+    // (when it ran LAST, 150+ queries had warmed the local-relation
+    // machinery for free) — 20 calls left C2 mid-compilation and p50
+    // read 28 ms where steady state is ~17 (r15 A/B).
     val featNames = Seq("hour_sin", "hour_cos", "wd_sin", "wd_cos",
       "month_sin", "month_cos", "vol_lag_1", "vol_roll_3", "vol_roll_24")
     val (servingP50, servingP95) = if (skipE1) (-1.0, -1.0) else {
@@ -470,7 +474,7 @@ object Bench {
       def call(): Double =
         pipelines.ServingPipeline.predict(spark, reg, "ols", req,
           expm1Inverse = false)
-      (1 to 20).foreach(_ => call())
+      (1 to 200).foreach(_ => call())
       val lats = (1 to 100).map { _ =>
         val t0 = System.nanoTime()
         call()
