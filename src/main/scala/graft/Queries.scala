@@ -1472,6 +1472,64 @@ object Queries {
                      + 0.0 AS alpha_int
             FROM o CROSS JOIN m2"""))
 
+  /** Fleiss' kappa over a synthetic 3-rater panel of order priority
+    * (rater 1 = the label; rater 2 collapses a deterministic 30% to the
+    * majority class; rater 3 promotes a deterministic 3/7 to URGENT) —
+    * fixed-panel multi-rater agreement, the family member between
+    * Cohen's pairwise κ and Krippendorff's variable-m α
+    * (see [[graft.metrics.Metrics.fleissKappa]]). Every unit carries
+    * exactly m=3 ratings so the complete-panel filter keeps all units;
+    * the closed forms (per-unit Σn², pooled marginal squares) are what
+    * the SQL restates — no pairwise explode on either engine.
+    */
+  val qFleissKappa = QDef(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val r1 = o.select(col("o_orderkey").as("u"),
+        col("o_orderpriority").as("v"))
+      val r2 = o.select(col("o_orderkey").as("u"),
+        when(col("o_orderkey") % 10 < 7, col("o_orderpriority"))
+          .otherwise(lit("3-MEDIUM")).as("v"))
+      val r3 = o.select(col("o_orderkey").as("u"),
+        when(col("o_orderkey") % 7 < 4, col("o_orderpriority"))
+          .otherwise(lit("1-URGENT")).as("v"))
+      graft.metrics.Metrics.fleissKappa(
+          r1.union(r2).union(r3), col("u"), col("v"), 3)
+        .select(col("n_units"), col("m"),
+          round(col("p_bar"), 6).as("p_bar"),
+          round(col("p_e"), 6).as("p_e"),
+          round(col("kappa"), 6).as("kappa"))
+    },
+    Some("""WITH r AS (
+              SELECT o_orderkey AS u, o_orderpriority AS v FROM orders
+              UNION ALL
+              SELECT o_orderkey, CASE WHEN o_orderkey % 10 < 7
+                                      THEN o_orderpriority
+                                      ELSE '3-MEDIUM' END FROM orders
+              UNION ALL
+              SELECT o_orderkey, CASE WHEN o_orderkey % 7 < 4
+                                      THEN o_orderpriority
+                                      ELSE '1-URGENT' END FROM orders),
+            uc AS (SELECT u, v, count(*) AS nuc FROM r GROUP BY 1, 2),
+            pu AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS mm,
+                          sum(1.0 * nuc * nuc) AS s2
+                   FROM uc GROUP BY 1),
+            keep AS (SELECT * FROM pu WHERE mm = 3),
+            obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                           avg((s2 - 3) / (3.0 * 2)) AS p_bar
+                    FROM keep),
+            mg AS (SELECT sum(1.0 * nc * nc) AS sc2 FROM
+                    (SELECT v, sum(nuc) AS nc
+                     FROM uc JOIN keep USING (u) GROUP BY 1)),
+            fin AS (SELECT n_units, p_bar,
+                           sc2 / ((1.0 * n_units * 3) * (n_units * 3)) AS pe
+                    FROM obs CROSS JOIN mg)
+            SELECT n_units, 3 AS m,
+                   round(p_bar, 6) + 0.0 AS p_bar,
+                   round(pe, 6) + 0.0 AS p_e,
+                   round((p_bar - pe) / (1 - pe), 6) + 0.0 AS kappa
+            FROM fin"""))
+
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
     * the hash folds stay language-balanced without any shuffle
@@ -5623,6 +5681,7 @@ object Queries {
     "q_calibration" -> qCalibration,
     "q_kappa" -> qKappa,
     "q_krippendorff" -> qKrippendorff,
+    "q_fleiss_kappa" -> qFleissKappa,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

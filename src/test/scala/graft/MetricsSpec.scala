@@ -229,4 +229,34 @@ class MetricsSpec extends AnyFunSuite {
       col("u"), col("v")).head()
     assert(dg.isNullAt(4))
   }
+
+  test("fleissKappa: hand fixture; incomplete panels excluded; degenerate → null") {
+    import spark.implicits._
+    // 4 units × 3 raters, categories A/B:
+    //   AAA → P = (9−3)/6 = 1;  AAB → (4+1−3)/6 = 1/3;
+    //   ABB → 1/3;              BBB → 1
+    // P̄ = (1 + 1/3 + 1/3 + 1)/4 = 2/3; p_A = 6/12 = p_B → P̄_e = 1/2
+    // κ = (2/3 − 1/2)/(1 − 1/2) = 1/3
+    val rows = Seq(
+      ("u1", "A"), ("u1", "A"), ("u1", "A"),
+      ("u2", "A"), ("u2", "A"), ("u2", "B"),
+      ("u3", "A"), ("u3", "B"), ("u3", "B"),
+      ("u4", "B"), ("u4", "B"), ("u4", "B")).toDF("u", "v")
+    val r = Metrics.fleissKappa(rows, col("u"), col("v"), 3).head()
+    assert(r.getLong(0) == 4L && r.getInt(1) == 3)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-12)
+    // a 2-rating unit is not a complete panel: excluded everywhere —
+    // from n_units AND from the marginals (its B must not shift p_c)
+    val withPartial = rows.union(Seq(("u5", "B"), ("u5", "B")).toDF("u", "v"))
+    val p = Metrics.fleissKappa(withPartial, col("u"), col("v"), 3).head()
+    assert(p.getLong(0) == 4L)
+    assert(math.abs(p.getDouble(4) - 1.0 / 3) < 1e-12)
+    // every rating one category → P̄_e = 1 → κ null (family convention)
+    val d = Metrics.fleissKappa(
+      Seq(("a", "X"), ("a", "X"), ("b", "X"), ("b", "X")).toDF("u", "v"),
+      col("u"), col("v"), 2).head()
+    assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0 && d.isNullAt(4))
+  }
 }
