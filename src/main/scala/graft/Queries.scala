@@ -1530,6 +1530,55 @@ object Queries {
                    round((p_bar - pe) / (1 - pe), 6) + 0.0 AS kappa
             FROM fin"""))
 
+  /** Split-conformal prediction interval over lineitem quantity with a
+    * deterministic synthetic predictor (25 + keyed wiggle): calibration
+    * = keys with orderkey%3 < 2, test = the rest, α = 0.1. q̂ is the
+    * k = ⌈(n+1)·0.9⌉-th smallest calibration residual; the oracle
+    * recomputes it as a DIRECT order statistic (row_number = k) while
+    * Spark reaches the same value through an exact percentile at
+    * p = (k−1)/(n−1) — two independent routes to one number, plus the
+    * hash-checked test-set coverage fraction
+    * (see [[graft.metrics.Metrics.conformalSplit]]).
+    */
+  val qConformal = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_quantity").as("y"),
+        (lit(25.0) + (col("l_orderkey") % 7).cast("double") - lit(3.0))
+          .as("yhat"))
+      graft.metrics.Metrics.conformalSplit(
+          li.filter(col("l_orderkey") % 3 < 2),
+          li.filter(col("l_orderkey") % 3 === 2),
+          col("y"), col("yhat"), 0.1)
+        .select(col("n_cal"), col("k"),
+          round(col("qhat"), 6).as("qhat"),
+          round(col("coverage"), 6).as("coverage"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_quantity AS y,
+                               25.0 + (l_orderkey % 7) - 3.0 AS yhat
+                        FROM lineitem),
+            cal AS (SELECT abs(y - yhat) AS r FROM li
+                    WHERE l_orderkey % 3 < 2),
+            tst AS (SELECT abs(y - yhat) AS r FROM li
+                    WHERE l_orderkey % 3 = 2),
+            nk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                          CAST(least(count(*),
+                            CAST(ceil((count(*) + 1) * 0.9) AS BIGINT))
+                            AS BIGINT) AS k
+                   FROM cal),
+            q AS (SELECT r AS qhat FROM
+                   (SELECT r, row_number() OVER (ORDER BY r) AS rn
+                    FROM cal) CROSS JOIN nk
+                  WHERE rn = k),
+            cov AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                           CAST(sum(CASE WHEN tst.r <= q.qhat
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS c
+                    FROM tst CROSS JOIN q)
+            SELECT n_cal, k, round(qhat, 6) + 0.0 AS qhat,
+                   round(c / (1.0 * nt), 6) + 0.0 AS coverage
+            FROM nk CROSS JOIN q CROSS JOIN cov"""))
+
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
     * the hash folds stay language-balanced without any shuffle
@@ -5682,6 +5731,7 @@ object Queries {
     "q_kappa" -> qKappa,
     "q_krippendorff" -> qKrippendorff,
     "q_fleiss_kappa" -> qFleissKappa,
+    "q_conformal" -> qConformal,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

@@ -458,6 +458,51 @@ object Metrics {
     * explode, no window. All squared terms in double (Long·Long wraps
     * past ~3e9 — the same 100 TB discipline as the siblings).
     */
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018
+    * summary form) — the distribution-free way to turn ANY point
+    * predictor into an interval with finite-sample marginal coverage:
+    * on a held-out CALIBRATION set take the k-th smallest absolute
+    * residual with `k = ⌈(n+1)(1−α)⌉`, predict `ŷ ± q̂`, and coverage
+    * ≥ 1−α holds for exchangeable data regardless of the model. The
+    * model-QA counterpart of [[calibrationReport]] for regression.
+    *
+    * Output is ONE row (n_cal, k, qhat, coverage): q̂ from calibration,
+    * `coverage` the fraction of TEST rows with |y−ŷ| ≤ q̂ — the
+    * value-level replay an oracle hash-checks (no boolean: the
+    * guarantee is marginal over splits, not per-fixture).
+    *
+    * Scale shape: one count + one exact-percentile aggregate over the
+    * calibration residuals (q̂ = the k-th order statistic, reached via
+    * `percentile` at p = (k−1)/(n−1) — interpolation lands exactly ON
+    * rank k, so an engine computing the order statistic directly gets
+    * the same value), then a 1-row broadcast against the test
+    * aggregate. The two driver-side scalars (n, then q̂ through the
+    * plan) are 1-row collects — bounded by construction. `percentile`
+    * holds the residual multiset on the merging reducer (the same
+    * documented tradeoff as q_percentile); at 100 TB swap
+    * `approx_percentile` with an accuracy parameter and the plan shape
+    * is unchanged while q̂ gains a quantified rank error.
+    */
+  def conformalSplit(cal: DataFrame, test: DataFrame, y: Column,
+      yhat: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val calR = cal.filter(y.isNotNull && yhat.isNotNull)
+      .select(abs(y - yhat).as("__r"))
+    val n = calR.count()
+    require(n >= 2, s"conformalSplit needs >= 2 calibration rows, got $n")
+    val k = math.min(n, math.ceil((n + 1) * (1.0 - alpha)).toLong)
+    val p = (k - 1).toDouble / (n - 1).toDouble
+    val q = calR.agg(expr(s"percentile(__r, $p)").as("qhat"))
+    val testR = test.filter(y.isNotNull && yhat.isNotNull)
+      .select(abs(y - yhat).as("__r"))
+    testR.crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("__nt"),
+        sum((col("__r") <= col("qhat")).cast("long")).as("__cov"),
+        first(col("qhat")).as("qhat"))
+      .select(lit(n).as("n_cal"), lit(k).as("k"), col("qhat"),
+        (col("__cov").cast("double") / col("__nt")).as("coverage"))
+  }
+
   def fleissKappa(df: DataFrame, unit: Column, value: Column,
       m: Int): DataFrame = {
     require(m >= 2, s"Fleiss' kappa needs m >= 2 raters per unit, got $m")

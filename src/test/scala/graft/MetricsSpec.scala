@@ -259,4 +259,28 @@ class MetricsSpec extends AnyFunSuite {
       col("u"), col("v"), 2).head()
     assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0 && d.isNullAt(4))
   }
+
+  test("conformalSplit: hand fixture — k-th order statistic, exact test coverage") {
+    import spark.implicits._
+    // calibration residuals 1..9 (y = r, yhat = 0), α = 0.2:
+    // k = ⌈10·0.8⌉ = 8 → q̂ = 8; test residuals {7.5, 8, 8.5, 9} →
+    // coverage = 2/4 (7.5 and 8.0 are inside; 8.5, 9 are not)
+    val cal = (1 to 9).map(i => (i.toDouble, 0.0)).toDF("y", "yhat")
+    val test = Seq(7.5, 8.0, 8.5, 9.0).map((_, 0.0)).toDF("y", "yhat")
+    val r = Metrics.conformalSplit(cal, test, col("y"), col("yhat"), 0.2)
+      .head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 8L)
+    assert(math.abs(r.getDouble(2) - 8.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    // α small enough that (n+1)(1−α) > n: k clamps to n, q̂ = max residual
+    val c = Metrics.conformalSplit(cal, test, col("y"), col("yhat"), 0.01)
+      .head()
+    assert(c.getLong(1) == 9L && math.abs(c.getDouble(2) - 9.0) < 1e-9)
+    // null y/yhat rows contribute to neither side
+    val calN = cal.union(Seq((Double.NaN, Double.NaN)).toDF("y", "yhat")
+      .selectExpr("cast(null as double) as y", "cast(null as double) as yhat"))
+    val n = Metrics.conformalSplit(calN, test, col("y"), col("yhat"), 0.2)
+      .head()
+    assert(n.getLong(0) == 9L)
+  }
 }
