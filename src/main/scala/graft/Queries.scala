@@ -1579,6 +1579,52 @@ object Queries {
                    round(c / (1.0 * nt), 6) + 0.0 AS coverage
             FROM nk CROSS JOIN q CROSS JOIN cov"""))
 
+  /** Poisson-bootstrap confidence interval for mean(c_acctbal) over
+    * B=100 replicates — the at-scale bootstrap (no row resampling: each
+    * replicate weights every row by a Poisson(1) draw derived from
+    * h60(b ":" c_custkey) against integer CDF thresholds, so the whole
+    * "resample" is a deterministic map). DuckDB replays every draw from
+    * the same md5 arithmetic and the same [[graft.metrics.Metrics
+    * .PoissonCdf60]] literals — value-level CI replay, not a bounds
+    * boolean (see [[graft.metrics.Metrics.poissonBootstrap]]). The
+    * fixture is customer (the md5-per-(row, b) replay cost is the
+    * demo-scale price of exactness — the q_count_min lesson — so the
+    * certification row keeps rows × B bounded; the operator itself is
+    * fixture-agnostic).
+    */
+  val qBootstrapMean = QDef(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      graft.metrics.Metrics.poissonBootstrap(
+          c, col("c_acctbal"), col("c_custkey"), b = 100)
+        .select(col("n"), col("b"),
+          round(col("est"), 4).as("est"),
+          round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"))
+    },
+    Some {
+      val w = graft.metrics.Metrics.PoissonCdf60
+        .map(t => s"(h >= $t)::INT").mkString(" + ")
+      s"""WITH o AS (SELECT c_custkey AS id, c_acctbal AS v FROM customer),
+          bb AS (SELECT unnest(range(100)) AS b),
+          hw AS (SELECT b, v,
+                        ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                          CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+                 FROM o CROSS JOIN bb),
+          reps AS (SELECT b,
+                          sum(($w) * v) / sum(1.0 * ($w)) AS mean_b
+                   FROM hw GROUP BY b
+                   HAVING sum($w) > 0),
+          ci AS (SELECT quantile_cont(mean_b, 0.025) AS lo,
+                        quantile_cont(mean_b, 0.975) AS hi
+                 FROM reps),
+          base AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(v) AS est
+                   FROM o)
+          SELECT n, 100 AS b, round(est, 4) + 0.0 AS est,
+                 round(lo, 4) + 0.0 AS lo, round(hi, 4) + 0.0 AS hi
+          FROM base CROSS JOIN ci"""
+    })
+
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
     * the hash folds stay language-balanced without any shuffle
@@ -5732,6 +5778,7 @@ object Queries {
     "q_krippendorff" -> qKrippendorff,
     "q_fleiss_kappa" -> qFleissKappa,
     "q_conformal" -> qConformal,
+    "q_bootstrap_mean" -> qBootstrapMean,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

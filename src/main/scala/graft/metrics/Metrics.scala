@@ -503,6 +503,66 @@ object Metrics {
         (col("__cov").cast("double") / col("__nt")).as("coverage"))
   }
 
+  /** Integer thresholds of the Poisson(1) inverse CDF scaled to 2^60 —
+    * `t(k) = ⌊P(X ≤ k) · 2^60⌋` — so a hash draw `h ∈ [0, 2^60)` maps to
+    * a bootstrap weight by PURE INTEGER comparison: `w = #{k : h ≥ t(k)}`.
+    * No floating-point in the draw path, so any engine replaying the
+    * same md5-derived h lands on the same weight bit-for-bit. Draws
+    * past k=6 (P ≈ 8·10⁻⁵) truncate to 7 — deterministic on both sides,
+    * and the truncation bias on a mean is ≪ the CI width it feeds.
+    */
+  val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L)
+
+  /** Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012; the standard bootstrap at
+    * cluster scale) — confidence interval for a mean without resampling
+    * rows: replicate b counts each row `Poisson(1)`-many times, with the
+    * count derived from `h60(b ":" id)` against [[PoissonCdf60]], so the
+    * "resample" is a deterministic pure function of (row id, replicate)
+    * — no RNG state, no shuffle of the data, engine-replayable.
+    *
+    * Output is ONE row (n, b, est, lo, hi): `est` the plain mean,
+    * `[lo, hi]` the (α/2, 1−α/2) percentile interval over the B
+    * replicate means (replicates that drew zero total weight — only
+    * possible on toy inputs — are excluded).
+    *
+    * Scale shape: one B-way map-only fan-out (explode of the replicate
+    * index), then ONE hash aggregate keyed by replicate — B groups,
+    * partial aggregation means each task emits ≤ B rows regardless of
+    * input size — and a B-row percentile. The fan-out multiplies map
+    * work by B but never materializes: it fuses with the scan in one
+    * codegen stage.
+    */
+  def poissonBootstrap(df: DataFrame, value: Column, id: Column,
+      b: Int = 200, alpha: Double = 0.05): DataFrame = {
+    require(b >= 2, s"need >= 2 bootstrap replicates, got $b")
+    val rows = df.filter(value.isNotNull)
+      .select(value.cast("double").as("__v"), id.cast("string").as("__id"))
+    val h = graft.functions.Hashing.h60(
+      concat(col("__b").cast("string"), lit(":"), col("__id")))
+    val w = PoissonCdf60.foldLeft(lit(0)) { (acc, t) =>
+      acc + (col("__h") >= lit(t)).cast("int")
+    }
+    val reps = rows
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__h", h)
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w").cast("double") * col("__v")).as("__sw"),
+        sum(col("__w").cast("long")).as("__n"))
+      .filter(col("__n") > 0)
+      .select((col("__sw") / col("__n")).as("__mean"))
+    val ci = reps.agg(
+      expr(s"percentile(__mean, ${alpha / 2})").as("lo"),
+      expr(s"percentile(__mean, ${1.0 - alpha / 2})").as("hi"))
+    val base = rows.agg(count(lit(1)).as("n"), avg(col("__v")).as("est"))
+    base.crossJoin(broadcast(ci))
+      .select(col("n"), lit(b).as("b"), col("est"), col("lo"), col("hi"))
+  }
+
   def fleissKappa(df: DataFrame, unit: Column, value: Column,
       m: Int): DataFrame = {
     require(m >= 2, s"Fleiss' kappa needs m >= 2 raters per unit, got $m")

@@ -283,4 +283,30 @@ class MetricsSpec extends AnyFunSuite {
       .head()
     assert(n.getLong(0) == 9L)
   }
+
+  test("poissonBootstrap: deterministic hash draws; CI brackets the mean; weight law sane") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v")
+    val r1 = Metrics.poissonBootstrap(df, col("v"), col("id"), b = 60).head()
+    val r2 = Metrics.poissonBootstrap(df, col("v"), col("id"), b = 60).head()
+    assert(r1 == r2, "hash-derived draws must be run-to-run identical")
+    assert(r1.getLong(0) == 500L && r1.getInt(1) == 60)
+    val est = df.agg(avg(col("v"))).head().getDouble(0)
+    assert(math.abs(r1.getDouble(2) - est) < 1e-12)
+    assert(r1.getDouble(3) <= r1.getDouble(2) && r1.getDouble(2) <= r1.getDouble(4),
+      s"CI [${r1.getDouble(3)}, ${r1.getDouble(4)}] must bracket est ${r1.getDouble(2)}")
+    // the interval is non-degenerate and of plausible width for n=500
+    // (σ/√n ≈ 1.25 here; 95% CI half-width ≈ 2.5): sanity band, not exact
+    val half = (r1.getDouble(4) - r1.getDouble(3)) / 2
+    assert(half > 0.5 && half < 10, s"implausible CI half-width $half")
+    // Poisson(1) draws: mean total weight per replicate ≈ n (LLN band)
+    val rows = df.select(col("v").cast("double").as("__v"),
+      col("id").cast("string").as("__id"))
+    val w = Metrics.PoissonCdf60.foldLeft(lit(0)) { (acc, t) =>
+      acc + (graft.functions.Hashing.h60(
+        concat(lit("0:"), col("__id"))) >= lit(t)).cast("int")
+    }
+    val totW = rows.agg(sum(w)).head().getLong(0)
+    assert(totW > 400 && totW < 600, s"replicate-0 total weight $totW far from n=500")
+  }
 }
