@@ -5019,6 +5019,51 @@ object Queries {
                      AS drifted
             FROM agg"""))
 
+  /** Wasserstein-1 (earth-mover) drift between the even-keyed events'
+    * values and the odd-keyed values shifted by +5 and stretched ×1.1 —
+    * the drift metric with UNITS (W₁ of a pure +δ shift is exactly δ),
+    * evaluated in its exact closed form over the merged support and
+    * value-level replayed (see [[Drift.wasserstein1]]). The `mean_shift`
+    * column rides along as the W₁ ≥ |Δmean| sanity anchor.
+    */
+  val qW1Drift = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      Drift.wasserstein1(
+          ev.filter(col("event_id") % 2 === 0)
+            .select(round(col("value"), 6).as("value")),
+          ev.filter(col("event_id") % 2 === 1)
+            .select(round(col("value") * 1.1 + 5.0, 6).as("value")),
+          col("value"))
+        .select(round(col("w1"), 6).as("w1"),
+          round(col("mean_shift"), 6).as("mean_shift"),
+          col("n_ref"), col("n_cur"))
+    },
+    Some("""WITH ref AS (SELECT round(value::DOUBLE, 6) AS v FROM events
+                         WHERE event_id % 2 = 0 AND value IS NOT NULL),
+            cur AS (SELECT round(value::DOUBLE * 1.1 + 5.0, 6) AS v
+                    FROM events
+                    WHERE event_id % 2 = 1 AND value IS NOT NULL),
+            rc AS (SELECT v, count(*) AS cr FROM ref GROUP BY v),
+            cc AS (SELECT v, count(*) AS cc FROM cur GROUP BY v),
+            m AS (SELECT v, coalesce(rc.cr, 0) AS cr, coalesce(cc.cc, 0) AS cc
+                  FROM rc FULL JOIN cc USING (v)),
+            tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                           CAST(sum(cc) AS BIGINT) AS tc,
+                           sum(1.0 * cr * v) / sum(cr) AS mr,
+                           sum(1.0 * cc * v) / sum(cc) AS mc
+                    FROM m),
+            cum AS (SELECT abs(CAST(sum(cr) OVER (ORDER BY v) AS DOUBLE) / tr -
+                               CAST(sum(cc) OVER (ORDER BY v) AS DOUBLE) / tc)
+                             AS fd,
+                           lead(v) OVER (ORDER BY v) - v AS gap
+                    FROM m CROSS JOIN tot),
+            agg AS (SELECT sum(fd * gap) AS w1 FROM cum WHERE gap IS NOT NULL)
+            SELECT round(w1, 6) + 0.0 AS w1,
+                   round(abs(mr - mc), 6) + 0.0 AS mean_shift,
+                   tr AS n_ref, tc AS n_cur
+            FROM agg CROSS JOIN tot"""))
+
   /** Chi-squared homogeneity drift between the even/odd event-type
     * distributions — [[Drift.chiSquaredDrift]]: 2×K contingency cells
     * with pooled-margin expectations, Wilson-Hilferty α=0.05 critical
@@ -5705,6 +5750,7 @@ object Queries {
     "q_psi_drift" -> qPsiDrift,
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,
+    "q_w1_drift" -> qW1Drift,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_late" -> qStreamLate,
     "q_stream_stream_join" -> qStreamStreamJoin,

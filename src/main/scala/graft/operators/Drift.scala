@@ -208,6 +208,61 @@ object Drift {
       .filter(col("n_ref") > 0 && col("n_cur") > 0)
   }
 
+  /** Two-sample 1-D Wasserstein-1 (earth-mover) distance between
+    * `reference` and `current` for numeric `x`:
+    * `W₁ = ∫ |F_ref(t) − F_cur(t)| dt`, evaluated exactly over the
+    * merged empirical support as `Σ_i |F_ref(v_i) − F_cur(v_i)| ·
+    * (v_{i+1} − v_i)` — the closed form of the 1-D optimal transport
+    * (Vallender 1974). The drift-family member with UNITS: where KS
+    * reports the worst-point CDF gap (dimensionless, insensitive to
+    * HOW FAR mass moved) and PSI quantizes into bins, W₁ answers "by
+    * how much, in the feature's own units, did the distribution shift"
+    * — a mean shift of δ reads as exactly δ regardless of shape.
+    *
+    * Output is ONE row (w1, mean_shift, n_ref, n_cur): `mean_shift` =
+    * |mean_ref − mean_cur| rides along because W₁ ≥ |Δmean| always —
+    * a free internal sanity invariant and the reader's scale anchor.
+    *
+    * Scale shape: identical to [[ksStatistic]] — one hash aggregate per
+    * side to distinct-value count tables, a full-outer merge, ONE
+    * unpartitioned cumulative window over the VALUE-CARDINALITY table
+    * (the documented dimension-sized-window contract: right for
+    * discrete/binned/quantized features; 6-dp-round or [[psiBins]]
+    * first for continuous corpus-scale columns), plus a lead(1) for
+    * the support gaps in the same window order.
+    */
+  def wasserstein1(reference: DataFrame, current: DataFrame,
+      x: Column): DataFrame = {
+    val ref = reference.filter(x.isNotNull)
+      .groupBy(x.cast("double").as("__v")).agg(count(lit(1)).as("__cr"))
+    val cur = current.filter(x.isNotNull)
+      .groupBy(x.cast("double").as("__v")).agg(count(lit(1)).as("__cc"))
+    val merged = ref.join(cur, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val tot = merged.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__cc")).as("__tc"),
+      (sum(col("__cr") * col("__v")) / sum(col("__cr"))).as("__mr"),
+      (sum(col("__cc") * col("__v")) / sum(col("__cc"))).as("__mc"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val w = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    merged.crossJoin(broadcast(tot))
+      .withColumn("__fr",
+        sum(col("__cr")).over(w).cast("double") / col("__tr").cast("double"))
+      .withColumn("__fc",
+        sum(col("__cc")).over(w).cast("double") / col("__tc").cast("double"))
+      // last support point: lead is null → term excluded (F diff is 0
+      // there anyway — both ECDFs have reached 1)
+      .withColumn("__gap", lead(col("__v"), 1).over(ord) - col("__v"))
+      .agg(sum(abs(col("__fr") - col("__fc")) * col("__gap")).as("w1"),
+        max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        max(abs(col("__mr") - col("__mc"))).as("mean_shift"))
+      .select(col("w1"), col("mean_shift"), col("n_ref"), col("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+  }
+
   /** Chi-squared two-sample homogeneity statistic for categorical
     * `key`: the 2×K contingency table of (side, value) counts,
     * χ² = Σ (O − E)²/E over its cells with expectations from the

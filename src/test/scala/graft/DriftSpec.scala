@@ -161,4 +161,30 @@ class DriftSpec extends AnyFunSuite {
     val drifted = Drift.tokenJsDivergence(a, b, col("text")).head()
     assert(math.abs(drifted.getDouble(1) - 1.0) < 1e-12) // disjoint vocab
   }
+
+  test("wasserstein1: pure shift reads exactly delta; identical → 0; W1 >= |Δmean|") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val shifted = Seq(3.5, 4.5, 5.5, 6.5, 7.5).toDF("x") // +2.5 shift
+    val r = Drift.wasserstein1(a, shifted, col("x")).head()
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-12,
+      s"W1 of a pure +2.5 shift must be 2.5, got ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 2.5) < 1e-12) // mean_shift rides along
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L)
+    // identical distributions (different row multiplicity): 0
+    val a2 = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0, 5.0, 5.0).toDF("x")
+    assert(math.abs(Drift.wasserstein1(a, a2, col("x")).head().getDouble(0))
+      < 1e-12)
+    // shape change with equal means: W1 > 0 = mean_shift 0, and the
+    // invariant W1 >= |Δmean| holds
+    val spread = Seq(-2.0, 1.0, 3.0, 5.0, 8.0).toDF("x") // mean 3, same as a
+    val s = Drift.wasserstein1(a, spread, col("x")).head()
+    assert(s.getDouble(0) > 0 && math.abs(s.getDouble(1)) < 1e-12)
+    assert(s.getDouble(0) >= s.getDouble(1))
+    // hand value: merged support {-2,1,2,3,4,5,8}; Fa={0,.2,.4,.6,.8,1,1},
+    // Fb={.2,.4,.4,.6,.6,.8,1}; Σ|ΔF|·gap = .2·3+.2·1+0+0+.2·1+.2·3 = 1.6
+    assert(math.abs(s.getDouble(0) - 1.6) < 1e-12)
+    // empty side: no row
+    assert(Drift.wasserstein1(a, Seq.empty[Double].toDF("x"), col("x"))
+      .count() == 0)
+  }
 }
