@@ -5058,7 +5058,8 @@ object Queries {
                              AS fd,
                            lead(v) OVER (ORDER BY v) - v AS gap
                     FROM m CROSS JOIN tot),
-            agg AS (SELECT sum(fd * gap) AS w1 FROM cum WHERE gap IS NOT NULL)
+            agg AS (SELECT coalesce(sum(fd * gap), 0.0) AS w1
+                    FROM cum WHERE gap IS NOT NULL)
             SELECT round(w1, 6) + 0.0 AS w1,
                    round(abs(mr - mc), 6) + 0.0 AS mean_shift,
                    tr AS n_ref, tc AS n_cur
@@ -5481,13 +5482,20 @@ object Queries {
         scala.util.hashing.MurmurHash3.stringHash(
           s"$d:${src.lastModified}:append:c16m16k64").toLong & 0xffffffffL)
       val idx = s"/tmp/graft_ann_index_$key"
-      if (!new java.io.File(s"$idx/meta").exists()) {
+      // the skip check keys on a marker written AFTER the append —
+      // buildAnnIndex's meta lands before appendAnnIndex runs, so an
+      // interruption between the two would leave meta present and every
+      // later run silently serving the half-corpus index (recall ~0.5):
+      // the same torn-composite class the meta-last build fix closed
+      val done = new java.io.File(s"$idx/append_complete")
+      if (!done.exists()) {
         val cut = emb.agg(expr("percentile_approx(vec_id, 0.5, 10000)"))
           .head().getLong(0)
         Similarity.buildAnnIndex(emb.filter(col("vec_id") < cut),
           "vec_id", "embedding", idx, nCells = 16, m = 16, ksub = 64)
         Similarity.appendAnnIndex(s, idx,
           emb.filter(col("vec_id") >= cut), "vec_id", "embedding")
+        done.createNewFile()
       }
       val approx = Similarity.searchAnnIndex(s, idx, emb, qset,
         "vec_id", "embedding", 5, nProbe = 14, refine = 20)

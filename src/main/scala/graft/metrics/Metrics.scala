@@ -432,32 +432,6 @@ object Metrics {
       when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
-  /** Fleiss' kappa (Fleiss 1971) — agreement among a FIXED number m of
-    * raters per item over LONG-format ratings (one row per (unit,
-    * value); rater identity irrelevant, raters need not be the same
-    * people across units — the panel-labeling QA case Cohen's pairwise
-    * kappa cannot express and Krippendorff's alpha generalizes away).
-    *
-    *   P_i  = (Σ_c n_ic² − m) / (m(m−1))  per-unit observed agreement
-    *   P̄    = mean_i P_i
-    *   p_c  = Σ_i n_ic / (N·m)            pooled category shares
-    *   P̄_e  = Σ_c p_c²
-    *   κ    = (P̄ − P̄_e) / (1 − P̄_e)
-    *
-    * Units with a rating count ≠ m are EXCLUDED (Fleiss is defined for
-    * constant panel size; variable-m data belongs to
-    * [[krippendorffAlpha]]) — the exclusion count is visible as
-    * n_units vs the caller's expectation. Null unit/value rows are
-    * dropped. Output is ONE row (n_units, m, p_bar, p_e, kappa);
-    * `kappa` is null when P̄_e = 1 (every rating in one category —
-    * chance explains everything, same convention as the family).
-    *
-    * Scale shape: one (unit, value) hash aggregate (map-side combine),
-    * a unit-cardinality regroup for P_i and the m-filter, a
-    * value-cardinality regroup for the marginals — no pairwise
-    * explode, no window. All squared terms in double (Long·Long wraps
-    * past ~3e9 — the same 100 TB discipline as the siblings).
-    */
   /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018
     * summary form) — the distribution-free way to turn ANY point
     * predictor into an interval with finite-sample marginal coverage:
@@ -563,6 +537,32 @@ object Metrics {
       .select(col("n"), lit(b).as("b"), col("est"), col("lo"), col("hi"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — agreement among a FIXED number m of
+    * raters per item over LONG-format ratings (one row per (unit,
+    * value); rater identity irrelevant, raters need not be the same
+    * people across units — the panel-labeling QA case Cohen's pairwise
+    * kappa cannot express and Krippendorff's alpha generalizes away).
+    *
+    *   P_i  = (Σ_c n_ic² − m) / (m(m−1))  per-unit observed agreement
+    *   P̄    = mean_i P_i
+    *   p_c  = Σ_i n_ic / (N·m)            pooled category shares
+    *   P̄_e  = Σ_c p_c²
+    *   κ    = (P̄ − P̄_e) / (1 − P̄_e)
+    *
+    * Units with a rating count ≠ m are EXCLUDED (Fleiss is defined for
+    * constant panel size; variable-m data belongs to
+    * [[krippendorffAlpha]]) — the exclusion count is visible as
+    * n_units vs the caller's expectation. Null unit/value rows are
+    * dropped. Output is ONE row (n_units, m, p_bar, p_e, kappa);
+    * `kappa` is null when P̄_e = 1 (every rating in one category —
+    * chance explains everything, same convention as the family).
+    *
+    * Scale shape: one (unit, value) hash aggregate (map-side combine),
+    * a unit-cardinality regroup for P_i and the m-filter, a
+    * value-cardinality regroup for the marginals — no pairwise
+    * explode, no window. All squared terms in double (Long·Long wraps
+    * past ~3e9 — the same 100 TB discipline as the siblings).
+    */
   def fleissKappa(df: DataFrame, unit: Column, value: Column,
       m: Int): DataFrame = {
     require(m >= 2, s"Fleiss' kappa needs m >= 2 raters per unit, got $m")
@@ -583,17 +583,12 @@ object Metrics {
     val marg = uc.join(perUnit.select(col("__u")), Seq("__u"), "left_semi")
       .groupBy(col("__v")).agg(sum(col("__nuc")).as("__nc"))
       .agg(sum(col("__nc").cast("double") * col("__nc")).as("__sc2"))
-    obs.crossJoin(broadcast(marg)).select(
-      col("n_units"), lit(m).as("m"), col("p_bar"),
-      (col("__sc2") /
+    obs.crossJoin(broadcast(marg))
+      .withColumn("p_e", col("__sc2") /
         ((col("n_units").cast("double") * m) * (col("n_units") * m)))
-        .as("p_e"),
-      when(col("__sc2") <
-          (col("n_units").cast("double") * m) * (col("n_units") * m),
-        (col("p_bar") - col("__sc2") /
-          ((col("n_units").cast("double") * m) * (col("n_units") * m))) /
-          (lit(1.0) - col("__sc2") /
-            ((col("n_units").cast("double") * m) * (col("n_units") * m))))
-        .as("kappa"))
+      .select(col("n_units"), lit(m).as("m"), col("p_bar"), col("p_e"),
+        when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
   }
 }

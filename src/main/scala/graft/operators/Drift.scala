@@ -256,7 +256,10 @@ object Drift {
       // last support point: lead is null → term excluded (F diff is 0
       // there anyway — both ECDFs have reached 1)
       .withColumn("__gap", lead(col("__v"), 1).over(ord) - col("__v"))
-      .agg(sum(abs(col("__fr") - col("__fc")) * col("__gap")).as("w1"),
+      // coalesce: a single-point merged support (two constant columns)
+      // has no non-null gap term — W1 is 0.0 there, not null
+      .agg(coalesce(sum(abs(col("__fr") - col("__fc")) * col("__gap")),
+        lit(0.0)).as("w1"),
         max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
         max(abs(col("__mr") - col("__mc"))).as("mean_shift"))
       .select(col("w1"), col("mean_shift"), col("n_ref"), col("n_cur"))

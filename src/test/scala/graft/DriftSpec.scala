@@ -186,5 +186,10 @@ class DriftSpec extends AnyFunSuite {
     // empty side: no row
     assert(Drift.wasserstein1(a, Seq.empty[Double].toDF("x"), col("x"))
       .count() == 0)
+    // two constant columns (single-point merged support): W1 is 0.0,
+    // not null — the no-gap-terms edge
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val cc = Drift.wasserstein1(const, const, col("x")).head()
+    assert(!cc.isNullAt(0) && cc.getDouble(0) == 0.0)
   }
 }
