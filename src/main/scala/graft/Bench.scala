@@ -365,7 +365,99 @@ object Bench {
       pChase.toSeq)
   }
 
+  /** JMH-style measurement fork (VERDICT r15, Next round #1): pin the
+    * JVM the measurements run in, regardless of the JVM the harness was
+    * launched with.
+    *
+    * The r15 driver-vs-builder gap (peak_heap_mb_max 67 GB vs 19.5 GB,
+    * e1 rep spread 4.7× vs 2.6×, serving p50 27.5 vs ~20 ms) was NOT a
+    * code-path difference — the driver invokes this same main, settle
+    * and serving-first included. The one variable was the JVM:
+    * `BENCH_r15.json` records heap_max_mb 91136 (an 89 GiB -Xms=-Xmx
+    * heap from the invoking environment) while every committed builder
+    * window ran the build.sbt protocol heap of 16 GiB
+    * (`BENCH_r15_local2.json` heap_max_mb 16384). On a pre-committed
+    * 89 GiB heap (a) G1 sizes eden in the tens of GB, so the pool-sum
+    * "peak heap" reads allocation-burst noise instead of anything
+    * comparable across rounds, and (b) the first full-scale flagship
+    * rep pays first-touch page faulting of a heap 5× larger than it
+    * needs — with healthy chase probes and ≤38 ms GC, exactly the
+    * signature of BENCH_r15's 61 s e1 rep 1.
+    *
+    * So, like JMH — which forks a fresh measurement JVM precisely so
+    * harness flags can't contaminate results — main() re-executes
+    * itself in a child JVM pinned to the protocol heap whenever it
+    * finds itself in a much larger one. 16 GiB is not a guess: it is
+    * the committed local-window protocol (build.sbt), and
+    * `BENCH_e1_sf1_16g_r15.json` proves the heaviest lane sequence
+    * (plain → segmented → chunked at 167 M joined rows, 10× bench
+    * scale) passes at 16 GiB with ≤0.9 s per-rep GC. stdout/stderr are
+    * inherited so the driver's tail-of-stdout JSON contract is
+    * unchanged. SPARK_GRAFT_BENCH_NO_FORK=1 disables (and marks the
+    * child); SPARK_GRAFT_BENCH_FORK_HEAP overrides the pinned size.
+    * Any fork failure falls back to running inline — the fork is a
+    * hygiene upgrade, never a new failure mode.
+    */
+  private def forkPinnedJvm(): Option[Int] = {
+    if (sys.env.contains("SPARK_GRAFT_BENCH_NO_FORK")) return None
+    val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_HEAP", "16g")
+    val heapMb = {
+      val h = heap.trim.toLowerCase
+      try {
+        if (h.endsWith("g")) h.dropRight(1).toLong * 1024
+        else if (h.endsWith("m")) h.dropRight(1).toLong
+        else h.toLong / (1024 * 1024)
+      } catch { case _: NumberFormatException => return None }
+    }
+    // Already at (or below ~1.5× of) the protocol heap: run inline.
+    if (Runtime.getRuntime.maxMemory() <= heapMb * 1024 * 1024 * 3 / 2)
+      return None
+    try {
+      def src(c: Class[_]): Option[String] =
+        Option(c.getProtectionDomain.getCodeSource)
+          .map(s => java.nio.file.Paths.get(s.getLocation.toURI).toString)
+      val sep = java.io.File.pathSeparator
+      // Own classes + the Spark jars directory (wildcard) + whatever the
+      // launching JVM had: covers sbt-forked runs (full java.class.path)
+      // and direct java -cp invocations alike.
+      val sparkJars = src(classOf[SparkSession]).map(p =>
+        java.nio.file.Paths.get(p).getParent.toString + "/*")
+      val cp = (src(getClass).toSeq ++ sparkJars.toSeq ++
+        Option(System.getProperty("java.class.path")).filter(_.nonEmpty).toSeq)
+        .mkString(sep)
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin, s"-Xmx$heap", s"-Xms$heap") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_NO_FORK", "1")
+      pb.inheritIO()
+      System.err.println(
+        s"[bench] measurement fork: ${Runtime.getRuntime.maxMemory() / (1024 * 1024)} MB launcher heap -> pinned -Xmx$heap child")
+      Some(pb.start().waitFor())
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] measurement fork failed (${e.getMessage}); running inline")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val forkExit = forkPinnedJvm()
+    if (forkExit.isDefined) {
+      if (forkExit.get != 0) sys.exit(forkExit.get)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
