@@ -550,28 +550,12 @@ object Bench {
     // (when it ran LAST, 150+ queries had warmed the local-relation
     // machinery for free) — 20 calls left C2 mid-compilation and p50
     // read 28 ms where steady state is ~17 (r15 A/B).
-    val featNames = Seq("hour_sin", "hour_cos", "wd_sin", "wd_cos",
-      "month_sin", "month_cos", "vol_lag_1", "vol_roll_3", "vol_roll_24")
+    // Fixture + fit + warm-up + timed calls live in
+    // [[ServingBench.measure]] so this lane and the dedicated
+    // SERVING_r{N} artifact lane measure the same path by construction.
     val (servingP50, servingP95) = if (skipE1) (-1.0, -1.0) else {
-      val base = spark.range(2000).select(col("id") +:
-        featNames.zipWithIndex.map { case (n, i) =>
-          sin(col("id") * (0.1 * (i + 1))).as(n) }: _*)
-      val train = base.withColumn("y",
-        featNames.zipWithIndex.map { case (n, i) => col(n) * (i + 1.0) }
-          .reduce(_ + _) + lit(5.0)).drop("id")
-      val model = ml.Models.ols(featNames, "y").fit(train)
-      val reg = pipelines.ServingPipeline.registry("ols" -> model)
-      val req = pipelines.ServingPipeline.PredictRequest(
-        0.5, 0.87, 0.78, 0.62, 0.1, 0.99, 100.0, 110.0, 95.0)
-      def call(): Double =
-        pipelines.ServingPipeline.predict(spark, reg, "ols", req,
-          expm1Inverse = false)
-      (1 to 200).foreach(_ => call())
-      val lats = (1 to 100).map { _ =>
-        val t0 = System.nanoTime()
-        call()
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
+      val lats = ServingBench.measure(spark, warmup = 200, timed = 100)
+        .sorted
       (math.rint(lats(49) * 100) / 100, math.rint(lats(94) * 100) / 100)
     }
     releasePersisted()

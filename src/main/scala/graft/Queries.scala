@@ -1480,21 +1480,23 @@ object Queries {
     * (see [[graft.metrics.Metrics.fleissKappa]]). Every unit carries
     * exactly m=3 ratings so the complete-panel filter keeps all units;
     * the closed forms (per-unit Σn², pooled marginal squares) are what
-    * the SQL restates — no pairwise explode on either engine.
+    * the SQL restates — no pairwise explode on either engine. All
+    * three raters are pure functions of one orders row, so the long
+    * format is built with ONE scan + a 3-element array explode (fused
+    * map-side) instead of a 3× self-union that scanned orders three
+    * times (45 M long rows re-read at sf1 — VERDICT r15 #3); the
+    * rating multiset, and hence every output value, is unchanged.
     */
   val qFleissKappa = QDef(
     (s, d) => {
-      val o = t(s, d, "orders")
-      val r1 = o.select(col("o_orderkey").as("u"),
-        col("o_orderpriority").as("v"))
-      val r2 = o.select(col("o_orderkey").as("u"),
-        when(col("o_orderkey") % 10 < 7, col("o_orderpriority"))
-          .otherwise(lit("3-MEDIUM")).as("v"))
-      val r3 = o.select(col("o_orderkey").as("u"),
-        when(col("o_orderkey") % 7 < 4, col("o_orderpriority"))
-          .otherwise(lit("1-URGENT")).as("v"))
-      graft.metrics.Metrics.fleissKappa(
-          r1.union(r2).union(r3), col("u"), col("v"), 3)
+      val r = t(s, d, "orders").select(col("o_orderkey").as("u"),
+        explode(array(
+          col("o_orderpriority"),
+          when(col("o_orderkey") % 10 < 7, col("o_orderpriority"))
+            .otherwise(lit("3-MEDIUM")),
+          when(col("o_orderkey") % 7 < 4, col("o_orderpriority"))
+            .otherwise(lit("1-URGENT")))).as("v"))
+      graft.metrics.Metrics.fleissKappa(r, col("u"), col("v"), 3)
         .select(col("n_units"), col("m"),
           round(col("p_bar"), 6).as("p_bar"),
           round(col("p_e"), 6).as("p_e"),
@@ -1527,7 +1529,9 @@ object Queries {
             SELECT n_units, 3 AS m,
                    round(p_bar, 6) + 0.0 AS p_bar,
                    round(pe, 6) + 0.0 AS p_e,
-                   round((p_bar - pe) / (1 - pe), 6) + 0.0 AS kappa
+                   CASE WHEN pe < 1.0
+                        THEN round((p_bar - pe) / (1 - pe), 6) + 0.0
+                        END AS kappa
             FROM fin"""))
 
   /** Split-conformal prediction interval over lineitem quantity with a
@@ -1596,7 +1600,7 @@ object Queries {
     (s, d) => {
       val c = t(s, d, "customer")
       graft.metrics.Metrics.poissonBootstrap(
-          c, col("c_acctbal"), col("c_custkey"), b = 100)
+          c, col("c_acctbal"), col("c_custkey"), b = 100, md5Replay = true)
         .select(col("n"), col("b"),
           round(col("est"), 4).as("est"),
           round(col("lo"), 4).as("lo"),
@@ -1624,6 +1628,40 @@ object Queries {
                  round(lo, 4) + 0.0 AS lo, round(hi, 4) + 0.0 AS hi
           FROM base CROSS JOIN ci"""
     })
+
+  /** The PRODUCTION Poisson-bootstrap path (VERDICT r15 #2): same
+    * fixture and B as q_bootstrap_mean but with the default
+    * `xxhash64`-mixer draw — the 1-multiply-class hash that replaces
+    * the 15 M md5 evaluations the replay encoding pays at sf1. DuckDB
+    * has no xxhash64, so the bridge is the recall_ok certification
+    * pattern: n/b/est are value-compared (draw-independent), and two
+    * booleans certify the CI — `ci_ok` (lo ≤ est ≤ hi) and `width_ok`
+    * (the percentile half-width within [0.6, 1.5]× the CLT half-width
+    * 1.96·σ/√n — B=100 quantile noise is ~±15%, the band is 3σ-ish).
+    * The oracle asserts both TRUE; a broken mixer (collisions,
+    * non-uniformity, seed drift) flips a boolean and the hash compare
+    * goes red. Value-level mixer-vs-md5 agreement on a pinned fixture
+    * is additionally spec-pinned (MetricsSpec).
+    */
+  val qBootstrapMeanFast = QDef(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val r = graft.metrics.Metrics.poissonBootstrap(
+        c, col("c_acctbal"), col("c_custkey"), b = 100)
+      val mom = c.filter(col("c_acctbal").isNotNull && col("c_custkey").isNotNull)
+        .agg(stddev_samp(col("c_acctbal")).as("__sd"))
+      r.crossJoin(broadcast(mom)).select(
+        col("n"), col("b"), round(col("est"), 4).as("est"),
+        (col("lo") <= col("est") && col("est") <= col("hi")).as("ci_ok"),
+        (((col("hi") - col("lo")) / 2) /
+          (lit(1.96) * col("__sd") / sqrt(col("n").cast("double"))))
+          .between(0.6, 1.5).as("width_ok"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n, 100 AS b,
+                   round(avg(c_acctbal), 4) + 0.0 AS est,
+                   TRUE AS ci_ok, TRUE AS width_ok
+            FROM customer
+            WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL"""))
 
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
@@ -5112,6 +5150,118 @@ object Queries {
                    chi2 > crit AS drifted, n_ref, n_cur
             FROM f"""))
 
+  /** The whole drift family per (slice × feature) in ONE pass
+    * ([[Drift.driftMatrix]], VERDICT r15 #5): lineitem split by
+    * orderkey parity, sliced by l_returnflag, over four quantized
+    * numeric features (quantity, discount, tax, price in k$) — twelve
+    * monitor rows, each carrying PSI / KS / W₁ / mean-shift / JS / χ²
+    * from one shared (slice, feature, value) cell table instead of
+    * 2×features×metrics separate scans. The oracle replays the melt,
+    * the cell counts, the per-(slice, feature) reference-quantile PSI
+    * bins, and the partitioned cumulative window — every metric
+    * value-level compared at 6 dp.
+    */
+  val qDriftMatrix = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"),
+        round(col("l_extendedprice") / 1000.0, 0).as("price_k"))
+      Drift.driftMatrix(li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          Seq("quantity", "discount", "tax", "price_k"),
+          slice = Some(col("l_returnflag")))
+        .select(col("slice"), col("feature"), col("n_ref"), col("n_cur"),
+          round(col("psi"), 6).as("psi"),
+          round(col("ks_d"), 6).as("ks_d"),
+          round(col("w1"), 6).as("w1"),
+          round(col("mean_shift"), 6).as("mean_shift"),
+          round(col("js_nats"), 6).as("js_nats"),
+          round(col("chi2"), 6).as("chi2"),
+          col("dof"))
+        .orderBy("slice", "feature")
+    },
+    Some("""WITH src AS (SELECT l_orderkey % 2 AS side, l_returnflag AS s,
+                    l_quantity::DOUBLE AS quantity,
+                    l_discount::DOUBLE AS discount,
+                    l_tax::DOUBLE AS tax,
+                    round(l_extendedprice / 1000.0, 0) AS price_k
+             FROM lineitem WHERE l_returnflag IS NOT NULL),
+            m AS (SELECT side, s, 'quantity' AS f, quantity AS v FROM src
+                  WHERE quantity IS NOT NULL
+                  UNION ALL SELECT side, s, 'discount', discount FROM src
+                  WHERE discount IS NOT NULL
+                  UNION ALL SELECT side, s, 'tax', tax FROM src
+                  WHERE tax IS NOT NULL
+                  UNION ALL SELECT side, s, 'price_k', price_k FROM src
+                  WHERE price_k IS NOT NULL),
+            cells AS (SELECT s, f, v,
+                             count(*) FILTER (WHERE side = 0) AS cr,
+                             count(*) FILTER (WHERE side = 1) AS cc
+                      FROM m GROUP BY 1, 2, 3),
+            tot AS (SELECT s, f, CAST(sum(cr) AS BIGINT) AS tr,
+                           CAST(sum(cc) AS BIGINT) AS tc,
+                           sum(1.0 * cr * v) / sum(cr) AS mr,
+                           sum(1.0 * cc * v) / sum(cc) AS mc
+                    FROM cells GROUP BY 1, 2
+                    HAVING sum(cr) > 0 AND sum(cc) > 0),
+            edges AS (SELECT s, f, quantile_cont(v,
+                        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+                      FROM m WHERE side = 0 GROUP BY 1, 2),
+            cum AS (SELECT c.s, c.f, c.cr, c.cc, t.tr, t.tc, t.mr, t.mc,
+                           CAST(sum(c.cr) OVER w AS DOUBLE) / t.tr AS fr,
+                           CAST(sum(c.cc) OVER w AS DOUBLE) / t.tc AS fc,
+                           lead(c.v) OVER w - c.v AS gap,
+                           c.cr / (1.0 * t.tr) AS pa,
+                           c.cc / (1.0 * t.tc) AS pb,
+                           (c.cr + c.cc) * t.tr / (1.0 * (t.tr + t.tc)) AS ea,
+                           (c.cr + c.cc) * t.tc / (1.0 * (t.tr + t.tc)) AS eb
+                    FROM cells c JOIN tot t USING (s, f)
+                    WINDOW w AS (PARTITION BY c.s, c.f ORDER BY c.v)),
+            met AS (SELECT s, f, max(tr) AS n_ref, max(tc) AS n_cur,
+                           max(abs(fr - fc)) AS ks_d,
+                           coalesce(sum(CASE WHEN gap IS NOT NULL
+                             THEN abs(fr - fc) * gap END), 0.0) AS w1,
+                           max(abs(mr - mc)) AS mean_shift,
+                           sum(CASE WHEN pa > 0
+                             THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+                             ELSE 0 END)
+                         + sum(CASE WHEN pb > 0
+                             THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                             ELSE 0 END) AS js_nats,
+                           sum((cr - ea) * (cr - ea) / ea +
+                               (cc - eb) * (cc - eb) / eb) AS chi2,
+                           CAST(count(*) - 1 AS BIGINT) AS dof
+                    FROM cum GROUP BY 1, 2),
+            bins AS (SELECT c.s, c.f,
+                            len(list_filter(e.q, x -> c.v > x)) AS bin,
+                            sum(c.cr) AS bcr, sum(c.cc) AS bcc
+                     FROM cells c JOIN edges e USING (s, f)
+                     GROUP BY 1, 2, 3),
+            grid AS (SELECT t.s, t.f, g.bin FROM tot t
+                     CROSS JOIN (SELECT unnest(range(10)) AS bin) g),
+            pj AS (SELECT g.s, g.f, coalesce(b.bcr, 0) AS bcr,
+                          coalesce(b.bcc, 0) AS bcc
+                   FROM grid g LEFT JOIN bins b
+                   ON g.s = b.s AND g.f = b.f AND g.bin = b.bin),
+            psi AS (SELECT p.s, p.f,
+                           sum((p.bcc / (1.0 * t.tc) - p.bcr / (1.0 * t.tr)) *
+                               ln(greatest(p.bcc / (1.0 * t.tc), 1e-6) /
+                                  greatest(p.bcr / (1.0 * t.tr), 1e-6))) AS psi
+                    FROM pj p JOIN tot t USING (s, f) GROUP BY 1, 2)
+            SELECT s AS slice, f AS feature, n_ref, n_cur,
+                   round(psi, 6) + 0.0 AS psi,
+                   round(ks_d, 6) + 0.0 AS ks_d,
+                   round(w1, 6) + 0.0 AS w1,
+                   round(mean_shift, 6) + 0.0 AS mean_shift,
+                   round(js_nats, 6) + 0.0 AS js_nats,
+                   round(chi2, 6) + 0.0 AS chi2,
+                   dof
+            FROM met JOIN psi USING (s, f)
+            ORDER BY slice, feature"""))
+
   /** Snapshot-profile drift between the even/odd event halves —
     * [[Drift.profileDrift]]: two profileTable passes (batched
     * multi-distinct aggregates, the q_profile_table shape), a
@@ -5759,6 +5909,7 @@ object Queries {
     "q_js_drift" -> qJsDrift,
     "q_ks_drift" -> qKsDrift,
     "q_w1_drift" -> qW1Drift,
+    "q_drift_matrix" -> qDriftMatrix,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_late" -> qStreamLate,
     "q_stream_stream_join" -> qStreamStreamJoin,
@@ -5833,6 +5984,7 @@ object Queries {
     "q_fleiss_kappa" -> qFleissKappa,
     "q_conformal" -> qConformal,
     "q_bootstrap_mean" -> qBootstrapMean,
+    "q_bootstrap_mean_fast" -> qBootstrapMeanFast,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

@@ -393,4 +393,137 @@ object Drift {
       df.select(explode(TextOps.tokens(textCol)).as("__tok"))
     jsDivergence(toks(a), toks(b), col("__tok"))
   }
+
+  /** The full drift family per (slice × feature) in ONE pass — the
+    * shape a production 100 TB monitor actually runs (VERDICT r15 #5).
+    * Calling [[psi]]/[[ksStatistic]]/[[wasserstein1]]/[[jsDivergence]]/
+    * [[chiSquaredDrift]] once per feature re-scans the data 2×features
+    * times; here both sides are MELTED (one map-only explode per side,
+    * |features| struct rows per input row) into (slice, feature, value)
+    * and every metric derives from a single shared (slice, feature,
+    * value) cell-count table:
+    *
+    *  - the union of the two melts is aggregated ONCE into per-cell
+    *    (n_ref, n_cur) — the matrix analog of each operator's
+    *    full-outer count merge, with the side tag replacing the join;
+    *  - KS D and W₁ come from ONE cumulative window PARTITIONED BY
+    *    (slice, feature) over that table — value-cardinality rows per
+    *    partition (the documented dimension-sized-window contract:
+    *    quantize continuous columns first, exactly as for
+    *    [[ksStatistic]]), and the partitioning restores the
+    *    parallelism the single-column operators' unpartitioned windows
+    *    give up;
+    *  - JS and χ² are per-cell arithmetic + the same final regroup;
+    *  - PSI reuses [[psiBins]]' construction with per-(slice, feature)
+    *    reference-quantile edges — one grouped exact-percentile pass
+    *    over the melted reference (swap `approx_percentile` at corpus
+    *    scale, same plan) and a bins-sized densify so empty bins keep
+    *    their eps-floored penalty.
+    *
+    * Output: one row per (slice, feature) — n_ref/n_cur, psi, ks_d,
+    * w1, mean_shift, js_nats, chi2, dof. Values are IDENTICAL to the
+    * single-column operators' on the same inputs (pinned by spec).
+    * Features with zero mass on either side (within a slice) emit no
+    * row, the family's convention. Slices are whatever column
+    * expression the caller passes (default: one global slice);
+    * driver-side state is zero and every post-scan stage is bounded by
+    * slices × features × value-cardinality, never data-sized.
+    *
+    * The cell table is eagerly localCheckpoint'd: five metric branches
+    * reuse it, and without materialization each branch would re-run
+    * the melt + aggregate (the repo-wide lineage discipline).
+    */
+  def driftMatrix(reference: DataFrame, current: DataFrame,
+      features: Seq[String], slice: Option[Column] = None,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(features.nonEmpty, "driftMatrix needs >= 1 feature")
+    require(nBins > 1, "nBins must be > 1")
+    val spark = reference.sparkSession
+    val sliceCol = slice.getOrElse(lit(""))
+    def melt(df: DataFrame): DataFrame = df
+      .select(sliceCol.cast("string").as("__s"),
+        explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("double").as("v"))): _*))
+          .as("__fv"))
+      .select(col("__s"), col("__fv.f").as("__f"), col("__fv.v").as("__v"))
+      .filter(col("__s").isNotNull && col("__v").isNotNull)
+    val cells = melt(reference).withColumn("__side", lit(0))
+      .unionAll(melt(current).withColumn("__side", lit(1)))
+      .groupBy(col("__s"), col("__f"), col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cc"))
+      .localCheckpoint(true)
+    // (slice, feature)-cardinality side tables, broadcast back
+    val tot = cells.groupBy(col("__s"), col("__f"))
+      .agg(sum(col("__cr")).as("__tr"), sum(col("__cc")).as("__tc"),
+        (sum(col("__cr") * col("__v")) / sum(col("__cr"))).as("__mr"),
+        (sum(col("__cc") * col("__v")) / sum(col("__cc"))).as("__mc"))
+      .filter(col("__tr") > 0 && col("__tc") > 0)
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val edges = melt(reference).groupBy(col("__s"), col("__f"))
+      .agg(percentile(col("__v"), typedlit(probs)).as("__edges"))
+    val keys = Seq("__s", "__f")
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"), col("__f")).orderBy(col("__v"))
+    val cumW = ordW.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val enriched = cells
+      .join(broadcast(tot), keys)
+      .withColumn("__fr",
+        sum(col("__cr")).over(cumW).cast("double") / col("__tr").cast("double"))
+      .withColumn("__fc",
+        sum(col("__cc")).over(cumW).cast("double") / col("__tc").cast("double"))
+      .withColumn("__gap", lead(col("__v"), 1).over(ordW) - col("__v"))
+      .withColumn("__pa", col("__cr").cast("double") / col("__tr"))
+      .withColumn("__pb", col("__cc").cast("double") / col("__tc"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__ea", (col("__cr") + col("__cc")) *
+        col("__tr").cast("double") / (col("__tr") + col("__tc")).cast("double"))
+      .withColumn("__eb", (col("__cr") + col("__cc")) *
+        col("__tc").cast("double") / (col("__tr") + col("__tc")).cast("double"))
+    val metrics = enriched.groupBy(col("__s"), col("__f"))
+      .agg(
+        max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        max(abs(col("__fr") - col("__fc"))).as("ks_d"),
+        coalesce(sum(abs(col("__fr") - col("__fc")) * col("__gap")),
+          lit(0.0)).as("w1"),
+        max(abs(col("__mr") - col("__mc"))).as("mean_shift"),
+        (sum(when(col("__pa") > 0,
+            lit(0.5) * col("__pa") * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0))) +
+         sum(when(col("__pb") > 0,
+            lit(0.5) * col("__pb") * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0)))).as("js_nats"),
+        sum((col("__cr") - col("__ea")) * (col("__cr") - col("__ea")) / col("__ea")
+          + (col("__cc") - col("__eb")) * (col("__cc") - col("__eb")) / col("__eb"))
+          .as("chi2"),
+        (count(lit(1)) - 1).cast("long").as("dof"))
+    // PSI branch: bin each cell by its feature's reference-quantile
+    // edges (strictly-below count, [[psiBins]] semantics), densify to
+    // the fixed nBins grid so empty bins keep their penalty
+    val binned = cells
+      .join(broadcast(edges), keys)
+      .groupBy(col("__s"), col("__f"),
+        size(filter(col("__edges"), e => col("__v") > e)).cast("long").as("__bin"))
+      .agg(sum(col("__cr")).as("__bcr"), sum(col("__cc")).as("__bcc"))
+    val grid = tot.select(col("__s"), col("__f"))
+      .crossJoin(spark.range(nBins).select(col("id").as("__bin")))
+    val psiTbl = grid
+      .join(binned, keys :+ "__bin", "left")
+      .select(col("__s"), col("__f"),
+        coalesce(col("__bcr"), lit(0L)).as("__bcr"),
+        coalesce(col("__bcc"), lit(0L)).as("__bcc"))
+      .join(broadcast(tot), keys)
+      .withColumn("__pr", col("__bcr").cast("double") / col("__tr"))
+      .withColumn("__pc", col("__bcc").cast("double") / col("__tc"))
+      .groupBy(col("__s"), col("__f"))
+      .agg(sum((col("__pc") - col("__pr")) *
+        log(greatest(col("__pc"), lit(eps)) /
+            greatest(col("__pr"), lit(eps)))).as("psi"))
+    metrics.join(psiTbl, keys)
+      .select(col("__s").as("slice"), col("__f").as("feature"),
+        col("n_ref"), col("n_cur"), col("psi"), col("ks_d"), col("w1"),
+        col("mean_shift"), col("js_nats"), col("chi2"), col("dof"))
+  }
 }

@@ -192,4 +192,45 @@ class DriftSpec extends AnyFunSuite {
     val cc = Drift.wasserstein1(const, const, col("x")).head()
     assert(!cc.isNullAt(0) && cc.getDouble(0) == 0.0)
   }
+
+  test("driftMatrix: per-feature rows match the single-column operators exactly") {
+    // deterministic two-feature fixture with real drift in f2
+    val ref = (1 to 400).map(i =>
+      ((i % 20).toDouble, (i % 7).toDouble)).toDF("f1", "f2")
+    val cur = (1 to 300).map(i =>
+      ((i % 20).toDouble, (i % 7).toDouble + (if (i % 3 == 0) 2.0 else 0.0)))
+      .toDF("f1", "f2")
+    val m = Drift.driftMatrix(ref, cur, Seq("f1", "f2"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(m.keySet == Set("f1", "f2"))
+    for (f <- Seq("f1", "f2")) {
+      val row = m(f)
+      val psi = Drift.psi(ref, cur, col(f), threshold = 1e9).head().getDouble(0)
+      val ks = Drift.ksStatistic(ref, cur, col(f)).head()
+      val w1 = Drift.wasserstein1(ref, cur, col(f)).head()
+      val js = Drift.jsDivergence(ref, cur, col(f)).head()
+      val chi = Drift.chiSquaredDrift(ref, cur, col(f)).head()
+      assert(math.abs(row.getAs[Double]("psi") - psi) < 1e-12, s"$f psi")
+      assert(math.abs(row.getAs[Double]("ks_d") - ks.getDouble(0)) < 1e-12, s"$f ks")
+      assert(math.abs(row.getAs[Double]("w1") - w1.getDouble(0)) < 1e-12, s"$f w1")
+      assert(math.abs(row.getAs[Double]("mean_shift") - w1.getDouble(1)) < 1e-12)
+      assert(math.abs(row.getAs[Double]("js_nats") - js.getDouble(0)) < 1e-12, s"$f js")
+      assert(math.abs(row.getAs[Double]("chi2") - chi.getDouble(0)) < 1e-9, s"$f chi2")
+      assert(row.getAs[Long]("dof") == chi.getLong(1), s"$f dof")
+      assert(row.getAs[Long]("n_ref") == 400L && row.getAs[Long]("n_cur") == 300L)
+    }
+    // f2 drifted harder than f1 on every distribution metric
+    assert(m("f2").getAs[Double]("psi") > m("f1").getAs[Double]("psi"))
+    assert(m("f2").getAs[Double]("ks_d") > m("f1").getAs[Double]("ks_d"))
+    // slices: keyed matrix emits one row per (slice, feature)
+    val refS = ref.withColumn("g", (col("f1") < 10).cast("string"))
+    val curS = cur.withColumn("g", (col("f1") < 10).cast("string"))
+    val sliced = Drift.driftMatrix(refS, curS, Seq("f1", "f2"),
+      slice = Some(col("g")))
+    assert(sliced.count() == 4)
+    // a feature empty on one side (within the matrix) emits no row
+    val curNull = cur.withColumn("f2", lit(null).cast("double"))
+    val part = Drift.driftMatrix(ref, curNull, Seq("f1", "f2"))
+    assert(part.select("feature").collect().map(_.getString(0)).toSet == Set("f1"))
+  }
 }

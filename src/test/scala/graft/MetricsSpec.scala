@@ -282,6 +282,13 @@ class MetricsSpec extends AnyFunSuite {
     val n = Metrics.conformalSplit(calN, test, col("y"), col("yhat"), 0.2)
       .head()
     assert(n.getLong(0) == 9L)
+    // empty TEST side: q̂ is defined by calibration alone and must
+    // survive (coverage null — undefined over zero rows) (ADVICE r15)
+    val e = Metrics.conformalSplit(cal, test.limit(0), col("y"), col("yhat"), 0.2)
+      .head()
+    assert(!e.isNullAt(2) && math.abs(e.getDouble(2) - 8.0) < 1e-9,
+      "qhat must survive an empty test set")
+    assert(e.isNullAt(3), "coverage is undefined over zero test rows")
   }
 
   test("poissonBootstrap: deterministic hash draws; CI brackets the mean; weight law sane") {
@@ -308,5 +315,30 @@ class MetricsSpec extends AnyFunSuite {
     }
     val totW = rows.agg(sum(w)).head().getLong(0)
     assert(totW > 400 && totW < 600, s"replicate-0 total weight $totW far from n=500")
+  }
+
+  test("poissonBootstrap: production mixer draw agrees with the md5 replay encoding") {
+    import spark.implicits._
+    // pinned fixture: the two draw encodings are different hash
+    // functions, so replicate means differ — but both are valid
+    // Poisson(1) bootstraps of the SAME data, so their percentile CIs
+    // must agree to well within the interval's own width, both must
+    // bracket est, and each must be run-to-run deterministic.
+    val df = (1 to 2000).map(i => (i.toLong, (i % 97).toDouble + 0.25 * (i % 13)))
+      .toDF("id", "v")
+    val mix = Metrics.poissonBootstrap(df, col("v"), col("id"), b = 200).head()
+    val mix2 = Metrics.poissonBootstrap(df, col("v"), col("id"), b = 200).head()
+    val md5 = Metrics.poissonBootstrap(df, col("v"), col("id"), b = 200,
+      md5Replay = true).head()
+    assert(mix == mix2, "mixer draws must be run-to-run identical")
+    assert(mix.getLong(0) == md5.getLong(0) && mix.getDouble(2) == md5.getDouble(2),
+      "n and est are draw-independent")
+    val width = md5.getDouble(4) - md5.getDouble(3)
+    assert(width > 0)
+    assert(math.abs(mix.getDouble(3) - md5.getDouble(3)) < 0.5 * width,
+      s"lo: mixer ${mix.getDouble(3)} vs md5 ${md5.getDouble(3)} (width $width)")
+    assert(math.abs(mix.getDouble(4) - md5.getDouble(4)) < 0.5 * width,
+      s"hi: mixer ${mix.getDouble(4)} vs md5 ${md5.getDouble(4)} (width $width)")
+    assert(mix.getDouble(3) <= mix.getDouble(2) && mix.getDouble(2) <= mix.getDouble(4))
   }
 }
