@@ -5489,6 +5489,86 @@ object Queries {
             FROM terms JOIN wn USING (day)
             GROUP BY terms.day, wn.n ORDER BY terms.day"""))
 
+  /** Multi-feature STREAMING drift matrix
+    * ([[graft.streaming.Streams.driftMatrixMonitorAvailableNow]],
+    * round 16): per (event-time day × feature) PSI against
+    * reference-derived decile bins for THREE features of the events
+    * stream — value (payload drift), user_id (id-space drift), and
+    * hour-of-day (diurnal-pattern drift) — all from ONE streaming
+    * windowed aggregate over the map-side (ts, feature, bin) melt.
+    * Edges and reference proportions are derived driver-side from the
+    * full table (the same reference contract as q_stream_drift) and
+    * ride the plan as literals. The oracle replays melt, binning,
+    * day windows, densified zero bins, and the eps-floored terms per
+    * (day, feature).
+    */
+  val qStreamDriftMatrix = QDef(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val probs = (1 until 10).map(_.toDouble / 10)
+      def featSpec(name: String, c: Column): (String, Column, Seq[Double], Seq[Double]) = {
+        val nn = ev.filter(c.isNotNull).select(c.cast("double").as("__x"))
+        val edges = nn.agg(percentile(col("__x"), typedlit(probs)).as("__q"))
+          .head().getSeq[Double](0)
+        val binOf = edges.map(e => when(col("__x") > lit(e), 1L)
+          .otherwise(0L)).reduce(_ + _)
+        val counts = nn.groupBy(binOf.as("__bin"))
+          .agg(count(lit(1)).as("__c")).collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val total = counts.values.sum.toDouble
+        (name, c, edges, (0 until 10).map(i => counts.getOrElse(i, 0L) / total))
+      }
+      val feats = Seq(
+        featSpec("hour", hour(col("ts")).cast("double")),
+        featSpec("user_id", col("user_id").cast("double")),
+        featSpec("value", col("value")))
+      graft.streaming.Streams.driftMatrixMonitorAvailableNow(s, d, feats,
+          windowDur = "1 day", queryName = "q_stream_drift_matrix_mem")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("feature"), col("n"), round(col("psi"), 6).as("psi"))
+        .orderBy("day", "feature")
+    },
+    Some("""WITH src AS (SELECT ts, value, user_id,
+                                extract(hour FROM ts)::DOUBLE AS hr
+                         FROM events),
+            m AS (SELECT ts, 'value' AS f, value::DOUBLE AS v FROM src
+                  WHERE value IS NOT NULL
+                  UNION ALL SELECT ts, 'user_id', user_id::DOUBLE FROM src
+                  WHERE user_id IS NOT NULL
+                  UNION ALL SELECT ts, 'hour', hr FROM src
+                  WHERE hr IS NOT NULL),
+            e AS (SELECT f, quantile_cont(v,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+                  FROM m GROUP BY f),
+            b AS (SELECT m.f, m.ts,
+                         len(list_filter(e.q, x -> m.v > x)) AS bin
+                  FROM m JOIN e USING (f)),
+            g AS (SELECT e.f, gb.bin FROM e
+                  CROSS JOIN (SELECT unnest(range(10)) AS bin) gb),
+            rp AS (SELECT f, bin, count(*) AS c FROM b GROUP BY f, bin),
+            rn AS (SELECT f, CAST(sum(c) AS BIGINT) AS nt FROM rp GROUP BY f),
+            rpp AS (SELECT g.f, g.bin,
+                           coalesce(rp.c, 0) / (1.0 * rn.nt) AS p
+                    FROM g LEFT JOIN rp USING (f, bin) JOIN rn USING (f)),
+            w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         f, bin FROM b),
+            wc AS (SELECT day, f, bin, count(*) AS c FROM w GROUP BY 1, 2, 3),
+            wn AS (SELECT day, f, CAST(sum(c) AS BIGINT) AS n
+                   FROM wc GROUP BY 1, 2),
+            grid AS (SELECT wn.day, wn.f, g.bin, wn.n FROM wn
+                     JOIN g USING (f)),
+            dense AS (SELECT grid.day, grid.f, grid.bin, grid.n,
+                             coalesce(wc.c, 0) AS c
+                      FROM grid LEFT JOIN wc USING (day, f, bin)),
+            terms AS (SELECT dense.day, dense.f, dense.n,
+                             (dense.c / dense.n - rpp.p) *
+                             ln(greatest(dense.c / dense.n, 1e-6) /
+                                greatest(rpp.p, 1e-6)) AS t
+                      FROM dense JOIN rpp USING (f, bin))
+            SELECT day, f AS feature, n, round(sum(t), 6) + 0.0 AS psi
+            FROM terms GROUP BY day, feature, n
+            ORDER BY day, feature"""))
+
   /** Streaming late-data admission under a watermark —
     * [[graft.streaming.Streams.lateAdmissionAvailableNow]]: the
     * two-micro-batch fixture (recent slice, then stragglers +
@@ -5911,6 +5991,7 @@ object Queries {
     "q_w1_drift" -> qW1Drift,
     "q_drift_matrix" -> qDriftMatrix,
     "q_stream_drift" -> qStreamDrift,
+    "q_stream_drift_matrix" -> qStreamDriftMatrix,
     "q_stream_late" -> qStreamLate,
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_chi2_drift" -> qChi2Drift,

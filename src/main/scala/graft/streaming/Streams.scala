@@ -229,6 +229,83 @@ object Streams {
         psi.as("psi"))
   }
 
+  /** Multi-FEATURE streaming drift monitor — the streaming face of
+    * [[graft.operators.Drift.driftMatrix]] (round 16): per
+    * (event-time window × feature) PSI against static per-feature
+    * reference bins, in ONE streaming aggregate. Each feature carries
+    * its own reference-derived edges and proportions as literals (the
+    * same ride-along-the-plan contract as the single-column monitor —
+    * chained streaming aggregates are restricted, so everything after
+    * the windowed count is batch arithmetic on the bins-sized result):
+    * the stream is melted map-side into (ts, feature, bin) — bin
+    * computed per feature BEFORE the explode, so the generator emits
+    * small ints, not values — and the one windowed groupBy(window,
+    * feature, bin) count is the only stateful stage. State =
+    * windows × features × bins longs; post-processing densifies
+    * zero-count bins against the literal grid and folds the
+    * eps-floored PSI terms per (window, feature).
+    *
+    * `features`: (name, column expr over the events schema, edges,
+    * refProps) — null feature values drop that feature's row only
+    * (the melt keeps the other features of the same event).
+    */
+  def driftMatrixMonitorAvailableNow(spark: SparkSession, dir: String,
+      features: Seq[(String, org.apache.spark.sql.Column, Seq[Double], Seq[Double])],
+      windowDur: String = "1 day", eps: Double = 1e-6,
+      queryName: String = "stream_drift_matrix",
+      statePartitions: Int = 8): DataFrame = {
+    require(features.nonEmpty, "need >= 1 feature")
+    features.foreach { case (n, _, edges, refProps) =>
+      require(refProps.length == edges.length + 1,
+        s"feature $n: refProps must have edges.length + 1 bins")
+    }
+    def binOf(c: org.apache.spark.sql.Column, edges: Seq[Double]) =
+      edges.map(e => when(c > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+    val melted = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(array(features.map { case (n, c, ed, _) =>
+        struct(lit(n).as("f"),
+          when(c.isNotNull, binOf(c.cast("double"), ed)).as("bin"))
+      }: _*)).as("__fb"))
+      .filter(col("__fb.bin").isNotNull)
+      .select(col("ts"), col("__fb.f").as("__f"), col("__fb.bin").as("__bin"))
+    val agg = melted
+      .groupBy(window(col("ts"), windowDur).as("w"), col("__f"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamMetrics.record(q)
+    }
+    // batch tail over the bins-sized memory table
+    import spark.implicits._
+    val dim = features.flatMap { case (n, _, _, rp) =>
+      rp.zipWithIndex.map { case (p, i) => (n, i.toLong, p) }
+    }.toDF("__f", "__bin", "__p")
+    // bins-sized; checkpoint breaks the memory-table self-join lineage
+    // (grid derives from counts) and drops the watermark metadata that
+    // otherwise makes the join's reference dedup fail
+    val counts = spark.table(queryName).localCheckpoint(true)
+    val grid = counts.select(col("w")).distinct().crossJoin(broadcast(dim))
+    val dense = grid
+      .join(counts, Seq("w", "__f", "__bin"), "left")
+      .select(col("w"), col("__f"), col("__bin"), col("__p"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.groupBy(col("w"), col("__f")).agg(sum(col("__c")).as("__n"))
+    dense.join(tot, Seq("w", "__f"))
+      .withColumn("__pc", col("__c").cast("double") / col("__n"))
+      .withColumn("__t", (col("__pc") - col("__p")) *
+        log(greatest(col("__pc"), lit(eps)) / greatest(col("__p"), lit(eps))))
+      .groupBy(col("w"), col("__f"))
+      .agg(max(col("__n")).as("n"), sum(col("__t")).as("psi"))
+      .select(col("w.start").as("window_start"), col("__f").as("feature"),
+        col("n"), col("psi"))
+      // a feature with zero mass in a window has no defined PSI there
+      .filter(col("n") > 0)
+  }
+
   /** T4: stream-static enrichment at ingest — the streaming side joins
     * a small STATIC dimension (here a tier mapping) before aggregating.
     * Spark plans the static side as a broadcast against every

@@ -81,6 +81,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.getDouble(2) > 0.0))
   }
 
+  test("streaming drift MATRIX: the value-feature rows equal the single-column monitor") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val probs = (1 until 10).map(_.toDouble / 10)
+    def spec(name: String, c: org.apache.spark.sql.Column) = {
+      val nn = ev.filter(c.isNotNull).select(c.cast("double").as("x"))
+      val edges = nn.agg(percentile(col("x"), typedlit(probs)).as("q"))
+        .head().getSeq[Double](0)
+      val binOf = edges.map(e => when(col("x") > lit(e), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val counts = nn.groupBy(binOf.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val total = counts.values.sum.toDouble
+      (name, c, edges, (0 until 10).map(i => counts.getOrElse(i, 0L) / total))
+    }
+    val vSpec = spec("value", col("value"))
+    val feats = Seq(vSpec, spec("user_id", col("user_id").cast("double")))
+    val matrix = Streams.driftMatrixMonitorAvailableNow(spark, dir, feats,
+        windowDur = "1 day", queryName = "drift_matrix_test")
+      .collect()
+    assert(matrix.map(_.getAs[String]("feature")).toSet ==
+      Set("value", "user_id"))
+    // value rows must equal the dedicated single-column monitor
+    val single = Streams.driftMonitorAvailableNow(spark, dir,
+        vSpec._3, vSpec._4, windowDur = "1 day",
+        queryName = "drift_matrix_single_test")
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val valueRows = matrix.filter(_.getAs[String]("feature") == "value")
+    assert(valueRows.nonEmpty && valueRows.length == single.size)
+    valueRows.foreach { r =>
+      val (n, psi) = single(r.getTimestamp(0))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-12,
+        s"matrix psi ${r.getAs[Double]("psi")} vs single $psi")
+    }
+  }
+
   test("T2 foreachBatch ingestion is exactly-once across restarts") {
     val src = Files.createTempDirectory("graft-src").toString
     val dest = Files.createTempDirectory("graft-dest").toString + "/out"
