@@ -1663,6 +1663,71 @@ object Queries {
             FROM customer
             WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL"""))
 
+  /** Data-quality expectation suite over lineitem + the part dimension
+    * ([[graft.operators.Expectations.check]], round 16): six declared
+    * expectations — not-null, numeric range, accepted values, regex,
+    * composite-key uniqueness, and referential integrity against
+    * part — evaluated as one row-level aggregate pass + one grouped
+    * uniqueness job + one broadcast anti-join. The oracle restates
+    * each expectation as its own aggregate; per-row counts and
+    * violation counts are value-compared, so a single silently-bad row
+    * at any sf flips the compare.
+    */
+  val qExpectations = QDef(
+    (s, d) => {
+      import graft.operators.Expectations._
+      graft.operators.Expectations.check(t(s, d, "lineitem"), Seq(
+        NotNull("l_quantity"),
+        InRange("l_discount", 0.0, 0.1),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ReferentialIn("l_partkey", t(s, d, "part"), "p_partkey")))
+        .orderBy("expectation", "column")
+    },
+    Some("""WITH nn AS (SELECT 'not_null' AS expectation,
+                   'l_quantity' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_violations
+            FROM lineitem),
+            rg AS (SELECT 'in_range[0.0,0.1]', 'l_discount',
+                   CAST(count(l_discount) AS BIGINT),
+                   CAST(sum(CASE WHEN l_discount IS NOT NULL AND
+                     NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem),
+            av AS (SELECT 'accepted_values[A|N|R]', 'l_returnflag',
+                   CAST(count(l_returnflag) AS BIGINT),
+                   CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND
+                     l_returnflag NOT IN ('A', 'N', 'R')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem),
+            rx AS (SELECT 'matches_regex[^[OF]$]', 'l_linestatus',
+                   CAST(count(l_linestatus) AS BIGINT),
+                   CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND
+                     NOT regexp_matches(l_linestatus, '^[OF]$')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem),
+            uq AS (SELECT 'unique', 'l_orderkey,l_linenumber',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                     AS BIGINT)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+            rf AS (SELECT 'referential_in[p_partkey]', 'l_partkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT)
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_partkey IS NOT NULL),
+            allr AS (SELECT * FROM nn UNION ALL SELECT * FROM rg
+                     UNION ALL SELECT * FROM av UNION ALL SELECT * FROM rx
+                     UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM rf)
+            SELECT expectation, "column", n_checked, n_violations,
+                   n_violations = 0 AS pass
+            FROM allr ORDER BY expectation, "column""""))
+
   /** Deterministic 5-fold cross-validation assignment over the corpus,
     * summarized per (lang, fold) — the per-stratum counts demonstrate
     * the hash folds stay language-balanced without any shuffle
@@ -6066,6 +6131,7 @@ object Queries {
     "q_conformal" -> qConformal,
     "q_bootstrap_mean" -> qBootstrapMean,
     "q_bootstrap_mean_fast" -> qBootstrapMeanFast,
+    "q_expectations" -> qExpectations,
     "q_classification_report" -> qClassificationReport,
     "q_weighted_kappa" -> qWeightedKappa,
     "q_kfold" -> qKfold,

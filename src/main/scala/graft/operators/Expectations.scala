@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation suite — the validation gate a training
+  * pipeline runs on every ingest drop before the data is allowed near
+  * a model (the "expectations" pattern popularized by Great
+  * Expectations / Deequ; both public). The reference repo validates
+  * implicitly (dropna + manual dtype fixes); at 100 TB the checks must
+  * be DECLARED, batched, and cheap: a silent schema drift or a 0.1%
+  * null-rate regression is invisible in any sample a human looks at.
+  *
+  * Output: ONE row per expectation — (expectation, column, n_checked,
+  * n_violations, pass) — so a pipeline gates on `min(pass)` and a
+  * monitor trends `n_violations` per drop.
+  *
+  * Scale shape, by expectation class:
+  *  - ROW-LEVEL (not-null, range, accepted-values, regex): folded into
+  *    ONE global aggregate over one scan — each expectation is a
+  *    conditional sum, all evaluated in the same codegen stage; adding
+  *    an expectation adds a column, not a pass.
+  *  - UNIQUENESS: one (key)-grouped aggregate; violations = rows in
+  *    excess of one per key (Σ (c−1) over duplicated keys). A shuffle
+  *    of the key columns only.
+  *  - REFERENTIAL: a broadcast left-anti count against the dimension
+  *    (dimensions are broadcast-sized by definition here; a fact-sized
+  *    "dimension" belongs in a shuffle join the caller writes
+  *    deliberately).
+  * Row-level checks cost one scan TOTAL regardless of how many are
+  * declared; uniqueness and referential each add one bounded-output
+  * job. Null semantics: range/accepted/regex checks skip null values
+  * (declare NotNull alongside if nulls are violations — matching the
+  * public tools' convention); n_checked counts the non-null values
+  * those checks actually evaluated.
+  */
+object Expectations {
+
+  sealed trait Expectation
+  /** `column` must contain no nulls. */
+  final case class NotNull(column: String) extends Expectation
+  /** Non-null values of `column` must lie in [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Expectation
+  /** Non-null values of `column` must be one of `values`. */
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Expectation
+  /** Non-null values of `column` must match `regex` (RLIKE, i.e.
+    * unanchored — anchor explicitly for full-string matches). */
+  final case class MatchesRegex(column: String, regex: String)
+      extends Expectation
+  /** The tuple of `columns` must be unique across rows. */
+  final case class Unique(columns: Seq[String]) extends Expectation
+  /** Non-null values of `column` must appear in `dimColumn` of the
+    * (broadcast-sized) `dim` table. */
+  final case class ReferentialIn(column: String, dim: DataFrame,
+      dimColumn: String) extends Expectation
+
+  private case class RowCheck(name: String, column: String,
+      checked: Column, violated: Column)
+
+  /** Evaluate `expectations` against `df`; returns one row per
+    * expectation in declaration order: (expectation, column,
+    * n_checked, n_violations, pass).
+    */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "need >= 1 expectation")
+    val spark = df.sparkSession
+    // 1) row-level checks: one aggregate, one scan
+    val rowChecks = expectations.collect {
+      case NotNull(c) =>
+        RowCheck("not_null", c, lit(true), col(c).isNull)
+      case InRange(c, lo, hi) =>
+        RowCheck(s"in_range[$lo,$hi]", c, col(c).isNotNull,
+          col(c).isNotNull && !(col(c) >= lo && col(c) <= hi))
+      case AcceptedValues(c, vs) =>
+        RowCheck(s"accepted_values[${vs.mkString("|")}]", c,
+          col(c).isNotNull,
+          col(c).isNotNull && !col(c).cast("string").isInCollection(vs))
+      case MatchesRegex(c, re) =>
+        RowCheck(s"matches_regex[$re]", c, col(c).isNotNull,
+          col(c).isNotNull && !col(c).cast("string").rlike(re))
+    }
+    val rowResults: Map[(String, String), (Long, Long)] =
+      if (rowChecks.isEmpty) Map.empty
+      else {
+        val aggs = rowChecks.zipWithIndex.flatMap { case (rc, i) =>
+          Seq(sum(rc.checked.cast("long")).as(s"__n$i"),
+            sum(rc.violated.cast("long")).as(s"__v$i"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        rowChecks.zipWithIndex.map { case (rc, i) =>
+          (rc.name, rc.column) ->
+            (if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i),
+             if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
+        }.toMap
+      }
+    // 2+3) uniqueness / referential: one bounded job each
+    def uniqueResult(cols: Seq[String]): (Long, Long) = {
+      val g = df.na.drop(cols).groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+          coalesce(sum(col("__c") - 1), lit(0L)).as("__v"))
+        .head()
+      (g.getLong(0), g.getLong(1))
+    }
+    def refResult(c: String, dim: DataFrame, dc: String): (Long, Long) = {
+      val checked = df.filter(col(c).isNotNull)
+      val n = checked.count()
+      val v = checked.select(col(c).as("__k"))
+        .join(broadcast(dim.select(col(dc).as("__k")).distinct()),
+          Seq("__k"), "left_anti")
+        .count()
+      (n, v)
+    }
+    val rows = expectations.map {
+      case NotNull(c) =>
+        val (n, v) = rowResults(("not_null", c)); ("not_null", c, n, v)
+      case InRange(c, lo, hi) =>
+        val (n, v) = rowResults((s"in_range[$lo,$hi]", c))
+        (s"in_range[$lo,$hi]", c, n, v)
+      case AcceptedValues(c, vs) =>
+        val key = s"accepted_values[${vs.mkString("|")}]"
+        val (n, v) = rowResults((key, c)); (key, c, n, v)
+      case MatchesRegex(c, re) =>
+        val (n, v) = rowResults((s"matches_regex[$re]", c))
+        (s"matches_regex[$re]", c, n, v)
+      case Unique(cols) =>
+        val (n, v) = uniqueResult(cols)
+        ("unique", cols.mkString(","), n, v)
+      case ReferentialIn(c, dim, dc) =>
+        val (n, v) = refResult(c, dim, dc)
+        (s"referential_in[$dc]", c, n, v)
+    }
+    import spark.implicits._
+    rows.toDF("expectation", "column", "n_checked", "n_violations")
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

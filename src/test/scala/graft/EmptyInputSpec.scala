@@ -108,10 +108,19 @@ class EmptyInputSpec extends AnyFunSuite {
       col("value")))
     empt("tokenJsDivergence")(Drift.tokenJsDivergence(noDocs, noDocs,
       col("text")))
+    // the matrix: empty either side (or both) emits no rows, not a throw
+    empt("driftMatrix both empty")(Drift.driftMatrix(noEvents, noEvents,
+      Seq("value")))
+    empt("driftMatrix empty reference")(Drift.driftMatrix(noEvents,
+      someEvents, Seq("value")))
+    empt("driftMatrix empty current")(Drift.driftMatrix(someEvents,
+      noEvents, Seq("value")))
     // non-empty sides must still emit their row after the guards
     assert(Drift.psi(someEvents, someEvents, col("value")).count() == 1)
     assert(Drift.jsDivergence(someEvents, someEvents, col("event_type"))
       .count() == 1)
     assert(Drift.ksStatistic(someEvents, someEvents, col("value")).count() == 1)
+    assert(Drift.driftMatrix(someEvents, someEvents, Seq("value"))
+      .count() == 1)
   }
 }
