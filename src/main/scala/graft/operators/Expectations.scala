@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   * be DECLARED, batched, and cheap: a silent schema drift or a 0.1%
   * null-rate regression is invisible in any sample a human looks at.
   *
+  * Relationship to [[Profiling.validate]] (the r11 gate, oracle
+  * q_quality_gate): validate batches arbitrary caller-supplied
+  * violation AGGREGATES into one pass and stays the right tool for
+  * ad-hoc constraints. This suite is the declared-expectation layer on
+  * top: a typed expectation API, `n_checked` reported alongside
+  * violations (so a vacuously-passing check is visible), and the two
+  * check classes that CANNOT be a single aggregate expression —
+  * referential integrity (an anti-join) and composite-key uniqueness
+  * (a grouped pass). Row-level checks compile to the same
+  * one-aggregate shape validate uses.
+  *
   * Output: ONE row per expectation — (expectation, column, n_checked,
   * n_violations, pass) — so a pipeline gates on `min(pass)` and a
   * monitor trends `n_violations` per drop.

@@ -123,6 +123,11 @@ object Profiling {
     * data, and the output is one (check, violations, passed) row per
     * constraint — checks-sized, never data-sized. Run it before
     * publishing a table; gate the pipeline on `passed` all-true.
+    * For the declared-expectation layer (typed API, n_checked
+    * reporting, referential-integrity and composite-key-uniqueness
+    * checks that can't be one aggregate expression) see
+    * [[Expectations.check]] — its row-level checks compile to this
+    * same one-aggregate shape.
     */
   def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "checks must be non-empty")
