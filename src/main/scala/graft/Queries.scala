@@ -5327,6 +5327,68 @@ object Queries {
             FROM met JOIN psi USING (s, f)
             ORDER BY slice, feature"""))
 
+  /** Categorical drift matrix ([[Drift.driftMatrixCategorical]]):
+    * per-category PSI, JS divergence, and χ² per (ship-year slice ×
+    * {returnflag, linestatus}) between the lineitem parity halves —
+    * the categorical face of q_drift_matrix from the same one-pass
+    * melted cell table, with no window at all (no ordered domain).
+    * Every metric value-replayed at 6 dp.
+    */
+  val qDriftMatrixCat = QDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        year(col("l_shipdate")).cast("string").as("ship_year"),
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"))
+      Drift.driftMatrixCategorical(li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          Seq("returnflag", "linestatus"),
+          slice = Some(col("ship_year")))
+        .select(col("slice"), col("feature"), col("n_ref"), col("n_cur"),
+          round(col("psi"), 6).as("psi"),
+          round(col("js_nats"), 6).as("js_nats"),
+          round(col("chi2"), 6).as("chi2"),
+          col("dof"))
+        .orderBy("slice", "feature")
+    },
+    Some("""WITH src AS (SELECT l_orderkey % 2 AS side,
+                    CAST(year(l_shipdate) AS VARCHAR) AS s,
+                    l_returnflag AS returnflag, l_linestatus AS linestatus
+             FROM lineitem WHERE l_shipdate IS NOT NULL),
+            m AS (SELECT side, s, 'returnflag' AS f, returnflag AS v
+                  FROM src WHERE returnflag IS NOT NULL
+                  UNION ALL SELECT side, s, 'linestatus', linestatus
+                  FROM src WHERE linestatus IS NOT NULL),
+            cells AS (SELECT s, f, v,
+                             count(*) FILTER (WHERE side = 0) AS cr,
+                             count(*) FILTER (WHERE side = 1) AS cc
+                      FROM m GROUP BY 1, 2, 3),
+            tot AS (SELECT s, f, CAST(sum(cr) AS BIGINT) AS tr,
+                           CAST(sum(cc) AS BIGINT) AS tc
+                    FROM cells GROUP BY 1, 2
+                    HAVING sum(cr) > 0 AND sum(cc) > 0),
+            p AS (SELECT c.s, c.f, c.cr, c.cc, t.tr, t.tc,
+                         c.cr / (1.0 * t.tr) AS pa,
+                         c.cc / (1.0 * t.tc) AS pb,
+                         (c.cr + c.cc) * t.tr / (1.0 * (t.tr + t.tc)) AS ea,
+                         (c.cr + c.cc) * t.tc / (1.0 * (t.tr + t.tc)) AS eb
+                  FROM cells c JOIN tot t USING (s, f))
+            SELECT s AS slice, f AS feature,
+                   max(tr) AS n_ref, max(tc) AS n_cur,
+                   round(sum((pb - pa) *
+                         ln(greatest(pb, 1e-6) / greatest(pa, 1e-6))), 6)
+                     + 0.0 AS psi,
+                   round(sum(CASE WHEN pa > 0
+                           THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+                           ELSE 0 END)
+                       + sum(CASE WHEN pb > 0
+                           THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                           ELSE 0 END), 6) + 0.0 AS js_nats,
+                   round(sum((cr - ea) * (cr - ea) / ea +
+                             (cc - eb) * (cc - eb) / eb), 6) + 0.0 AS chi2,
+                   CAST(count(*) - 1 AS BIGINT) AS dof
+            FROM p GROUP BY 1, 2 ORDER BY slice, feature"""))
+
   /** Snapshot-profile drift between the even/odd event halves —
     * [[Drift.profileDrift]]: two profileTable passes (batched
     * multi-distinct aggregates, the q_profile_table shape), a
@@ -6055,6 +6117,7 @@ object Queries {
     "q_ks_drift" -> qKsDrift,
     "q_w1_drift" -> qW1Drift,
     "q_drift_matrix" -> qDriftMatrix,
+    "q_drift_matrix_cat" -> qDriftMatrixCat,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_drift_matrix" -> qStreamDriftMatrix,
     "q_stream_late" -> qStreamLate,

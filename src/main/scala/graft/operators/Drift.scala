@@ -438,6 +438,18 @@ object Drift {
       nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(features.nonEmpty, "driftMatrix needs >= 1 feature")
     require(nBins > 1, "nBins must be > 1")
+    // fail fast on a non-numeric feature: cast-to-double would null it
+    // out and the feature would silently VANISH from the output — the
+    // worst failure mode for a monitor. Categorical features belong in
+    // [[driftMatrixCategorical]].
+    Seq(reference, current).foreach { df =>
+      features.foreach { f =>
+        val dt = df.schema(f).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"driftMatrix feature '$f' is $dt — numeric required " +
+            "(use driftMatrixCategorical for categorical features)")
+      }
+    }
     val spark = reference.sparkSession
     val sliceCol = slice.getOrElse(lit(""))
     def melt(df: DataFrame): DataFrame = df
@@ -533,5 +545,69 @@ object Drift {
       .select(col("__s").as("slice"), col("__f").as("feature"),
         col("n_ref"), col("n_cur"), col("psi"), col("ks_d"), col("w1"),
         col("mean_shift"), col("js_nats"), col("chi2"), col("dof"))
+  }
+
+  /** [[driftMatrix]] for CATEGORICAL features: per (slice × feature)
+    * categorical PSI (the per-category form of the index — each
+    * observed category is its own bin, shares eps-floored exactly like
+    * the binned numeric form), JS divergence, and χ² homogeneity, all
+    * from the same one-pass melted (slice, feature, value) cell table.
+    * No ECDF metrics (KS/W₁ need an ordered domain) and therefore no
+    * window at all — the whole post-scan tail is two grouped
+    * aggregates over support-sized cells. Same conventions as the
+    * numeric matrix: values spec-pinned identical to
+    * [[jsDivergence]]/[[chiSquaredDrift]] on the same inputs, features
+    * with zero mass on either side emit no row, slices are a caller
+    * expression.
+    */
+  def driftMatrixCategorical(reference: DataFrame, current: DataFrame,
+      features: Seq[String], slice: Option[Column] = None,
+      eps: Double = 1e-6): DataFrame = {
+    require(features.nonEmpty, "driftMatrixCategorical needs >= 1 feature")
+    val sliceCol = slice.getOrElse(lit(""))
+    def melt(df: DataFrame): DataFrame = df
+      .select(sliceCol.cast("string").as("__s"),
+        explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+          .as("__fv"))
+      .select(col("__s"), col("__fv.f").as("__f"), col("__fv.v").as("__v"))
+      .filter(col("__s").isNotNull && col("__v").isNotNull)
+    val cells = melt(reference).withColumn("__side", lit(0))
+      .unionAll(melt(current).withColumn("__side", lit(1)))
+      .groupBy(col("__s"), col("__f"), col("__v"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cc"))
+      .localCheckpoint(true) // support-sized; feeds totals AND the cell join
+    val keys = Seq("__s", "__f")
+    val tot = cells.groupBy(col("__s"), col("__f"))
+      .agg(sum(col("__cr")).as("__tr"), sum(col("__cc")).as("__tc"))
+      .filter(col("__tr") > 0 && col("__tc") > 0)
+    cells.join(broadcast(tot), keys)
+      .withColumn("__pa", col("__cr").cast("double") / col("__tr"))
+      .withColumn("__pb", col("__cc").cast("double") / col("__tc"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2)
+      .withColumn("__ea", (col("__cr") + col("__cc")) *
+        col("__tr").cast("double") / (col("__tr") + col("__tc")).cast("double"))
+      .withColumn("__eb", (col("__cr") + col("__cc")) *
+        col("__tc").cast("double") / (col("__tr") + col("__tc")).cast("double"))
+      .groupBy(col("__s"), col("__f"))
+      .agg(
+        max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        sum((col("__pb") - col("__pa")) *
+          log(greatest(col("__pb"), lit(eps)) /
+              greatest(col("__pa"), lit(eps)))).as("psi"),
+        (sum(when(col("__pa") > 0,
+            lit(0.5) * col("__pa") * log(col("__pa") / col("__m")))
+          .otherwise(lit(0.0))) +
+         sum(when(col("__pb") > 0,
+            lit(0.5) * col("__pb") * log(col("__pb") / col("__m")))
+          .otherwise(lit(0.0)))).as("js_nats"),
+        sum((col("__cr") - col("__ea")) * (col("__cr") - col("__ea")) / col("__ea")
+          + (col("__cc") - col("__eb")) * (col("__cc") - col("__eb")) / col("__eb"))
+          .as("chi2"),
+        (count(lit(1)) - 1).cast("long").as("dof"))
+      .select(col("__s").as("slice"), col("__f").as("feature"),
+        col("n_ref"), col("n_cur"), col("psi"), col("js_nats"),
+        col("chi2"), col("dof"))
   }
 }

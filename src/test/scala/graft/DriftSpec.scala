@@ -232,5 +232,34 @@ class DriftSpec extends AnyFunSuite {
     val curNull = cur.withColumn("f2", lit(null).cast("double"))
     val part = Drift.driftMatrix(ref, curNull, Seq("f1", "f2"))
     assert(part.select("feature").collect().map(_.getString(0)).toSet == Set("f1"))
+    // a non-numeric feature is an ERROR, not a silent drop
+    val refStr = ref.withColumn("cat", concat(lit("c"), col("f1").cast("int")))
+    val curStr = cur.withColumn("cat", concat(lit("c"), col("f1").cast("int")))
+    val e = intercept[IllegalArgumentException] {
+      Drift.driftMatrix(refStr, curStr, Seq("f1", "cat"))
+    }
+    assert(e.getMessage.contains("numeric required"))
+  }
+
+  test("driftMatrixCategorical: rows match jsDivergence and chiSquaredDrift exactly") {
+    val ref = (1 to 300).map(i => ("c" + (i % 5), "d" + (i % 3)))
+      .toDF("cat1", "cat2")
+    val cur = (1 to 200).map(i =>
+      ("c" + (if (i % 4 == 0) 7 else i % 5), "d" + (i % 3)))
+      .toDF("cat1", "cat2")
+    val m = Drift.driftMatrixCategorical(ref, cur, Seq("cat1", "cat2"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(m.keySet == Set("cat1", "cat2"))
+    for (f <- Seq("cat1", "cat2")) {
+      val js = Drift.jsDivergence(ref, cur, col(f)).head()
+      val chi = Drift.chiSquaredDrift(ref, cur, col(f)).head()
+      assert(math.abs(m(f).getAs[Double]("js_nats") - js.getDouble(0)) < 1e-12)
+      assert(math.abs(m(f).getAs[Double]("chi2") - chi.getDouble(0)) < 1e-9)
+      assert(m(f).getAs[Long]("dof") == chi.getLong(1))
+      assert(m(f).getAs[Long]("n_ref") == 300L && m(f).getAs[Long]("n_cur") == 200L)
+    }
+    // cat1 gained a one-sided category: every metric reads drift; cat2 iid
+    assert(m("cat1").getAs[Double]("psi") > m("cat2").getAs[Double]("psi"))
+    assert(m("cat1").getAs[Double]("js_nats") > m("cat2").getAs[Double]("js_nats"))
   }
 }
