@@ -444,7 +444,17 @@ object Bench {
       pb.inheritIO()
       System.err.println(
         s"[bench] measurement fork: ${Runtime.getRuntime.maxMemory() / (1024 * 1024)} MB launcher heap -> pinned -Xmx$heap child")
-      Some(pb.start().waitFor())
+      val code = pb.start().waitFor()
+      if (code != 0) {
+        // A nonzero child exit is a JVM-level failure (heap it could
+        // not reserve, a classpath the heuristic missed): the bench
+        // main itself reports per-query errors IN its JSON and exits
+        // 0. Honor the fallback contract — run inline rather than
+        // surfacing a new failure mode the unforked bench never had.
+        System.err.println(
+          s"[bench] forked child exited $code before producing results; running inline")
+        None
+      } else Some(0)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] measurement fork failed (${e.getMessage}); running inline")

@@ -1609,7 +1609,8 @@ object Queries {
     Some {
       val w = graft.metrics.Metrics.PoissonCdf60
         .map(t => s"(h >= $t)::INT").mkString(" + ")
-      s"""WITH o AS (SELECT c_custkey AS id, c_acctbal AS v FROM customer),
+      s"""WITH o AS (SELECT c_custkey AS id, c_acctbal AS v FROM customer
+                     WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL),
           bb AS (SELECT unnest(range(100)) AS b),
           hw AS (SELECT b, v,
                         ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||

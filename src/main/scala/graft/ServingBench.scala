@@ -60,9 +60,15 @@ object ServingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same order statistic as Bench's serving lane (lats(49)/lats(94)
+    // on 100 samples): index p·n/100 − 1 when p·n divides evenly —
+    // the two artifacts must report the SAME statistic or a phantom
+    // one-index gap reads as drift between them.
     def pct(xs: Seq[Double], p: Int): Double = {
       val s = xs.sorted
-      math.rint(s(math.min(s.length - 1, (s.length * p) / 100)) * 100) / 100
+      val scaled = p * s.length
+      val idx = if (scaled % 100 == 0) scaled / 100 - 1 else scaled / 100
+      math.rint(s(math.max(0, math.min(s.length - 1, idx))) * 100) / 100
     }
     val perWindow = (1 to windows).map { _ =>
       val lats = measure(spark, warmup = 200, timed = 100)

@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   *    excess of one per key (Σ (c−1) over duplicated keys). A shuffle
   *    of the key columns only.
   *  - REFERENTIAL: a broadcast left-anti count against the dimension
-  *    (dimensions are broadcast-sized by definition here; a fact-sized
-  *    "dimension" belongs in a shuffle join the caller writes
-  *    deliberately).
+  *    for the violations only — n_checked (the non-null fk count)
+  *    rides the shared row-level pass, so the check adds exactly one
+  *    extra job, not two. (Dimensions are broadcast-sized by
+  *    definition here; a fact-sized "dimension" belongs in a shuffle
+  *    join the caller writes deliberately.)
   * Row-level checks cost one scan TOTAL regardless of how many are
   * declared; uniqueness and referential each add one bounded-output
   * job. Null semantics: range/accepted/regex checks skip null values
@@ -91,6 +93,11 @@ object Expectations {
       case MatchesRegex(c, re) =>
         RowCheck(s"matches_regex[$re]", c, col(c).isNotNull,
           col(c).isNotNull && !col(c).cast("string").rlike(re))
+      // referential n_checked (= non-null fk count) rides the same
+      // single row-level pass; only the violation count needs the
+      // anti-join job below
+      case ReferentialIn(c, _, dc) =>
+        RowCheck(s"referential_in[$dc]", c, col(c).isNotNull, lit(false))
     }
     val rowResults: Map[(String, String), (Long, Long)] =
       if (rowChecks.isEmpty) Map.empty
@@ -115,15 +122,11 @@ object Expectations {
         .head()
       (g.getLong(0), g.getLong(1))
     }
-    def refResult(c: String, dim: DataFrame, dc: String): (Long, Long) = {
-      val checked = df.filter(col(c).isNotNull)
-      val n = checked.count()
-      val v = checked.select(col(c).as("__k"))
+    def refViolations(c: String, dim: DataFrame, dc: String): Long =
+      df.filter(col(c).isNotNull).select(col(c).as("__k"))
         .join(broadcast(dim.select(col(dc).as("__k")).distinct()),
           Seq("__k"), "left_anti")
         .count()
-      (n, v)
-    }
     val rows = expectations.map {
       case NotNull(c) =>
         val (n, v) = rowResults(("not_null", c)); ("not_null", c, n, v)
@@ -140,8 +143,8 @@ object Expectations {
         val (n, v) = uniqueResult(cols)
         ("unique", cols.mkString(","), n, v)
       case ReferentialIn(c, dim, dc) =>
-        val (n, v) = refResult(c, dim, dc)
-        (s"referential_in[$dc]", c, n, v)
+        val (n, _) = rowResults((s"referential_in[$dc]", c))
+        (s"referential_in[$dc]", c, n, refViolations(c, dim, dc))
     }
     import spark.implicits._
     rows.toDF("expectation", "column", "n_checked", "n_violations")
