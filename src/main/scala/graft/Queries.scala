@@ -5697,6 +5697,44 @@ object Queries {
             FROM terms GROUP BY day, feature, n
             ORDER BY day, feature"""))
 
+  /** Windowed streaming data-quality gate
+    * ([[graft.streaming.Streams.qualityMonitorAvailableNow]], round
+    * 16): three declared checks — value not-null (passing), value in
+    * [0, 100] (real violations), event_type in the known set ('error'
+    * rows violate) — counted per event-time day in ONE streaming
+    * aggregate, using the SAME violation-aggregate pairs the batch
+    * gate (Profiling.validate) takes. The oracle replays the day
+    * bucketing and every per-check count.
+    */
+  val qStreamQuality = QDef(
+    (s, d) => {
+      import graft.operators.Profiling
+      graft.streaming.Streams.qualityMonitorAvailableNow(s, d, Seq(
+          ("value_not_null", Profiling.notNullViolations(col("value"))),
+          ("value_in_range", Profiling.rangeViolations(col("value"), 0, 100)),
+          ("event_type_known", Profiling.inSetViolations(col("event_type"),
+            Seq("click", "view", "purchase", "signup")))),
+          windowDur = "1 day", queryName = "q_stream_quality_mem")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("check"), col("n_rows"), col("violations"), col("passed"))
+        .orderBy("day", "check")
+    },
+    Some("""WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v0,
+                   CAST(sum(CASE WHEN value < 0 OR value > 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                   CAST(sum(CASE WHEN event_type IS NOT NULL AND
+                     event_type NOT IN ('click', 'view', 'purchase', 'signup')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT day, 'value_not_null' AS "check", n_rows,
+                   v0 AS violations, v0 = 0 AS passed FROM d
+            UNION ALL SELECT day, 'value_in_range', n_rows, v1, v1 = 0 FROM d
+            UNION ALL SELECT day, 'event_type_known', n_rows, v2, v2 = 0 FROM d
+            ORDER BY day, "check""""))
+
   /** Streaming late-data admission under a watermark —
     * [[graft.streaming.Streams.lateAdmissionAvailableNow]]: the
     * two-micro-batch fixture (recent slice, then stragglers +
@@ -6121,6 +6159,7 @@ object Queries {
     "q_drift_matrix_cat" -> qDriftMatrixCat,
     "q_stream_drift" -> qStreamDrift,
     "q_stream_drift_matrix" -> qStreamDriftMatrix,
+    "q_stream_quality" -> qStreamQuality,
     "q_stream_late" -> qStreamLate,
     "q_stream_stream_join" -> qStreamStreamJoin,
     "q_chi2_drift" -> qChi2Drift,

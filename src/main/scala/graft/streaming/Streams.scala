@@ -306,6 +306,48 @@ object Streams {
       .filter(col("n") > 0)
   }
 
+  /** Windowed STREAMING data-quality gate — the streaming face of
+    * [[graft.operators.Profiling.validate]] /
+    * [[graft.operators.Expectations]] (round 16, completing the
+    * monitoring triad: drift, drift matrix, quality): per event-time
+    * window, every check's violation count in ONE streaming aggregate.
+    * Checks are the SAME (name, violation-aggregate) pairs validate
+    * takes (notNullViolations / rangeViolations / inSetViolations…), so
+    * a pipeline declares its constraints once and runs them batch at
+    * publish time and streaming at ingest time. State = one row of
+    * longs per open window; the checks-sized melt to (window_start,
+    * check, n_rows, violations, passed) happens batch-side on the
+    * result table.
+    */
+  def qualityMonitorAvailableNow(spark: SparkSession, dir: String,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      windowDur: String = "1 day",
+      queryName: String = "stream_quality",
+      statePartitions: Int = 8): DataFrame = {
+    require(checks.nonEmpty, "checks must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case ((_, c), i) => coalesce(c.cast("long"), lit(0L)).as(s"__v$i") }
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamMetrics.record(q)
+    }
+    val stackArgs = lit(checks.length) +: checks.zipWithIndex.flatMap {
+      case ((n, _), i) => Seq(lit(n), col(s"__v$i")) }
+    spark.table(queryName)
+      .select(col("w.start").as("window_start"), col("__n").as("n_rows"),
+        stack(stackArgs: _*).as(Seq("check", "violations")))
+      .withColumn("passed", col("violations") === 0)
+      .select(col("window_start"), col("check"), col("n_rows"),
+        col("violations"), col("passed"))
+  }
+
   /** T4: stream-static enrichment at ingest — the streaming side joins
     * a small STATIC dimension (here a tier mapping) before aggregating.
     * Spark plans the static side as a broadcast against every

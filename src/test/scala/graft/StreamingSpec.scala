@@ -118,6 +118,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality gate equals the batch per-day violation counts") {
+    import graft.operators.Profiling
+    val checks = Seq(
+      ("value_not_null", Profiling.notNullViolations(col("value"))),
+      ("value_in_range", Profiling.rangeViolations(col("value"), 0, 100)))
+    val streamed = Streams.qualityMonitorAvailableNow(spark, dir, checks,
+        windowDur = "1 day", queryName = "quality_mon_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val batch = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(checks(0)._2.cast("long"), lit(0L)).as("v0"),
+        coalesce(checks(1)._2.cast("long"), lit(0L)).as("v1"))
+      .collect()
+    assert(batch.nonEmpty && streamed.size == 2 * batch.length)
+    batch.foreach { b =>
+      val day = b.getTimestamp(0)
+      assert(streamed((day, "value_not_null")) ==
+        ((b.getLong(1), b.getLong(2), b.getLong(2) == 0L)))
+      assert(streamed((day, "value_in_range")) ==
+        ((b.getLong(1), b.getLong(3), b.getLong(3) == 0L)))
+    }
+    // the range check must actually catch something somewhere
+    assert(streamed.exists { case ((_, c), (_, v, _)) =>
+      c == "value_in_range" && v > 0 })
+  }
+
   test("T2 foreachBatch ingestion is exactly-once across restarts") {
     val src = Files.createTempDirectory("graft-src").toString
     val dest = Files.createTempDirectory("graft-dest").toString + "/out"
