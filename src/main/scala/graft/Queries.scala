@@ -5679,7 +5679,7 @@ object Queries {
                            coalesce(rp.c, 0) / (1.0 * rn.nt) AS p
                     FROM g LEFT JOIN rp USING (f, bin) JOIN rn USING (f)),
             w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                         f, bin FROM b),
+                         f, bin FROM b WHERE ts IS NOT NULL),
             wc AS (SELECT day, f, bin, count(*) AS c FROM w GROUP BY 1, 2, 3),
             wn AS (SELECT day, f, CAST(sum(c) AS BIGINT) AS n
                    FROM wc GROUP BY 1, 2),

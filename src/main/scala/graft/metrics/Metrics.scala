@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 /** Regression / statistics aggregates (SURVEY.md §2.4 A7–A10).
   *
@@ -181,7 +182,7 @@ object Metrics {
       .agg(count(lit(1)).as("n"),
         avg(col("__s")).as("mean_score"),
         avg(col("__t").cast("double")).as("frac_pos"))
-      .localCheckpoint(true) // nBins rows; feeds the ECE total AND the output
+      .graftCheckpoint() // nBins rows; feeds the ECE total AND the output
     val global = binned.agg(
       avg((col("__s") - col("__t")) * (col("__s") - col("__t"))).as("brier"),
       count(lit(1)).as("__N"))
@@ -223,7 +224,7 @@ object Metrics {
     val cells = df.filter(label.isNotNull && pred.isNotNull)
       .groupBy(label.cast("string").as("__y"), pred.cast("string").as("__p"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true) // |classes|² rows; feeds four consumers
+      .graftCheckpoint() // |classes|² rows; feeds four consumers
     val byLabel = cells.groupBy(col("__y").as("cls"))
       .agg(sum(col("__n")).as("support"))
     val byPred = cells.groupBy(col("__p").as("cls"))
@@ -305,7 +306,7 @@ object Metrics {
     val cells = df.filter(a.isNotNull && b.isNotNull)
       .groupBy(a.cast("double").as("__a"), b.cast("double").as("__b"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true) // |ratings|² rows; feeds obs + two marginals
+      .graftCheckpoint() // |ratings|² rows; feeds obs + two marginals
     val obs = cells.agg(sum(col("__n")).as("n"),
       sum(col("__n") * w(col("__a"), col("__b"))).as("__o"))
     val ma = cells.groupBy(col("__a").as("va")).agg(sum(col("__n")).as("n_a"))
@@ -368,7 +369,7 @@ object Metrics {
       val withM = uc
         .withColumn("__m", sum(col("__nuc")).over(Window.partitionBy("__u")))
         .filter(col("__m") >= 2)
-        .localCheckpoint(true) // cell table; feeds D_obs + the marginals
+        .graftCheckpoint() // cell table; feeds D_obs + the marginals
       val o = withM.agg(
         countDistinct(col("__u")).as("n_units"),
         sum(col("__nuc")).as("n"),
@@ -466,18 +467,22 @@ object Metrics {
     require(n >= 2, s"conformalSplit needs >= 2 calibration rows, got $n")
     val k = math.min(n, math.ceil((n + 1) * (1.0 - alpha)).toLong)
     val p = (k - 1).toDouble / (n - 1).toDouble
-    val q = calR.agg(expr(s"percentile(__r, $p)").as("qhat"))
+    // q̂ is collected ONCE to a driver literal (the function is already
+    // eager via the count() above; the aggregate is 1 row) — a lazy q
+    // crossJoined twice would evaluate the calibration percentile twice,
+    // and on a non-deterministic calibration source the reported q̂
+    // could differ from the one coverage was measured against (the same
+    // double-evaluation hazard fixed in Similarity.searchAnnIndex).
+    val qhat = calR.agg(expr(s"percentile(__r, $p)").as("qhat"))
+      .head().getDouble(0)
     val testR = test.filter(y.isNotNull && yhat.isNotNull)
       .select(abs(y - yhat).as("__r"))
-    // q̂ is taken from the calibration aggregate directly (not
-    // first(qhat) over the test crossJoin): an EMPTY test side then
-    // still reports the well-defined q̂, with coverage null (0/0)
-    // instead of losing both (ADVICE r15).
-    testR.crossJoin(broadcast(q))
+    // q̂ stays well-defined on an EMPTY test side, with coverage null
+    // (0/0) instead of losing both (ADVICE r15).
+    testR
       .agg(count(lit(1)).as("__nt"),
-        sum((col("__r") <= col("qhat")).cast("long")).as("__cov"))
-      .crossJoin(broadcast(q))
-      .select(lit(n).as("n_cal"), lit(k).as("k"), col("qhat"),
+        sum((col("__r") <= lit(qhat)).cast("long")).as("__cov"))
+      .select(lit(n).as("n_cal"), lit(k).as("k"), lit(qhat).as("qhat"),
         when(col("__nt") > 0,
           col("__cov").cast("double") / col("__nt")).as("coverage"))
   }
@@ -613,7 +618,7 @@ object Metrics {
       .agg(count(lit(1)).as("__nuc"))
       .withColumn("__m", sum(col("__nuc")).over(uw))
       .filter(col("__m") === m)
-      .localCheckpoint(true) // cell-cardinality; feeds P̄ AND the marginals
+      .graftCheckpoint() // cell-cardinality; feeds P̄ AND the marginals
     val obs = cells.agg(
       countDistinct(col("__u")).as("n_units"),
       sum(col("__nuc").cast("double") * col("__nuc")).as("__s2t"))

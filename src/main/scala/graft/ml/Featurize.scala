@@ -4,6 +4,7 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 /** Feature construction (SURVEY.md §2.6 F14/F15, §2.8 assembly).
   *
@@ -109,7 +110,7 @@ object Featurize {
         sum(col("__t")).cast("long").as("n_pos"),
         (count(lit(1)) - sum(col("__t"))).cast("long").as("n_neg"),
         min(x).as("x_lo"), max(x).as("x_hi"))
-      .localCheckpoint(true) // nBins rows; feeds the IV total AND the output
+      .graftCheckpoint() // nBins rows; feeds the IV total AND the output
     val tot = perBin.agg(sum("n_pos").as("__tp"), sum("n_neg").as("__tn"))
     val scored = perBin.crossJoin(broadcast(tot))
       .withColumn("woe",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 import graft.functions.Hashing
 
@@ -82,7 +83,7 @@ object Dedup {
     val kept = exact(newDocs, textCol, idCol)
       .withColumn("__h", Hashing.h60(col(textCol)))
       .join(seenIndex, Seq("__h"), "left_anti")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val updatedIndex = seenIndex
       .union(kept.select(col("__h")))
     (kept.drop("__h"), updatedIndex)
@@ -174,7 +175,7 @@ object Dedup {
     // if executor loss matters.
     val sig = withMinhash(df.select(col(idCol), col(textCol)), textCol, idCol, n, k)
       .select((col(idCol) +: (0 until k).map(i => col(s"mh_$i"))).toIndexedSeq: _*)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val buckets = lshBuckets(sig, idCol, k, rowsPerBand)
     // Pair generation WITHOUT a self-join: a self-join would re-run the
     // whole signature pipeline on both sides (no exchange reuse across
@@ -252,7 +253,7 @@ object Dedup {
     // signature table is two 8-byte columns per doc.
     val sig = withSimhash(df, textCol, idCol, bits)
       .withColumnRenamed("simhash", "sh")
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val bands = sig.select(col(idCol), col("sh"),
         posexplode(array((0 until nBands).map { b =>
           shiftright(col("sh"), b * bandBits)
@@ -347,9 +348,9 @@ object Dedup {
     // iteration ~12).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     var frontier = labels // round 0: every vertex's label is news
     val frontierSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var converged = false
@@ -362,7 +363,7 @@ object Dedup {
       val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("label"),
           coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // both jump-join sides read it
+        .graftCheckpoint() // both jump-join sides read it
       // pointer jumping (path compression): label := label(label) — turns
       // the O(diameter) chain walk into O(log diameter) rounds, so long
       // near-dup chains don't cost one distributed job per hop. A vertex
@@ -371,11 +372,11 @@ object Dedup {
       val mapping = stepped.select(col("id").as("lid"), col("label").as("llabel"))
       val next = stepped.join(mapping, stepped("label") === col("lid"), "left")
         .select(stepped("id"), coalesce(col("llabel"), stepped("label")).as("label"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       frontier = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .select(col("id"), col("label"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
       val changed = frontier.count() // one job: convergence test + frontier size
       frontierSizes += changed
       labels = next
@@ -414,10 +415,10 @@ object Dedup {
     require(iters > 0, "iters must be positive")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val n = vertices.count()
-    val base = vertices.select(col(idCol).as("__id")).localCheckpoint(true)
+    val base = vertices.select(col(idCol).as("__id")).graftCheckpoint()
     var ranks = base.withColumn("__r", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = edges
@@ -430,7 +431,7 @@ object Dedup {
         .select(col("__id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("__r"))
-        .localCheckpoint(true)
+        .graftCheckpoint()
     }
     ranks.select(col("__id").as(idCol), round(col("__r"), 9).as("rank"))
   }
@@ -458,17 +459,17 @@ object Dedup {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     var alive = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint()
     var deg = alive.limit(0).withColumn("deg", lit(0L)) // replaced below
     for (_ <- 1 to rounds) {
       deg = edges
         .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
-      alive = deg.filter(col("deg") >= k).select("id").localCheckpoint(true)
+        .graftCheckpoint()
+      alive = deg.filter(col("deg") >= k).select("id").graftCheckpoint()
     }
     deg.filter(col("deg") >= k)
       .select(col("id").as(idCol), col("deg"))
@@ -508,7 +509,7 @@ object Dedup {
       .filter(col("__du") < col("__dv") ||
         (col("__du") === col("__dv") && col("u") < col("v")))
       .select(col("u").as("src"), col("v").as("dst"))
-      .localCheckpoint(true) // read by both wedge sides + the closing join
+      .graftCheckpoint() // read by both wedge sides + the closing join
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), "src")
       .filter(col("e1.dst") =!= col("e2.dst"))
@@ -541,7 +542,7 @@ object Dedup {
     require(k >= 1, "k must be >= 1")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val deg = edges.groupBy(col("src").as("__v")).agg(count(lit(1)).as("__d"))
     val nbrs = edges.select(col("src").as("__v"), col("dst").as("__u"))
     val wedges = nbrs.as("l")
@@ -638,7 +639,7 @@ object Dedup {
     // `checkpoint(dir)` over localCheckpoint if executor loss matters —
     // lineage is truncated either way.
     val shingled =
-      if (materializeIndex) shingledPlan.localCheckpoint(true) else shingledPlan
+      if (materializeIndex) shingledPlan.graftCheckpoint() else shingledPlan
     var inv = shingled
       .select(col(idCol), explode(col("sh")).as("sh_h"))
     maxShingleFreq.foreach { cap =>
@@ -721,7 +722,7 @@ object Dedup {
       .select(col(idCol),
         array_distinct(TextOps.shingleHashesFromTokenHashes(col("__hts"), n)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val inv = shingled.select(col(idCol), size(col("sh")).as("__n"),
       explode(col("sh")).as("sh_h"))
     val freq = inv.groupBy("sh_h").agg(count(lit(1)).as("__f"))
@@ -870,7 +871,7 @@ object Dedup {
     // for raw hashes), folded executor-side with treeAggregate (the
     // shape of Spark's own DataFrameStatFunctions.bloomFilter) so the
     // driver merges log-many partial bitsets, never the gram stream.
-    val grams = evalGrams(evalSet, textCol, n).localCheckpoint(true)
+    val grams = evalGrams(evalSet, textCol, n).graftCheckpoint()
     val (nb, mask) = bloomSizing(grams.count(), bitsPerGram)
     val words = grams.as[Long].rdd.treeAggregate(new Array[Long]((nb / 64).toInt))(
       (w, g) => { setBits(w, g, mask, probes); w },
@@ -1020,7 +1021,7 @@ object Dedup {
     // ONCE per surviving candidate.
     val probe = variants.select(Hashing.h60(col("__v")).as("__vh"),
       col("__id"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val candIds = probe.as("l").join(probe.as("r"), "__vh")
       .filter(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))

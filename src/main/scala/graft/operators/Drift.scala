@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 /** Distribution-drift detection between a REFERENCE dataset (what the
   * model/pipeline was built against) and a CURRENT dataset (what is
@@ -464,7 +465,7 @@ object Drift {
       .groupBy(col("__s"), col("__f"), col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cc"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     // (slice, feature)-cardinality side tables, broadcast back
     val tot = cells.groupBy(col("__s"), col("__f"))
       .agg(sum(col("__cr")).as("__tr"), sum(col("__cc")).as("__tc"),
@@ -577,7 +578,7 @@ object Drift {
       .groupBy(col("__s"), col("__f"), col("__v"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cr"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cc"))
-      .localCheckpoint(true) // support-sized; feeds totals AND the cell join
+      .graftCheckpoint() // support-sized; feeds totals AND the cell join
     val keys = Seq("__s", "__f")
     val tot = cells.groupBy(col("__s"), col("__f"))
       .agg(sum(col("__cr")).as("__tr"), sum(col("__cc")).as("__tc"))

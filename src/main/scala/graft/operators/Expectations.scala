@@ -79,38 +79,42 @@ object Expectations {
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "need >= 1 expectation")
     val spark = df.sparkSession
-    // 1) row-level checks: one aggregate, one scan
-    val rowChecks = expectations.collect {
-      case NotNull(c) =>
-        RowCheck("not_null", c, lit(true), col(c).isNull)
-      case InRange(c, lo, hi) =>
-        RowCheck(s"in_range[$lo,$hi]", c, col(c).isNotNull,
+    // 1) row-level checks: one aggregate, one scan. Results are keyed
+    // by DECLARATION INDEX, not the rendered name — two expectations
+    // that render to the same label (e.g. AcceptedValues(c, Seq("a|b"))
+    // vs AcceptedValues(c, Seq("a", "b"))) must not collide.
+    val rowChecks: Seq[(Int, RowCheck)] = expectations.zipWithIndex.collect {
+      case (NotNull(c), i) =>
+        i -> RowCheck("not_null", c, lit(true), col(c).isNull)
+      case (InRange(c, lo, hi), i) =>
+        i -> RowCheck(s"in_range[$lo,$hi]", c, col(c).isNotNull,
           col(c).isNotNull && !(col(c) >= lo && col(c) <= hi))
-      case AcceptedValues(c, vs) =>
-        RowCheck(s"accepted_values[${vs.mkString("|")}]", c,
+      case (AcceptedValues(c, vs), i) =>
+        i -> RowCheck(s"accepted_values[${vs.mkString("|")}]", c,
           col(c).isNotNull,
           col(c).isNotNull && !col(c).cast("string").isInCollection(vs))
-      case MatchesRegex(c, re) =>
-        RowCheck(s"matches_regex[$re]", c, col(c).isNotNull,
+      case (MatchesRegex(c, re), i) =>
+        i -> RowCheck(s"matches_regex[$re]", c, col(c).isNotNull,
           col(c).isNotNull && !col(c).cast("string").rlike(re))
       // referential n_checked (= non-null fk count) rides the same
       // single row-level pass; only the violation count needs the
       // anti-join job below
-      case ReferentialIn(c, _, dc) =>
-        RowCheck(s"referential_in[$dc]", c, col(c).isNotNull, lit(false))
+      case (ReferentialIn(c, _, dc), i) =>
+        i -> RowCheck(s"referential_in[$dc]", c, col(c).isNotNull,
+          lit(false))
     }
-    val rowResults: Map[(String, String), (Long, Long)] =
+    val rowResults: Map[Int, (Long, Long)] =
       if (rowChecks.isEmpty) Map.empty
       else {
-        val aggs = rowChecks.zipWithIndex.flatMap { case (rc, i) =>
-          Seq(sum(rc.checked.cast("long")).as(s"__n$i"),
-            sum(rc.violated.cast("long")).as(s"__v$i"))
+        val aggs = rowChecks.zipWithIndex.flatMap { case ((_, rc), j) =>
+          Seq(sum(rc.checked.cast("long")).as(s"__n$j"),
+            sum(rc.violated.cast("long")).as(s"__v$j"))
         }
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        rowChecks.zipWithIndex.map { case (rc, i) =>
-          (rc.name, rc.column) ->
-            (if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i),
-             if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
+        rowChecks.zipWithIndex.map { case ((declIdx, _), j) =>
+          declIdx ->
+            (if (r.isNullAt(2 * j)) 0L else r.getLong(2 * j),
+             if (r.isNullAt(2 * j + 1)) 0L else r.getLong(2 * j + 1))
         }.toMap
       }
     // 2+3) uniqueness / referential: one bounded job each
@@ -127,24 +131,18 @@ object Expectations {
         .join(broadcast(dim.select(col(dc).as("__k")).distinct()),
           Seq("__k"), "left_anti")
         .count()
-    val rows = expectations.map {
-      case NotNull(c) =>
-        val (n, v) = rowResults(("not_null", c)); ("not_null", c, n, v)
-      case InRange(c, lo, hi) =>
-        val (n, v) = rowResults((s"in_range[$lo,$hi]", c))
-        (s"in_range[$lo,$hi]", c, n, v)
-      case AcceptedValues(c, vs) =>
-        val key = s"accepted_values[${vs.mkString("|")}]"
-        val (n, v) = rowResults((key, c)); (key, c, n, v)
-      case MatchesRegex(c, re) =>
-        val (n, v) = rowResults((s"matches_regex[$re]", c))
-        (s"matches_regex[$re]", c, n, v)
-      case Unique(cols) =>
+    val rowCheckNames: Map[Int, RowCheck] = rowChecks.toMap
+    val rows = expectations.zipWithIndex.map {
+      case (Unique(cols), _) =>
         val (n, v) = uniqueResult(cols)
         ("unique", cols.mkString(","), n, v)
-      case ReferentialIn(c, dim, dc) =>
-        val (n, _) = rowResults((s"referential_in[$dc]", c))
-        (s"referential_in[$dc]", c, n, refViolations(c, dim, dc))
+      case (ReferentialIn(c, dim, dc), i) =>
+        val (n, _) = rowResults(i)
+        (rowCheckNames(i).name, c, n, refViolations(c, dim, dc))
+      case (_, i) =>
+        val rc = rowCheckNames(i)
+        val (n, v) = rowResults(i)
+        (rc.name, rc.column, n, v)
     }
     import spark.implicits._
     rows.toDF("expectation", "column", "n_checked", "n_violations")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 /** Core relational operators (SURVEY.md §2.2 P1–P14, §2.3 J1–J2, §2.4
   * A1/A5/A6, §2.5 O1–O3) as composable `DataFrame => DataFrame` stages.
@@ -317,7 +318,7 @@ object Relational {
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     // Empty input: no partitions to offset — short-circuit (the

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 
 import graft.functions.Hashing
 
@@ -206,7 +207,7 @@ object TextOps {
           transform(sequence(lit(1), length(col("__w"))),
             i => col("__w").substr(i, lit(1))),
           array(lit("</w>"))).as("__syms"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -229,7 +230,7 @@ object TextOps {
         merges += ((round, l, r, c))
         vocab = vocab.withColumn("__syms",
             graft.functions.GraftFunctions.bpeMerge(col("__syms"), l, r))
-          .localCheckpoint(true)
+          .graftCheckpoint()
         round += 1
       }
     }
@@ -861,7 +862,7 @@ object TextOps {
     require(n > 0, "n must be positive")
     val toksD = df.withColumn("__toks", tokens(textCol))
       .select(col(idCol), col("__toks"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val spans = toksD
       .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
       .select(col(idCol),
@@ -994,7 +995,7 @@ object TextOps {
         explode(wordShinglesFromTokens(col("__toks"), 2)).as("__bg"))
     val dtf = bg.groupBy(col(idCol), col("__bg"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .graftCheckpoint()
     val c12 = dtf.groupBy("__bg").agg(sum(col("__tf")).as("__c12"))
       .withColumn("__w1", substring_index(col("__bg"), " ", 1))
     val ctx = c12.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))

@@ -88,7 +88,7 @@ object TrainingPipeline {
         // the three downstream scans; on a cluster this is the same
         // executor-local-disk pattern as shuffle data.
         TrailingFeatures.withTrailingChunked(
-          joined.localCheckpoint(true,
+          graft.Lineage.materialize(joined,
             org.apache.spark.storage.StorageLevel.DISK_ONLY),
           "Vol", partitionCols = windowKeyCols, orderCols = ordered,
           chunkCol = floor(unix_micros(col("date")) / (h * 3600L * 1000000L)),

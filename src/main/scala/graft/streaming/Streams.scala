@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Lineage.LineageOps
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
@@ -287,7 +288,7 @@ object Streams {
     // bins-sized; checkpoint breaks the memory-table self-join lineage
     // (grid derives from counts) and drops the watermark metadata that
     // otherwise makes the join's reference dedup fail
-    val counts = spark.table(queryName).localCheckpoint(true)
+    val counts = spark.table(queryName).graftCheckpoint()
     val grid = counts.select(col("w")).distinct().crossJoin(broadcast(dim))
     val dense = grid
       .join(counts, Seq("w", "__f", "__bin"), "left")
@@ -829,7 +830,7 @@ object Streams {
           unix_micros(col("ts")).as("ts_us"), col("value"))
         // the memory table dies with the session but the files don't —
         // materialize before the finally-block deletes the source dir
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally deleteRecursively(root)
   }
 
@@ -953,7 +954,7 @@ object Streams {
           unix_micros(col("ts")).as("ts_us"),
           unix_micros(col("ack_ts")).as("ack_us"), col("value"))
         // materialize before the finally-block deletes the source dirs
-        .localCheckpoint(true)
+        .graftCheckpoint()
     } finally deleteRecursively(root)
   }
 

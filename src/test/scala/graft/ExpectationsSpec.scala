@@ -60,4 +60,19 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(out.select("column").collect().map(_.getString(0)).toSeq ==
       Seq("id", "v"))
   }
+
+  test("expectations: same-rendered-name checks do not collide (keyed by index)") {
+    // AcceptedValues(c, Seq("a|b")) and AcceptedValues(c, Seq("a", "b"))
+    // render to the same label but are semantically different — each
+    // must report its OWN counts (ADVICE r16).
+    val df = Seq("a", "b", "a|b", "z").toDF("cat")
+    val out = Expectations.check(df, Seq(
+      AcceptedValues("cat", Seq("a|b")),   // only the literal "a|b" passes
+      AcceptedValues("cat", Seq("a", "b")) // "a" and "b" pass
+    )).collect()
+    assert(out.length == 2)
+    // declaration order is preserved, so row 0 is the single-literal check
+    assert(out(0).getLong(3) == 3L, s"Seq(a|b) should see 3 violations: ${out.toSeq}")
+    assert(out(1).getLong(3) == 2L, s"Seq(a,b) should see 2 violations: ${out.toSeq}")
+  }
 }
