@@ -25,7 +25,9 @@ object ServingBench {
     * serving lane and this dedicated main so the two artifacts measure
     * the same code path by construction.
     */
-  def measure(spark: SparkSession, warmup: Int, timed: Int): Seq[Double] = {
+  /** Shared fixture: OLS fit on the 9-feature PredictRequest shape. */
+  def fixture(spark: SparkSession): (pipelines.ServingPipeline.Registry,
+      pipelines.ServingPipeline.PredictRequest) = {
     val featNames = Seq("hour_sin", "hour_cos", "wd_sin", "wd_cos",
       "month_sin", "month_cos", "vol_lag_1", "vol_roll_3", "vol_roll_24")
     val base = spark.range(2000).select(col("id") +:
@@ -35,9 +37,13 @@ object ServingBench {
       featNames.zipWithIndex.map { case (n, i) => col(n) * (i + 1.0) }
         .reduce(_ + _) + lit(5.0)).drop("id")
     val model = ml.Models.ols(featNames, "y").fit(train)
-    val reg = pipelines.ServingPipeline.registry("ols" -> model)
-    val req = pipelines.ServingPipeline.PredictRequest(
-      0.5, 0.87, 0.78, 0.62, 0.1, 0.99, 100.0, 110.0, 95.0)
+    (pipelines.ServingPipeline.registry("ols" -> model),
+      pipelines.ServingPipeline.PredictRequest(
+        0.5, 0.87, 0.78, 0.62, 0.1, 0.99, 100.0, 110.0, 95.0))
+  }
+
+  def measure(spark: SparkSession, warmup: Int, timed: Int): Seq[Double] = {
+    val (reg, req) = fixture(spark)
     def call(): Double =
       pipelines.ServingPipeline.predict(spark, reg, "ols", req,
         expm1Inverse = false)
@@ -49,8 +55,25 @@ object ServingBench {
     }
   }
 
+  /** The local-vector fast path ([[pipelines.ServingPipeline.predictLocal]])
+    * under the same per-call protocol — no DataFrame, no job; expected
+    * µs-scale, reported in ms for artifact parity.
+    */
+  def measureLocal(spark: SparkSession, warmup: Int, timed: Int): Seq[Double] = {
+    val (reg, req) = fixture(spark)
+    def call(): Double =
+      pipelines.ServingPipeline.predictLocal(reg, "ols", req,
+        expm1Inverse = false)
+    (1 to warmup).foreach(_ => call())
+    (1 to timed).map { _ =>
+      val t0 = System.nanoTime()
+      call()
+      (System.nanoTime() - t0) / 1e6
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("SERVING_r16.json")
+    val out = args.headOption.getOrElse("SERVING_r17.json")
     val windows = sys.env.getOrElse("SPARK_GRAFT_SERVING_WINDOWS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -76,11 +99,28 @@ object ServingBench {
     }
     val p50s = perWindow.map(_._1).sorted
     val med = p50s((p50s.length - 1) / 2)
+    // local-vector fast path: µs-scale, so 3 decimal places and 2000
+    // timed calls per window; same median-of-p50s statistic
+    def pctFine(xs: Seq[Double], p: Int): Double = {
+      val s = xs.sorted
+      val scaled = p * s.length
+      val idx = if (scaled % 100 == 0) scaled / 100 - 1 else scaled / 100
+      math.rint(s(math.max(0, math.min(s.length - 1, idx))) * 1e4) / 1e4
+    }
+    val perWindowLocal = (1 to windows).map { _ =>
+      val lats = measureLocal(spark, warmup = 2000, timed = 2000)
+      (pctFine(lats, 50), pctFine(lats, 95))
+    }
+    val lp50s = perWindowLocal.map(_._1).sorted
+    val lmed = lp50s((lp50s.length - 1) / 2)
     val line =
       s"""{"metric":"serving_p50_ms","value":$med,"unit":"ms","windows":${
         perWindow.map { case (a, b) => s"""{"p50":$a,"p95":$b}""" }
           .mkString("[", ",", "]")
-      },"warmup_calls":200,"timed_calls":100,"heap_max_mb":${
+      },"local_p50_ms":$lmed,"local_windows":${
+        perWindowLocal.map { case (a, b) => s"""{"p50":$a,"p95":$b}""" }
+          .mkString("[", ",", "]")
+      },"warmup_calls":200,"timed_calls":100,"local_warmup_calls":2000,"local_timed_calls":2000,"heap_max_mb":${
         Runtime.getRuntime.maxMemory() / (1024 * 1024)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))

@@ -1,6 +1,8 @@
 package graft.pipelines
 
-import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.{PipelineModel, PredictionModel, Transformer}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -43,6 +45,69 @@ object ServingPipeline {
     val df = Seq(req).toDF()
     val scored = reg(modelName).transform(df)
     val raw = scored.select(col("prediction")).head().getDouble(0)
+    if (expm1Inverse) math.expm1(raw) else raw
+  }
+
+  /** PredictRequest fields in declaration order — the assembly order
+    * [[predict]]'s 1-row DataFrame presents to a VectorAssembler that
+    * lists the canonical nine names.
+    */
+  private val RequestFields = Seq("hour_sin", "hour_cos", "wd_sin",
+    "wd_cos", "month_sin", "month_cos", "vol_lag_1", "vol_roll_3",
+    "vol_roll_24")
+
+  private def requestValue(req: PredictRequest, field: String): Double =
+    field match {
+      case "hour_sin" => req.hour_sin
+      case "hour_cos" => req.hour_cos
+      case "wd_sin" => req.wd_sin
+      case "wd_cos" => req.wd_cos
+      case "month_sin" => req.month_sin
+      case "month_cos" => req.month_cos
+      case "vol_lag_1" => req.vol_lag_1
+      case "vol_roll_3" => req.vol_roll_3
+      case "vol_roll_24" => req.vol_roll_24
+      case other => throw new IllegalArgumentException(
+        s"model expects feature column '$other' not present on PredictRequest")
+    }
+
+  /** Sub-millisecond serving fast path (SURVEY §3 E2's "`predict` on a
+    * local vector for latency"): assemble the nine request doubles
+    * driver-side into an `ml.linalg.Vector` and call the fitted model's
+    * public `predict(Vector)` directly — no DataFrame, no Catalyst
+    * planning, no Spark job. Identical prediction to [[predict]] by
+    * construction (pinned in PipelinesSpec): the assembly replays the
+    * model's own VectorAssembler input order, and the scalar `predict`
+    * is the same code `transform` applies per row.
+    *
+    * Supported registry shapes: a bare `PredictionModel[Vector, _]`, or
+    * a `PipelineModel` whose stages are VectorAssemblers plus exactly
+    * one PredictionModel (the [[graft.ml.Models]] factories). Anything
+    * else (custom transform stages whose semantics the driver-side
+    * assembly cannot replay) is refused — use [[predict]].
+    */
+  def predictLocal(reg: Registry, modelName: String, req: PredictRequest,
+      expm1Inverse: Boolean = false): Double = {
+    val raw = reg(modelName) match {
+      case pm: PredictionModel[Vector @unchecked, _] =>
+        pm.predict(Vectors.dense(RequestFields.map(requestValue(req, _)).toArray))
+      case p: PipelineModel =>
+        val predictor = p.stages.reverse.collectFirst {
+          case m: PredictionModel[Vector @unchecked, _] => m
+        }.getOrElse(throw new IllegalArgumentException(
+          s"model '$modelName' has no PredictionModel stage — use predict()"))
+        require(p.stages.forall(s =>
+            (s eq predictor) || s.isInstanceOf[VectorAssembler]),
+          s"predictLocal supports VectorAssembler+PredictionModel pipelines " +
+            s"only; model '$modelName' has other stages — use predict()")
+        val order = p.stages.collectFirst {
+          case va: VectorAssembler => va.getInputCols.toSeq
+        }.getOrElse(RequestFields)
+        predictor.predict(Vectors.dense(order.map(requestValue(req, _)).toArray))
+      case other => throw new IllegalArgumentException(
+        s"model '$modelName' (${other.getClass.getSimpleName}) has no " +
+          "local predict path — use predict()")
+    }
     if (expm1Inverse) math.expm1(raw) else raw
   }
 }

@@ -136,6 +136,36 @@ class PipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("E2 serving: local-vector fast path matches the DataFrame path exactly") {
+    val df = (0 until 500).map { i =>
+      val r = ServingPipeline.PredictRequest(
+        math.sin(i), math.cos(i), math.sin(i / 7.0), math.cos(i / 7.0),
+        math.sin(i / 12.0), math.cos(i / 12.0),
+        (i % 50).toDouble, (i % 30).toDouble, (i % 20).toDouble)
+      (r, math.log1p(2.0 * (i % 50) + (i % 30) + 1.0))
+    }.toDF("req", "label").select(col("req.*"), col("label"))
+    val cols = Seq("hour_sin", "hour_cos", "wd_sin", "wd_cos", "month_sin",
+      "month_cos", "vol_lag_1", "vol_roll_3", "vol_roll_24")
+    // linear AND a tree ensemble — the two model families the registry
+    // actually serves; both must agree bit-for-bit with transform()
+    val ols = Models.ols(cols, "label").fit(df)
+    val gbt = Models.gbt(cols, "label", maxIter = 5, maxDepth = 3).fit(df)
+    val reg = ServingPipeline.registry("linear" -> ols, "gbt" -> gbt)
+    val reqs = Seq(
+      ServingPipeline.PredictRequest(0.5, 0.5, 0.1, 0.9, 0.2, 0.8, 25.0, 15.0, 10.0),
+      ServingPipeline.PredictRequest(-0.7, 0.3, 0.99, -0.1, 0.0, 1.0, 49.0, 29.0, 19.0),
+      ServingPipeline.PredictRequest(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    for (name <- Seq("linear", "gbt"); req <- reqs; inv <- Seq(false, true)) {
+      val viaDf = ServingPipeline.predict(spark, reg, name, req, inv)
+      val local = ServingPipeline.predictLocal(reg, name, req, inv)
+      assert(local == viaDf,
+        s"$name local=$local df=$viaDf for $req expm1=$inv")
+    }
+    assertThrows[NoSuchElementException] {
+      ServingPipeline.predictLocal(reg, "nope", reqs.head)
+    }
+  }
+
   test("E3 build + filter: WKT→lon/lat→Feature JSON; filter is case-insensitive, year-scoped") {
     val traffic = DomainFixtures.traffic(spark, nHours)
     val feats = GeoPipeline.buildFeatures(traffic).cache()
