@@ -541,6 +541,88 @@ object Queries {
                          / greatest(1, n_bytes)), 6) + 0.0 AS rms
             FROM codes ORDER BY doc_id"""))
 
+  /** Shared oracle prelude for the image-dHash queries: recompute each
+    * doc's 9×8 grayscale pixel grid from its text (the same arithmetic
+    * [[graft.operators.Multimodal.asBmpMedia]] bakes into REAL BMP
+    * bytes), derive the 64 difference bits, assemble the hash as a
+    * HUGEINT sum of powers and wrap to signed BIGINT (bit 63 is the
+    * Long sign bit). The ENGINE path decodes actual BMP files; the
+    * oracle path never parses a BMP — agreement certifies the whole
+    * build→decode→pool→hash chain.
+    */
+  private val imageDhashOracleCtes =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len
+                  FROM documents WHERE length(text) > 0),
+            px AS (SELECT doc_id, r, c,
+                          ascii(substr(text, CAST(((r * 9 + c) % len) + 1 AS INT), 1)) AS v
+                   FROM d
+                   CROSS JOIN (SELECT unnest(range(8)) AS r)
+                   CROSS JOIN (SELECT unnest(range(9)) AS c)),
+            bits AS (SELECT a.doc_id, (a.r * 8 + a.c) AS i
+                     FROM px a JOIN px b2
+                       ON a.doc_id = b2.doc_id AND a.r = b2.r AND b2.c = a.c + 1
+                     WHERE a.c < 8 AND b2.v > a.v),
+            hsum AS (SELECT d.doc_id,
+                            coalesce(sum(CASE WHEN bits.i = 63
+                                              THEN 9223372036854775808::HUGEINT
+                                              ELSE (1::BIGINT << bits.i)::HUGEINT END),
+                                     0::HUGEINT) AS s
+                     FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+            hh AS (SELECT doc_id,
+                          CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                                    THEN s - 18446744073709551616::HUGEINT
+                                    ELSE s END AS BIGINT) AS dhash
+                   FROM hsum)"""
+
+  /** Image perceptual hash, signature half: deterministic 9×8 grayscale
+    * BMPs are REAL files through the REAL decoder
+    * ([[graft.operators.Multimodal.imageDHash]]: hand-parsed BMP pixels →
+    * fixed-point luma → integer box-pool → 64-bit dHash), while the
+    * oracle replays the pixel arithmetic from the source text — the same
+    * certify-by-replay pattern as q_multimodal_pixels. Map-only at
+    * scale: one (id, 8-byte hash) row per image leaves the executor.
+    */
+  val qImageDhash = QDef(
+    (s, d) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .asBmpMedia(t(s, d, "documents"), "doc_id", "text")
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.imageDHash(media).toDF()
+        .orderBy("doc_id")
+    },
+    Some(imageDhashOracleCtes + """
+            SELECT doc_id, dhash FROM hh ORDER BY doc_id"""))
+
+  /** Image perceptual near-dup (VERDICT r16 #5): dHash signatures into
+    * the SAME pigeonhole-band + exact-hamming-verify machinery text
+    * SimHash uses ([[graft.operators.Dedup.hammingNearDupPairs]] — 4
+    * 16-bit bands for hamming ≤ 3, banded equi-join, never all-pairs).
+    * The oracle brute-forces all C(n,2) xor/bit_count pairs — quadratic
+    * is fine for DuckDB at oracle scale and EXACTLY what the banding
+    * must reproduce. The signature table is localCheckpoint'ed: both
+    * join sides read it, and an unmaterialized decode plan would run
+    * the BMP decode per side.
+    */
+  val qImageNeardup = QDef(
+    (s, d) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .asBmpMedia(t(s, d, "documents"), "doc_id", "text")
+        .as[graft.operators.Multimodal.MediaRow]
+      val sig = graft.operators.Multimodal.imageDHash(media).toDF()
+        .localCheckpoint(true)
+      graft.operators.Dedup.hammingNearDupPairs(sig, "doc_id", "dhash",
+          bits = 64, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(imageDhashOracleCtes + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+            FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+            ORDER BY id_a, id_b"""))
+
   // =====================================================================
   // Spark-free extras exposed for the harness: semi/anti, rollup,
   // multi-agg, decimal rounding, distinct counting
@@ -6190,6 +6272,8 @@ object Queries {
     "q_regression_metrics" -> qRegressionMetrics,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_pixels" -> qMultimodalPixels,
+    "q_image_dhash" -> qImageDhash,
+    "q_image_neardup" -> qImageNeardup,
     "q_semi_anti_join" -> qSemiAntiJoin,
     "q_salted_join" -> qSaltedJoin,
     "q_rollup" -> qRollup,

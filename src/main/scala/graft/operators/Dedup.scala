@@ -241,9 +241,6 @@ object Dedup {
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 60, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
-    require(blocks > 0, "blocks must be positive")
-    val nBands = maxHamming + 1
-    val bandBits = bits / nBands
     // Bulk signature path: the aggregate inside withSimhash also acts as
     // the shuffle that spreads band work across cores (a single-file
     // corpus scan is one partition otherwise).
@@ -252,8 +249,36 @@ object Dedup {
     // vote aggregate over every token) re-executes per side. The
     // signature table is two 8-byte columns per doc.
     val sig = withSimhash(df, textCol, idCol, bits)
-      .withColumnRenamed("simhash", "sh")
       .graftCheckpoint()
+    hammingNearDupPairs(sig, idCol, "simhash", bits, maxHamming, blocks)
+  }
+
+  /** Generic hamming near-duplicate pairs over ANY precomputed
+    * `bits`-wide signature column (simhash, image dHash, audio
+    * fingerprint, …): all (idA < idB) with `bit_count(a ^ b)` ≤
+    * `maxHamming`. Same pigeonhole-band candidate generation + exact
+    * hamming verification as [[simhashNearDupPairs]] — this IS that
+    * machinery, extracted so every 64-bit-signature modality shares it.
+    * Bands are `bits / (maxHamming+1)` wide (floor — see the inline
+    * soundness note). The caller materializes `sig` if it is an
+    * expensive plan (both join sides read it).
+    */
+  def hammingNearDupPairs(sig0: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
+    require(maxHamming >= 1,
+      "maxHamming must be >= 1 (for exact signature equality use exact dedup)")
+    val nBands = maxHamming + 1
+    // Floor division is sound: pigeonhole needs only nBands DISJOINT
+    // bands — ≤ maxHamming differing bits can touch at most maxHamming
+    // of them, so some band is identical on every qualifying pair even
+    // when trailing bits stay unbanded (those bits still count in the
+    // exact hamming verification). Equal-width full coverage (bits %
+    // nBands == 0) just minimizes false candidates.
+    val bandBits = bits / nBands
+    require(bandBits >= 1,
+      s"maxHamming+1=$nBands bands need at least 1 bit each of $bits")
+    val sig = sig0.select(col(idCol), col(sigCol).as("sh"))
     val bands = sig.select(col(idCol), col("sh"),
         posexplode(array((0 until nBands).map { b =>
           shiftright(col("sh"), b * bandBits)

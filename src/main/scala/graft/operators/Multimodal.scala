@@ -308,4 +308,206 @@ object Multimodal {
       }
     }
   }
+
+  // =====================================================================
+  // Image perceptual hashing (dHash) — near-dup for the image modality
+  // =====================================================================
+
+  /** (doc_id, dhash) output row of [[imageDHash]]. */
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Fixed-point luma (ITU-R BT.601 weights ×1000): 299R + 587G + 114B.
+    * Integer, so every grid comparison downstream is exact and
+    * engine-replayable — no float rounding can flip a hash bit.
+    */
+  @inline private def luma1000(r: Int, g: Int, b: Int): Long =
+    299L * r + 587L * g + 114L * b
+
+  /** Box-pool an image's luma into a `gw`×`gh` grid (cell (gr,gc) covers
+    * rows [gr·h/gh, (gr+1)·h/gh) × cols [gc·w/gw, (gc+1)·w/gw), integer
+    * bounds) and emit the difference hash: bit (row · (gw−1) + c) set iff
+    * the cell MEAN strictly increases from column c to c+1. Means are
+    * compared by cross-multiplication — exact integer arithmetic
+    * throughout (sound to ~10-gigapixel images before Long products
+    * could wrap). Returns None when the image is smaller than the grid.
+    */
+  private def dhashFromLuma(w: Int, h: Int, gw: Int, gh: Int,
+      lum: (Int, Int) => Long): Option[Long] = {
+    if (w < gw || h < gh) return None
+    val sums = Array.ofDim[Long](gh, gw)
+    val counts = Array.ofDim[Long](gh, gw)
+    var gr = 0
+    while (gr < gh) {
+      val y0 = gr * h / gh; val y1 = (gr + 1) * h / gh
+      var gc = 0
+      while (gc < gw) {
+        val x0 = gc * w / gw; val x1 = (gc + 1) * w / gw
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += lum(x, y); x += 1 }
+          y += 1
+        }
+        sums(gr)(gc) = s
+        counts(gr)(gc) = (y1 - y0).toLong * (x1 - x0)
+        gc += 1
+      }
+      gr += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        if (sums(r)(c + 1) * counts(r)(c) > sums(r)(c) * counts(r)(c + 1))
+          hash |= 1L << (r * (gw - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** BMP pixel accessor for the same header shape [[decodeBmp]] accepts
+    * (uncompressed 24/32-bpp BITMAPINFOHEADER): (width, height,
+    * luma(x, y)) with y counted from the TOP row regardless of the
+    * file's bottom-up/top-down storage order. Pixel bytes are BGR.
+    */
+  private def bmpLumaAccessor(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Long)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = i32(b, 10)
+    val width = i32(b, 18)
+    val height = i32(b, 22)
+    val bpp = u16(b, 28)
+    val compression = i32(b, 30)
+    if (width <= 0 || height == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val absH = math.abs(height.toLong)
+    val bytesPerPx = bpp / 8
+    val rowBytesL = ((width.toLong * bytesPerPx + 3) / 4) * 4
+    if (dataOff < 0 || dataOff > b.length ||
+      absH > (b.length.toLong - dataOff) / rowBytesL) return None
+    val rowBytes = rowBytesL.toInt
+    val hh = absH.toInt
+    val topDown = height < 0
+    val lum = (x: Int, y: Int) => {
+      val bufRow = if (topDown) y else hh - 1 - y
+      val o = dataOff + bufRow * rowBytes + x * bytesPerPx
+      luma1000(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+    }
+    Some((width, hh, lum))
+  }
+
+  /** PNG/JPEG pixel accessor via javax.imageio: whole-raster getRGB
+    * (sRGB-normalized 0xAARRGGBB — palette PNGs resolve through their
+    * color table for free here). Corrupt/unrecognized payloads → None.
+    */
+  private def imageIoLumaAccessor(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Long)] = {
+    if (!hasSig(b, pngSig) && !hasSig(b, jpegSig)) return None
+    imageIoNoDiskCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val lum = (x: Int, y: Int) => {
+        val rgb = px(y * w + x)
+        luma1000((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      }
+      Some((w, h, lum))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** 64-bit perceptual difference hash (dHash — Krawetz's public
+    * algorithm, the standard cheap image near-dup signature): decode
+    * real pixels (BMP hand-parse or PNG/JPEG via javax.imageio) →
+    * fixed-point luma → exact integer box-pool to a `gridCols`×`gridRows`
+    * grid → one bit per horizontally adjacent cell pair. Defaults
+    * (9, 8) give the canonical 64-bit hash. Non-image and
+    * smaller-than-grid payloads are SKIPPED (no row), mirroring
+    * [[decodeMedia]]'s degrade-don't-fail discipline.
+    *
+    * Near-identical images (resizes, small edits, recompression) land
+    * within a few bits; feed the output to
+    * [[Dedup.hammingNearDupPairs]] — the same pigeonhole-band + exact
+    * hamming-verify machinery text SimHash uses, so image near-dup is
+    * banded equi-joins at 100 TB, never all-pairs. Map-only here: one
+    * (id, 8-byte hash) row per image leaves the executor.
+    */
+  def imageDHash(ds: Dataset[MediaRow], gridCols: Int = 9,
+      gridRows: Int = 8): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        bmpLumaAccessor(r.payload).orElse(imageIoLumaAccessor(r.payload))
+          .flatMap { case (w, h, lum) =>
+            dhashFromLuma(w, h, gridCols, gridRows, lum)
+          }.map(ImageHash(r.doc_id, _))
+      }
+    }
+  }
+
+  /** Deterministic 24-bpp grayscale BMP fixture from text bytes: pixel
+    * (row r, col c) = byte of `textCol` at index (r·width + c) mod
+    * length. A REAL file through the REAL decoder — yet pixel arithmetic
+    * any engine can replay, which is what makes q_image_dhash /
+    * q_image_neardup oracle-checkable (the DuckDB side recomputes the
+    * same bytes from the text, no BMP parser needed). Empty texts are
+    * dropped. Rows: (doc_id, payload, media_type, width, n_frames) —
+    * the [[MediaRow]] shape.
+    */
+  def asBmpMedia(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 9, height: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .filter(length(col(textCol)) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val bmp = buildGrayBmp(width, height,
+            (r, c) => tb((r * width + c) % tb.length) & 0xff)
+          (id, bmp, "image/bmp", width, 1)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type", "width", "n_frames")
+  }
+
+  /** Assemble a real bottom-up 24-bpp BITMAPINFOHEADER BMP; `v(r, c)` is
+    * the gray value with r counted from the TOP row (the builder handles
+    * the bottom-up storage flip).
+    */
+  def buildGrayBmp(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"BMP dims must be positive: ${w}x$h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size)
+    def put16(o: Int, x: Int): Unit = {
+      b(o) = (x & 0xff).toByte; b(o + 1) = ((x >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, x: Int): Unit = {
+      b(o) = (x & 0xff).toByte; b(o + 1) = ((x >> 8) & 0xff).toByte
+      b(o + 2) = ((x >> 16) & 0xff).toByte; b(o + 3) = ((x >> 24) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    put32(2, size); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h) // positive height = bottom-up storage
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, rowBytes * h)
+    var r = 0
+    while (r < h) {
+      val base = 54 + (h - 1 - r) * rowBytes
+      var c = 0
+      while (c < w) {
+        val g = (v(r, c) & 0xff).toByte
+        val o = base + c * 3
+        b(o) = g; b(o + 1) = g; b(o + 2) = g
+        c += 1
+      }
+      r += 1
+    }
+    b
+  }
 }

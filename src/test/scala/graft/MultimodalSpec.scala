@@ -293,4 +293,96 @@ class MultimodalSpec extends AnyFunSuite {
     val (exact, approx) = (both.getLong(0), both.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"exact=$exact approx=$approx")
   }
+
+  // ===================================================================
+  // Image perceptual near-dup (dHash) — VERDICT r16 #5
+  // ===================================================================
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.map { case (id, b) => MediaRow(id, b, "image/bmp", 0, 1) }.toDS()
+  }
+
+  private def dhashOf(b: Array[Byte]): Long = {
+    import spark.implicits._
+    Multimodal.imageDHash(mediaDf(Seq((0L, b)))).collect().head.dhash
+  }
+
+  test("imageDHash: near-identical images land within hamming 3; distinct far apart") {
+    import spark.implicits._
+    // a 36x32 smooth gradient; a copy with a small local edit; a
+    // structurally different image (inverted gradient)
+    val base = Multimodal.buildGrayBmp(36, 32, (r, c) => (r * 4 + c * 3) % 256)
+    val edited = Multimodal.buildGrayBmp(36, 32, (r, c) =>
+      if (r < 2 && c < 2) 255 else (r * 4 + c * 3) % 256)
+    val inverted = Multimodal.buildGrayBmp(36, 32, (r, c) => 255 - ((r * 4 + c * 3) % 256))
+    val sigs = Multimodal.imageDHash(mediaDf(Seq(
+        (1L, base), (2L, edited), (3L, inverted), (4L, base))))
+      .collect().map(s => s.doc_id -> s.dhash).toMap
+    assert(sigs.size == 4)
+    assert(sigs(1L) == sigs(4L), "identical bytes must hash identically")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3,
+      s"small edit must stay within hamming 3, got ${java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))}")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 20,
+      "inverted gradient must be far in hamming space")
+    // recall through the banded pair machinery: the near pair IS found
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        Multimodal.imageDHash(mediaDf(Seq(
+          (1L, base), (2L, edited), (3L, inverted), (4L, base)))).toDF(),
+        "doc_id", "dhash", bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) &&
+      pairs.contains((2L, 4L)), s"near pairs expected, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      s"distant image must not pair: $pairs")
+  }
+
+  test("imageDHash: nearest-neighbor upscale is hash-invariant (box pooling)") {
+    // each 9x8 pixel becomes a constant 4x4 block: every grid cell mean
+    // equals the original pixel, so the dHash must be IDENTICAL
+    val small = Multimodal.buildGrayBmp(9, 8, (r, c) => (r * 31 + c * 17) % 256)
+    val big = Multimodal.buildGrayBmp(36, 32, (r, c) => ((r / 4) * 31 + (c / 4) * 17) % 256)
+    assert(dhashOf(small) == dhashOf(big))
+  }
+
+  test("imageDHash: PNG path agrees with BMP path on identical RGB pixels") {
+    // COLOR image (not gray): catches BGR-vs-RGB channel-order bugs —
+    // luma weights 299/587/114 differ per channel
+    def rgb(r: Int, c: Int): Int = ((r * 7) % 256 << 16) | ((c * 11) % 256 << 8) | ((r + c) % 256)
+    val w = 18; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y, x))
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // BMP with the same pixels: buildGrayBmp is gray-only, so assemble
+    // the color BMP inline (BGR byte order, bottom-up)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val bmp = new Array[Byte](54 + rowBytes * h)
+    val gray = Multimodal.buildGrayBmp(w, h, (_, _) => 0) // header template
+    System.arraycopy(gray, 0, bmp, 0, 54)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = rgb(y, x)
+      val o = 54 + (h - 1 - y) * rowBytes + x * 3
+      bmp(o) = (v & 0xff).toByte            // B
+      bmp(o + 1) = ((v >> 8) & 0xff).toByte // G
+      bmp(o + 2) = ((v >> 16) & 0xff).toByte // R
+    }
+    assert(dhashOf(png) == dhashOf(bmp),
+      "PNG and BMP decode paths must produce the same dHash for the same pixels")
+  }
+
+  test("imageDHash: non-image and smaller-than-grid payloads are skipped") {
+    import spark.implicits._
+    val tiny = Multimodal.buildGrayBmp(4, 4, (r, c) => r + c) // < 9x8 grid
+    val out = Multimodal.imageDHash(mediaDf(Seq(
+        (1L, "not an image".getBytes("UTF-8")),
+        (2L, tiny),
+        (3L, Multimodal.buildGrayBmp(9, 8, (r, c) => r * 9 + c)))))
+      .collect()
+    assert(out.map(_.doc_id).toSeq == Seq(3L))
+  }
 }
