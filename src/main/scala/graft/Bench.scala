@@ -775,10 +775,39 @@ object Bench {
     // stop at 2 reps (timeAdaptive): their medians don't need a middle
     // value, and the saved wall-time keeps the whole window short
     // enough to stay clean.
-    val measured = SparkEntry.queries
+    //
+    // Lane pinning (VERDICT r16, Next round #3): the r16 driver window
+    // read q_stream_stateful_trailing at 2.78 s vs 1.74 s isolated the
+    // same day and q_assoc_rules +43% with no source change — in-suite
+    // contention, not regression. Two fixes, both mechanical:
+    //  - DETERMINISTIC ORDER: `SparkEntry.queries` is a hash Map, so
+    //    the suite order reshuffled every time the query SET changed —
+    //    a lane's neighbors (and therefore its heap/state-store
+    //    inheritance) varied round-over-round for reasons unrelated to
+    //    code. The contention-sensitive stateful-stream lanes now run
+    //    FIRST (the cleanest window after the flagships), everything
+    //    else in sorted-name order — stable neighbors every round.
+    //  - FLAGSHIP TREATMENT for the sensitive lanes: between-rep settle
+    //    (release persisted blocks + System.gc outside the timed
+    //    region) and chase-probe gating, exactly the pair that fixed
+    //    the r15→r16 flagship spread (4.7× → 1.34×). The stream lanes
+    //    run state-store + checkpoint-I/O paths whose timings inherit
+    //    whatever heap the previous lane left behind; the settle makes
+    //    each rep start from the same state.
+    val sensitiveLanes: Set[String] =
+      SparkEntry.queries.keySet.filter(_.startsWith("q_stream_")) ++
+        Set("q_assoc_rules", "q_edit_distance_pairs", "q_leakage_split",
+          "q_stream_neardup")
+    val orderedQueries = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (sensitiveLanes(name)) 0 else 1, name)
+    }
+    val measured = orderedQueries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val r = name -> timeAdaptive(reps, 2) {
+      val sensitive = sensitiveLanes(name)
+      val r = name -> timeAdaptive(reps, 2,
+        gateOnChase = sensitive,
+        preRep = if (sensitive) settle else () => ()) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       releasePersisted()
@@ -794,14 +823,14 @@ object Bench {
       "flagship_corpus" -> corpus.median,
       "bpe_train_local_1500" -> bpeLocal.median,
       "ann_search_persisted" -> annSearch.median)
-    val qs = (results.toSeq ++ flagships)
+    val qs = (results ++ flagships)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Raw per-rep times for every measurement: lets the judge separate
     // JVM/machine noise (wide spread, stable median) from a real shift
     // (all reps moved) without re-running the suite. gc_ms / peak_heap_mb
     // decide WHY an outlier rep happened (GC-bound vs external).
-    val allTimed: Seq[(String, Timed[_])] = measured.toSeq ++
+    val allTimed: Seq[(String, Timed[_])] = measured ++
       Seq("flagship_e1" -> e1, "flagship_e1_segmented" -> e1Seg,
         "flagship_e1_chunked" -> e1Chunk, "flagship_geo" -> geo,
         "flagship_corpus" -> corpus, "bpe_train_local_1500" -> bpeLocal,
@@ -831,7 +860,7 @@ object Bench {
     val errJson = allErrors
       .map { case (k, v) => Verify.jsonString(k) + ":" + Verify.jsonString(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum + math.max(0, e1.median) +
+    val total = results.map(_._2).filter(_ >= 0).sum + math.max(0, e1.median) +
       math.max(0, e1Seg.median) + math.max(0, e1Chunk.median) +
       math.max(0, geo.median) + math.max(0, corpus.median) +
       math.max(0, bpeLocal.median) + math.max(0, annSearch.median)
@@ -864,7 +893,7 @@ object Bench {
       System.err.println(s"bench_out write failed: ${e.getMessage}")
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val descending = (results.toSeq ++ flagships).sortBy(-_._2)
+    val descending = (results ++ flagships).sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
     val gcMax = allTimed.flatMap(_._2.gcMs).foldLeft(0L)(math.max)
     val heapMax = allTimed.flatMap(_._2.peakHeapMb).foldLeft(0L)(math.max)

@@ -3858,6 +3858,43 @@ object Queries {
           GROUP BY t.doc_id ORDER BY t.doc_id"""
     })
 
+  /** Variable-length exact-substring span dedup (VERDICT r16 #7): two
+    * evidence-scaled tiers — 4-token spans need ≥ 3 corpus-wide
+    * occurrences (boilerplate evidence), 8-token spans need only ≥ 2
+    * (a long verbatim match IS the evidence) — with coverage unioned
+    * and per-tier first occurrences kept. The oracle replays both
+    * tiers' span hashes, per-hash occurrence counts + first-occurrence
+    * ranks, the coverage union, and document reassembly in SQL.
+    */
+  val qDedupSpansMulti = QDef(
+    (s, d) => TextOps.dedupSpansMulti(wideT(s, d, "documents"), "doc_id",
+        col("text"), tiers = Seq(4 -> 3, 8 -> 2))
+      .orderBy("doc_id"),
+    Some {
+      def tierSql(n: Int, minOcc: Int) =
+        s"""SELECT doc_id, pos, $n AS n FROM (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY h) AS occ
+              FROM (SELECT doc_id, unnest(range(0, len(sh))) AS pos,
+                           unnest(sh) AS h
+                    FROM (SELECT doc_id, ${shingleHashesSql("hts", n)} AS sh FROM ht)))
+            WHERE rn > 1 AND occ >= $minOcc"""
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+          ht AS (SELECT doc_id, toks, list_transform(toks, t -> ${h60sql("t")}) AS hts FROM d),
+          dup AS (${tierSql(4, 3)} UNION ALL ${tierSql(8, 2)}),
+          cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + n)) AS ti FROM dup),
+          tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS ti,
+                         unnest(toks) AS tok FROM d)
+          SELECT t.doc_id,
+                 coalesce(string_agg(CASE WHEN c.ti IS NULL THEN t.tok END, ' '
+                     ORDER BY t.ti), '') AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN c.ti IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+          FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+          GROUP BY t.doc_id ORDER BY t.doc_id"""
+    })
+
   /** Per-document bigram surprisal under the corpus's own add-0.5-
     * smoothed bigram LM — the word-order-sensitive refinement of the
     * CCNet perplexity signal. The oracle replays the full chain:
@@ -6414,6 +6451,7 @@ object Queries {
     "q_bm25_topk" -> qBm25TopK,
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_spans_multi" -> qDedupSpansMulti,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_pagerank" -> qPagerank,
     "q_embedding_quantize" -> qEmbeddingQuantize,
@@ -6423,7 +6461,11 @@ object Queries {
     "q_zorder_key" -> qZorderKey,
     "q_leakage_split" -> qLeakageSplit,
     "q_hard_negatives" -> qHardNegatives,
-    "q_dedup_incremental" -> qDedupIncremental)
+    "q_dedup_incremental" -> qDedupIncremental) ++
+    // The 22 canonical TPC-H queries, schema-adapted (VERDICT r16 #8):
+    // certify the general relational surface beyond operator-shaped
+    // queries. See [[graft.TpchQueries]] for the adaptation rules.
+    TpchQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

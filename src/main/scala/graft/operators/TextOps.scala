@@ -888,6 +888,75 @@ object TextOps {
         sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Variable-length exact-substring span dedup (VERDICT r16 #7): the
+    * multi-scale composition of [[dedupSpans]] that narrows the gap to
+    * the Lee et al. 2021 suffix-array original. Each tier is an
+    * (n, minOccurrences) pair: a span occurrence at window length `n`
+    * is removable only when its hash occurs at least `minOccurrences`
+    * times corpus-wide — the EVIDENCE threshold scales inversely with
+    * match length (a 100-token verbatim match duplicated twice is
+    * plagiarism; a 25-token match needs to recur like boilerplate
+    * before it's trusted as a duplicate, because short exact matches
+    * arise by chance). No single (n, minOcc) configuration expresses
+    * this: min-n alone over-fires on coincidental short repeats,
+    * max-n alone misses sub-window duplicated passages entirely
+    * (DedupSpansMultiSpec pins both directions). Coverage is the
+    * UNION over tiers; the corpus-wide first occurrence of each span
+    * hash is kept per tier, so one copy of every duplicated passage
+    * always survives.
+    *
+    * Output: (id, clean_text, n_tokens, n_removed) — one row per doc,
+    * same contract as [[dedupSpans]]; `dedupSpansMulti(df, id, text,
+    * Seq(n -> 2))` ≡ `dedupSpans(df, id, text, n)`.
+    *
+    * Scale shape: the token array is tokenized + hashed ONCE
+    * (checkpointed) and every tier's span hashes derive in-row from
+    * the same token-hash array (rotl-xor zip — zero extra corpus
+    * passes); each tier adds one window pass over ITS span-hash
+    * shuffle (per-hash groups are duplicate-count-sized) and the
+    * occurrence count rides the same window partition as the
+    * first-occurrence rank — no second aggregate. Coverage explode
+    * stays proportional to duplicate volume per tier; the rebuild is
+    * one doc-keyed aggregate shared by all tiers.
+    */
+  def dedupSpansMulti(df: DataFrame, idCol: String, textCol: Column,
+      tiers: Seq[(Int, Int)]): DataFrame = {
+    require(tiers.nonEmpty, "at least one (n, minOccurrences) tier")
+    require(tiers.forall { case (n, m) => n > 0 && m >= 2 },
+      "n must be positive and minOccurrences >= 2 (1 would remove first occurrences)")
+    val toksD = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol), col("__toks"))
+      .graftCheckpoint()
+    val hts = toksD
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
+    val covered = tiers.map { case (n, minOcc) =>
+      val spans = hts.select(col(idCol),
+        posexplode(shingleHashesFromTokenHashes(col("__hts"), n))
+          .as(Seq("__pos", "__h")))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+      spans
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__occ", count(lit(1)).over(wAll))
+        .filter(col("__rn") > 1 && col("__occ") >= minOcc)
+        .select(col(idCol),
+          explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__ti"))
+    }.reduce(_ unionByName _)
+      .distinct()
+      .withColumn("__cov", lit(true))
+    toksD.select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
+      .join(covered, Seq(idCol, "__ti"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov").isNull,
+            struct(col("__ti"), col("__tok"))))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** DSIR-style importance scores (hashed n-gram importance resampling,
     * the published recipe of Xie et al. 2023, arXiv:2302.03169): token
     * unigrams are hashed into `buckets` counts; a doc's score is its

@@ -166,6 +166,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(5L) == (("x y", 2L, 0L)))
   }
 
+  test("dedupSpansMulti: single tier (n, 2) is exactly dedupSpans(n)") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "z a b c z2"), (3L, "a b c"),
+      (4L, "fresh words here now"), (5L, "x y")).toDF("id", "text")
+    val single = TextOps.dedupSpans(docs, "id", col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val multi = TextOps.dedupSpansMulti(docs, "id", col("text"), Seq(3 -> 2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(multi.toSeq == single.toSeq)
+  }
+
+  test("dedupSpansMulti: evidence-scaled tiers catch what every single configuration misses") {
+    // Tiers (3, >=4) + (6, >=2).
+    //  - "p q r" is 3-token boilerplate occurring 4x -> short tier fires.
+    //  - docs 10/11 share a 5-token verbatim passage occurring only
+    //    TWICE: the long tier (n=6) misses it (too short), and the
+    //    short tier's occ>=4 evidence bar misses it too — duplicated
+    //    sub-threshold passages are the price of the evidence bar.
+    //  - docs 20/21 share a 7-token verbatim passage occurring twice:
+    //    caught by the n=6 tier (long match IS the evidence) though the
+    //    short tier's occ>=4 bar ignores it — the "long duplicated
+    //    passage" a single (3, >=4) config would miss.
+    val docs = Seq(
+      (1L, "p q r one"), (2L, "p q r two"), (3L, "p q r three"), (4L, "p q r four"),
+      (10L, "aa bb cc dd ee intro"), (11L, "outro aa bb cc dd ee"),
+      (20L, "k1 k2 k3 k4 k5 k6 k7 tailx"), (21L, "heady k1 k2 k3 k4 k5 k6 k7"))
+      .toDF("id", "text")
+    val got = TextOps.dedupSpansMulti(docs, "id", col("text"),
+        tiers = Seq(3 -> 4, 6 -> 2))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // boilerplate tier: first occurrence (doc 1) kept, later ones stripped
+    assert(got(1L) == (("p q r one", 0L)))
+    assert(got(2L) == (("two", 3L)) && got(3L) == (("three", 3L)) && got(4L) == (("four", 3L)))
+    // twice-occurring 5-token passage: below both tiers -> untouched
+    assert(got(10L)._2 == 0L && got(11L)._2 == 0L)
+    // twice-occurring 7-token passage: long tier catches the re-occurrence
+    assert(got(20L) == (("k1 k2 k3 k4 k5 k6 k7 tailx", 0L)),
+      "first occurrence must survive")
+    assert(got(21L) == (("heady", 7L)),
+      s"long duplicated passage must be stripped by the n=6 tier, got ${got(21L)}")
+    // cross-check the two single-tier configs each miss one of the cases
+    val shortOnly = TextOps.dedupSpansMulti(docs, "id", col("text"), Seq(3 -> 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shortOnly(21L) == 0L, "single short tier misses the long passage")
+    val longOnly = TextOps.dedupSpansMulti(docs, "id", col("text"), Seq(6 -> 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(longOnly(2L) == 0L, "single long tier misses 3-token boilerplate")
+  }
+
   test("bigramSurprisal: word order separates docs the unigram model cannot; <2-token docs absent") {
     val common = (1L to 50L).map(i => (i, "the cat sat"))
     val scrambled = Seq((98L, "sat the cat")) // same unigram multiset
