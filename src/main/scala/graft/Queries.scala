@@ -839,7 +839,14 @@ object Queries {
   val qJsonExtract = QDef(
     // evalOnce: the extracted value feeds both the filter and the
     // output — without the barrier the JSON walk runs twice per row.
-    (s, d) => evalOnce(t(s, d, "events"), "prop_k",
+    // wideT: the Jackson walk is per-row-expensive and the events
+    // fixture is a single parquet row group — on the plain scan the
+    // whole parse serialized onto ONE task (measured 7.0 s at sf1 for
+    // 1 M rows ≈ the single-core linear cost; 0.57 s at sf0.1, same
+    // core). The widen round-robin costs one small shuffle and buys
+    // full map parallelism — the same rationale as every other
+    // per-row-expensive query on wideT.
+    (s, d) => evalOnce(wideT(s, d, "events"), "prop_k",
         get_json_object(col("props"), "$.k").cast("long"))
       .select(col("event_id"), col("prop_k"))
       .filter(col("prop_k") > 50)
