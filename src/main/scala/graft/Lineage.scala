@@ -35,20 +35,13 @@ object Lineage {
   /** Truncate `ds`'s lineage eagerly — local by default, reliable when
     * [[ConfKey]] is set.
     */
-  def materialize[T](ds: Dataset[T]): Dataset[T] = {
-    val spark = ds.sparkSession
-    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = true)
-      case None => ds.localCheckpoint(eager = true)
-    }
-  }
+  def materialize[T](ds: Dataset[T]): Dataset[T] =
+    materialize(ds, StorageLevel.MEMORY_AND_DISK)
 
-  /** Storage-level variant (e.g. DISK_ONLY for wide intermediates). The
-    * level applies to the LOCAL path only; reliable checkpoints are
-    * on-disk by construction so the hint is already satisfied.
+  /** Storage-level variant (e.g. DISK_ONLY for wide intermediates). On
+    * the reliable path the level applies to the TRANSIENT persist that
+    * backs the checkpoint write (below); the checkpoint files
+    * themselves are on-disk by construction.
     */
   def materialize[T](ds: Dataset[T], level: StorageLevel): Dataset[T] = {
     val spark = ds.sparkSession
@@ -56,7 +49,19 @@ object Lineage {
       case Some(dir) =>
         val sc = spark.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = true)
+        // Persist BEFORE checkpointing: a bare checkpoint(eager=true)
+        // executes the subplan TWICE — once for the eager count, then
+        // again in the post-job checkpoint-write pass (the documented
+        // RDD.checkpoint recomputation caveat; localCheckpoint never
+        // had this cost because it just pins the computed blocks).
+        // With the plan persisted, the count populates the cache and
+        // the write pass reads blocks instead of recomputing the
+        // join/aggregate subtree. The persist is transient: released
+        // as soon as the checkpoint files are on disk (checkpoint
+        // write is synchronous inside the eager count's runJob).
+        val persisted = ds.persist(level)
+        try persisted.checkpoint(eager = true)
+        finally persisted.unpersist(blocking = false)
       case None => ds.localCheckpoint(eager = true, storageLevel = level)
     }
   }

@@ -87,11 +87,11 @@ object ServingBench {
     // on 100 samples): index p·n/100 − 1 when p·n divides evenly —
     // the two artifacts must report the SAME statistic or a phantom
     // one-index gap reads as drift between them.
-    def pct(xs: Seq[Double], p: Int): Double = {
+    def pct(xs: Seq[Double], p: Int, scale: Double = 100): Double = {
       val s = xs.sorted
       val scaled = p * s.length
       val idx = if (scaled % 100 == 0) scaled / 100 - 1 else scaled / 100
-      math.rint(s(math.max(0, math.min(s.length - 1, idx))) * 100) / 100
+      math.rint(s(math.max(0, math.min(s.length - 1, idx))) * scale) / scale
     }
     val perWindow = (1 to windows).map { _ =>
       val lats = measure(spark, warmup = 200, timed = 100)
@@ -99,17 +99,11 @@ object ServingBench {
     }
     val p50s = perWindow.map(_._1).sorted
     val med = p50s((p50s.length - 1) / 2)
-    // local-vector fast path: µs-scale, so 3 decimal places and 2000
-    // timed calls per window; same median-of-p50s statistic
-    def pctFine(xs: Seq[Double], p: Int): Double = {
-      val s = xs.sorted
-      val scaled = p * s.length
-      val idx = if (scaled % 100 == 0) scaled / 100 - 1 else scaled / 100
-      math.rint(s(math.max(0, math.min(s.length - 1, idx))) * 1e4) / 1e4
-    }
+    // local-vector fast path: µs-scale, so 4 decimal places and 2000
+    // timed calls per window; same order statistic, finer rounding
     val perWindowLocal = (1 to windows).map { _ =>
       val lats = measureLocal(spark, warmup = 2000, timed = 2000)
-      (pctFine(lats, 50), pctFine(lats, 95))
+      (pct(lats, 50, scale = 1e4), pct(lats, 95, scale = 1e4))
     }
     val lp50s = perWindowLocal.map(_._1).sorted
     val lmed = lp50s((lp50s.length - 1) / 2)

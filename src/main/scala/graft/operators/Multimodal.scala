@@ -327,9 +327,9 @@ object Multimodal {
     * rows [gr·h/gh, (gr+1)·h/gh) × cols [gc·w/gw, (gc+1)·w/gw), integer
     * bounds) and emit the difference hash: bit (row · (gw−1) + c) set iff
     * the cell MEAN strictly increases from column c to c+1. Means are
-    * compared by cross-multiplication — exact integer arithmetic
-    * throughout (sound to ~10-gigapixel images before Long products
-    * could wrap). Returns None when the image is smaller than the grid.
+    * compared by cross-multiplication — exact integer arithmetic at
+    * ANY size (Long products up to ~2.9M px per cell, BigInt beyond).
+    * Returns None when the image is smaller than the grid.
     */
   private def dhashFromLuma(w: Int, h: Int, gw: Int, gh: Int,
       lum: (Int, Int) => Long): Option[Long] = {
@@ -360,8 +360,18 @@ object Multimodal {
     while (r < gh) {
       var c = 0
       while (c < gw - 1) {
-        if (sums(r)(c + 1) * counts(r)(c) > sums(r)(c) * counts(r)(c + 1))
-          hash |= 1L << (r * (gw - 1) + c)
+        // exact mean comparison by cross-multiplication. Long products
+        // are safe while 255000·A² < 2^63, i.e. cell area A ≤ ~2.9M px
+        // (≈ 0.2-gigapixel images at the 9×8 grid); above that, exact
+        // arithmetic continues in BigInt — 64 comparisons per image is
+        // noise next to the decode, and the oracle replay (HUGEINT on
+        // the DuckDB side) stays bit-identical at any size.
+        val ca = counts(r)(c); val cb = counts(r)(c + 1)
+        val gt =
+          if (math.max(ca, cb) <= 2900000L)
+            sums(r)(c + 1) * ca > sums(r)(c) * cb
+          else BigInt(sums(r)(c + 1)) * ca > BigInt(sums(r)(c)) * cb
+        if (gt) hash |= 1L << (r * (gw - 1) + c)
         c += 1
       }
       r += 1
@@ -438,6 +448,12 @@ object Multimodal {
     */
   def imageDHash(ds: Dataset[MediaRow], gridCols: Int = 9,
       gridRows: Int = 8): Dataset[ImageHash] = {
+    require(gridCols >= 2 && gridRows >= 1, "grid must be at least 2x1")
+    // hash bits are gridRows x (gridCols-1) packed into one Long; a
+    // larger grid would wrap `1L << k` (mod-64 shift) and silently OR
+    // distinct cells into the same bit
+    require(gridRows * (gridCols - 1) <= 64,
+      s"gridRows*(gridCols-1) = ${gridRows * (gridCols - 1)} exceeds the 64-bit hash")
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.flatMap { r =>

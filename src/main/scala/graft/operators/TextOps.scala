@@ -860,32 +860,10 @@ object TextOps {
   def dedupSpans(df: DataFrame, idCol: String, textCol: Column,
       n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val toksD = df.withColumn("__toks", tokens(textCol))
-      .select(col(idCol), col("__toks"))
-      .graftCheckpoint()
-    val spans = toksD
-      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
-      .select(col(idCol),
-        posexplode(shingleHashesFromTokenHashes(col("__hts"), n))
-          .as(Seq("__pos", "__h")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-    val covered = spans.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__ti"))
-      .distinct()
-      .withColumn("__cov", lit(true))
-    toksD.select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
-      .join(covered, Seq(idCol, "__ti"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__cov").isNull,
-            struct(col("__ti"), col("__tok"))))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    // the single-tier case of [[dedupSpansMulti]]: minOcc = 2 is
+    // implied by the rank > 1 first-occurrence rule, so one (n, 2)
+    // tier IS this operator (equivalence pinned in CorpusOpsSpec)
+    dedupSpansMulti(df, idCol, textCol, Seq(n -> 2))
   }
 
   /** Variable-length exact-substring span dedup (VERDICT r16 #7): the

@@ -100,9 +100,21 @@ object ServingPipeline {
             (s eq predictor) || s.isInstanceOf[VectorAssembler]),
           s"predictLocal supports VectorAssembler+PredictionModel pipelines " +
             s"only; model '$modelName' has other stages — use predict()")
-        val order = p.stages.collectFirst {
-          case va: VectorAssembler => va.getInputCols.toSeq
-        }.getOrElse(RequestFields)
+        // Exactly ONE assembler, and it must feed the predictor: with
+        // chained assemblers (VA1(a,b→v1), VA2(v1,c→features)) the
+        // first stage's inputCols would silently build a wrong-order/
+        // wrong-dimension vector — refuse those shapes instead.
+        val assemblers = p.stages.collect { case va: VectorAssembler => va }
+        require(assemblers.size <= 1,
+          s"predictLocal cannot replay chained VectorAssemblers; " +
+            s"model '$modelName' has ${assemblers.size} — use predict()")
+        require(assemblers.headOption.forall(
+            _.getOutputCol == predictor.getFeaturesCol),
+          s"model '$modelName': assembler output '" +
+            assemblers.head.getOutputCol + "' does not feed the " +
+            s"predictor's featuresCol '${predictor.getFeaturesCol}' — use predict()")
+        val order = assemblers.headOption.map(_.getInputCols.toSeq)
+          .getOrElse(RequestFields)
         predictor.predict(Vectors.dense(order.map(requestValue(req, _)).toArray))
       case other => throw new IllegalArgumentException(
         s"model '$modelName' (${other.getClass.getSimpleName}) has no " +
