@@ -686,4 +686,53 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(m.count() > 0)
   }
+
+  test("q_tpch_01/06: predicates pushed to the lineitem scan, pruned ReadSchema") {
+    // plan toString truncates long fields ("…strin...") — assert on the
+    // scan's COLUMN LIST bracket (never truncated at these widths) and
+    // on PushedFilters prefixes that fit.
+    def scanCols(p: String): Seq[String] = {
+      val line = p.linesIterator.find(_.contains("FileScan parquet [")).get
+      val inner = line.substring(line.indexOf("FileScan parquet [") + 18)
+      inner.take(inner.indexOf(']')).split(',').map(_.takeWhile(_ != '#')).toSeq
+    }
+    val p1 = plan("q_tpch_01")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p1.take(800))
+    // exactly the 7 referenced columns, nothing else
+    assert(scanCols(p1) == Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"), p1.take(1200))
+    val p6 = plan("q_tpch_06")
+    assert(p6.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      p6.take(1200))
+    assert(scanCols(p6) == Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate"), p6.take(1200))
+  }
+
+  test("q_tpch_05: 6-table join tree broadcasts every dimension — exactly ONE hash exchange") {
+    // The canonical local-supplier-volume join: nation/region/supplier/
+    // customer broadcast, lineitem ⋈ orders is the single big-big
+    // shuffle. A SortMergeJoin or a second hashpartitioning exchange
+    // means a dimension fell out of broadcast (PLANS.md r17 audit).
+    val p = plan("q_tpch_05")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 5, p.take(1500))
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) <= 2, // join key + agg key
+      "unexpected extra shuffles:\n" + p.take(1500))
+  }
+
+  test("q_tpch_21: EXISTS/NOT-EXISTS decorrelates to windows — zero self-joins of lineitem") {
+    // The SQL form implies a triple self-join; the engine's plan is the
+    // per-(order, supplier) aggregate + ONE window partitioning, then
+    // broadcast joins to orders/supplier. A second lineitem scan means
+    // the decorrelation regressed to a self-join.
+    val p = plan("q_tpch_21")
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
