@@ -3937,18 +3937,20 @@ object Queries {
   private val Bm25Terms = Seq("spark", "query", "window", "hash")
   private val Bm25K = 25
 
-  val qBm25TopK = QDef(
-    (s, d) => TextOps.bm25TopK(wideT(s, d, "documents"), "doc_id",
-      col("text"), Bm25Terms, Bm25K),
-    Some {
-      val tfCols = Bm25Terms.indices.map(i =>
-        s"len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS tf_$i").mkString(",\n                    ")
-      val dfCols = Bm25Terms.indices.map(i =>
-        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n                    ")
-      val termScores = Bm25Terms.indices.map(i =>
-        s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl))")
-        .mkString("\n                      + ")
-      s"""WITH f AS (
+  /** Shared DuckDB CTE body producing `scored(doc_id, doc_len, bm25)`
+    * for [[Bm25Terms]] — the exact Okapi/Lucene arithmetic of
+    * [[TextOps.bm25TopK]]; used by q_bm25_topk and the hybrid-RRF
+    * oracle.
+    */
+  private def bm25ScoredCtes: String = {
+    val tfCols = Bm25Terms.indices.map(i =>
+      s"len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS tf_$i").mkString(",\n                    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n                    ")
+    val termScores = Bm25Terms.indices.map(i =>
+      s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+      .mkString("\n                      + ")
+    s"""f AS (
                SELECT doc_id, len(toks) AS dl,
                     $tfCols
                FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
@@ -3959,10 +3961,129 @@ object Queries {
              scored AS (
                SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
                       round($termScores, 6) + 0.0 AS bm25
-               FROM f CROSS JOIN s)
+               FROM f CROSS JOIN s)"""
+  }
+
+  val qBm25TopK = QDef(
+    (s, d) => TextOps.bm25TopK(wideT(s, d, "documents"), "doc_id",
+      col("text"), Bm25Terms, Bm25K),
+    Some(s"""WITH $bm25ScoredCtes
              SELECT doc_id, doc_len, bm25 FROM scored WHERE bm25 > 0
-             ORDER BY bm25 DESC, doc_id LIMIT $Bm25K"""
-    })
+             ORDER BY bm25 DESC, doc_id LIMIT $Bm25K"""))
+
+  /** Hybrid retrieval: the BM25 lexical top-50 and the cosine semantic
+    * top-50 (query = vec 0's embedding, over the id-aligned embeddings
+    * table) fused with Reciprocal Rank Fusion (c = 60, k = 20). The
+    * oracle replays both rank lists (the already-certified BM25 CTEs +
+    * the q_cosine_topk CTE shape) and the fixed-order contribution sum
+    * `1/(60+r_lex) + 1/(60+r_sem)` — IEEE-exact on both engines, so the
+    * LIMIT boundary is decided on bit-identical doubles.
+    */
+  private val RrfDepth = 50
+  private val RrfK = 20
+
+  val qHybridRrf = QDef(
+    (s, d) => {
+      val lex = TextOps.bm25TopK(wideT(s, d, "documents"), "doc_id",
+          col("text"), Bm25Terms, RrfDepth)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
+      val emb = t(s, d, "embeddings")
+      val sem = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", RrfDepth)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), "doc_id", RrfK)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(s"""WITH $bm25ScoredCtes,
+             lex AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+                     FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+                           ORDER BY bm25 DESC, doc_id LIMIT $RrfDepth)),
+             q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+             sc AS (SELECT doc_id, ${cosineSql("qv", "v")} AS cosine
+                    FROM cv CROSS JOIN q0 WHERE doc_id <> 0),
+             sr AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+                    FROM sc),
+             sem AS (SELECT doc_id, rank FROM sr WHERE rank <= $RrfDepth),
+             fz AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+                           (CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END
+                            + CASE WHEN m.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+                           (coalesce(1.0 / (60.0 + l.rank), 0.0)
+                            + coalesce(1.0 / (60.0 + m.rank), 0.0)) AS rrf0
+                    FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+             SELECT doc_id, CAST(n_lists AS BIGINT) AS n_lists,
+                    round(rrf0, 6) + 0.0 AS rrf
+             FROM fz ORDER BY rrf0 DESC, doc_id LIMIT $RrfK"""))
+
+  /** Ranked-retrieval eval: the exact cosine top-10 for query vectors
+    * vec_id < 10 scored against label-match relevance judgments
+    * (rel = 1 iff same `label`, self excluded) — per-query recall@10,
+    * precision@10, reciprocal rank and nDCG@10. The oracle recomputes
+    * the exact ranking (q_cosine_topk CTE), derives the same qrels from
+    * the label column, and replays the metric arithmetic with
+    * `log₂ = ln/ln(2)` spelled out to match Spark's `log(2.0, x)`.
+    */
+  val qRetrievalMetrics = QDef(
+    (s, d) => {
+      import graft.metrics.Metrics
+      val emb = wideT(s, d, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      val results = Similarity.bruteTopK(emb, qset, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val qrels = qset.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label").as("__dl")),
+          col("__ql") === col("__dl") && col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"), lit(1.0).as("rel"))
+      Metrics.retrievalMetrics(results, qrels,
+          "query_id", "doc_id", "rank", "rel", k = 10)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+                        FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v, label AS dl
+                   FROM embeddings),
+             s AS (SELECT query_id, doc_id, ${cosineSql("qv", "v")} AS cosine
+                   FROM c CROSS JOIN q WHERE query_id <> doc_id),
+             r AS (SELECT query_id, doc_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, doc_id) AS rank
+                   FROM s),
+             res AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+             qr AS (SELECT q.query_id, c.doc_id, 1.0 AS rel
+                    FROM q JOIN c ON q.ql = c.dl AND q.query_id <> c.doc_id),
+             j AS (SELECT res.query_id, res.rank, qr.rel
+                   FROM res LEFT JOIN qr
+                     ON res.query_id = qr.query_id AND res.doc_id = qr.doc_id),
+             pq AS (SELECT query_id, count(*) AS n_ret, count(rel) AS n_rel_ret,
+                           min(CASE WHEN rel IS NOT NULL THEN rank END) AS first_rel,
+                           sum(CASE WHEN rel IS NOT NULL
+                               THEN (pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))
+                               ELSE 0.0 END) AS dcg
+                    FROM j GROUP BY 1),
+             ir AS (SELECT query_id, rel,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, doc_id) AS irank
+                    FROM qr),
+             iq AS (SELECT query_id, count(*) AS n_rel,
+                           sum(CASE WHEN irank <= 10
+                               THEN (pow(2.0, rel) - 1.0) / (ln(irank + 1.0) / ln(2.0))
+                               ELSE 0.0 END) AS idcg
+                    FROM ir GROUP BY 1)
+             SELECT pq.query_id,
+                    CAST(coalesce(iq.n_rel, 0) AS BIGINT) AS n_rel,
+                    CAST(pq.n_ret AS BIGINT) AS n_ret,
+                    CAST(pq.n_rel_ret AS BIGINT) AS n_rel_ret,
+                    round(CASE WHEN iq.n_rel > 0
+                          THEN pq.n_rel_ret / CAST(iq.n_rel AS DOUBLE) END, 6) + 0.0 AS recall_k,
+                    round(pq.n_rel_ret / 10.0, 6) + 0.0 AS precision_k,
+                    round(coalesce(1.0 / pq.first_rel, 0.0), 6) + 0.0 AS rr,
+                    round(CASE WHEN iq.idcg > 0
+                          THEN pq.dcg / iq.idcg END, 6) + 0.0 AS ndcg_k
+             FROM pq LEFT JOIN iq ON pq.query_id = iq.query_id
+             ORDER BY pq.query_id"""))
 
   /** PageRank (4 power iterations, d=0.85, no dangling redistribution
     * — every pair endpoint has degree ≥ 1) over the LSH candidate-pair
@@ -6456,6 +6577,8 @@ object Queries {
     "q_dsir_scores" -> qDsirScores,
     "q_unigram_surprisal" -> qUnigramSurprisal,
     "q_bm25_topk" -> qBm25TopK,
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_retrieval_metrics" -> qRetrievalMetrics,
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_multi" -> qDedupSpansMulti,

@@ -636,4 +636,62 @@ object Metrics {
           (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
           .as("kappa"))
   }
+
+  /** Ranked-retrieval evaluation: per-query recall@k, precision@k,
+    * reciprocal rank (at k) and nDCG@k of a result list against graded
+    * relevance judgments — the eval side of the retrieval operators
+    * (bm25TopK / bruteTopK / the ANN family / rrfFuse).
+    *
+    * `results` carries (queryCol, docCol, rankCol) with 1-based ranks;
+    * `qrels` carries (queryCol, docCol, relCol) where rel > 0 means
+    * relevant (graded rels feed the exponential DCG gain
+    * `(2^rel − 1)/log₂(rank+1)`; ideal DCG ranks the query's judgments
+    * by rel desc, doc asc). Output rows are the queries PRESENT IN
+    * `results`; a query with no relevant judgment gets null
+    * recall/ndcg (0/0) and rr = 0.
+    *
+    * Scale shape: one (query, doc)-keyed left join of the rank-k-capped
+    * results against the positive judgments, then ONE per-query
+    * aggregate; the ideal side is a window + aggregate over qrels
+    * alone. Both shuffles are keyed on the query id — results are
+    * k-bounded per query and qrels is the (small) labeled eval set, so
+    * nothing here scales with the corpus.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def gain(rel: Column): Column = pow(lit(2.0), rel) - lit(1.0)
+    def disc(rank: Column): Column = log(2.0, rank.cast("double") + lit(1.0))
+    val res = results.filter(col(rankCol) >= 1 && col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__rank"))
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(relCol).cast("double").as("__rel"))
+    val perQ = res.join(rel, Seq("__q", "__d"), "left")
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_ret"),
+        count(col("__rel")).as("n_rel_ret"),
+        min(when(col("__rel").isNotNull, col("__rank"))).as("__first"),
+        sum(when(col("__rel").isNotNull, gain(col("__rel")) / disc(col("__rank")))
+          .otherwise(lit(0.0))).as("__dcg"))
+    val iw = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__d"))
+    val ideal = rel.withColumn("__ir", row_number().over(iw))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__ir") <= k, gain(col("__rel")) / disc(col("__ir")))
+          .otherwise(lit(0.0))).as("__idcg"))
+    perQ.join(ideal, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_ret"), col("n_rel_ret"),
+        round(when(col("n_rel") > 0,
+          col("n_rel_ret").cast("double") / col("n_rel")), 6).as("recall_k"),
+        round(col("n_rel_ret").cast("double") / k, 6).as("precision_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("rr"),
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 6)
+          .as("ndcg_k"))
+  }
 }

@@ -341,4 +341,43 @@ class MetricsSpec extends AnyFunSuite {
       s"hi: mixer ${mix.getDouble(4)} vs md5 ${md5.getDouble(4)} (width $width)")
     assert(mix.getDouble(3) <= mix.getDouble(2) && mix.getDouble(2) <= mix.getDouble(4))
   }
+
+  test("retrievalMetrics: hand-computed recall/precision/MRR/nDCG@3, rank>k excluded") {
+    import spark.implicits._
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // q1: ranks 1..4 = docs 11,12,13,14; rels 12→1, 13→2, 14→1.
+    //     rank-4 doc 14 is OUTSIDE k=3 and must not count.
+    // q2: no judged-relevant docs at all → null recall/ndcg, rr 0.
+    // q3: rank 1 = doc 31; rels 31..34 all 1 → ideal truncates at k.
+    val results = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (1L, 14L, 4),
+      (2L, 21L, 1), (2L, 22L, 2),
+      (3L, 31L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 12L, 1.0), (1L, 13L, 2.0), (1L, 14L, 1.0),
+      (3L, 31L, 1.0), (3L, 32L, 1.0), (3L, 33L, 1.0), (3L, 34L, 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val m = graft.metrics.Metrics
+      .retrievalMetrics(results, qrels, "query_id", "doc_id", "rank", "rel", k = 3)
+      .orderBy("query_id").collect()
+    assert(m.length == 3)
+    val q1 = m(0)
+    assert((q1.getLong(1), q1.getLong(2), q1.getLong(3)) == ((3L, 3L, 2L)))
+    assert(math.abs(q1.getDouble(4) - 2.0 / 3) < 1e-5)       // recall
+    assert(math.abs(q1.getDouble(5) - 2.0 / 3) < 1e-5)       // precision
+    assert(math.abs(q1.getDouble(6) - 0.5) < 1e-12)          // rr: first rel at rank 2
+    val dcg1 = 1.0 / lg2(3.0) + 3.0 / lg2(4.0)               // 12@2 gain 1, 13@3 gain 3
+    val idcg1 = 3.0 / lg2(2.0) + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    assert(math.abs(q1.getDouble(7) - dcg1 / idcg1) < 1e-5)  // ndcg
+    val q2 = m(1)
+    assert(q2.getLong(1) == 0L && q2.getLong(3) == 0L)
+    assert(q2.isNullAt(4) && q2.isNullAt(7))                 // 0/0 recall, 0/0 ndcg
+    assert(q2.getDouble(6) == 0.0)                           // rr with no rel
+    val q3 = m(2)
+    assert(q3.getLong(1) == 4L && q3.getLong(3) == 1L)
+    assert(math.abs(q3.getDouble(4) - 0.25) < 1e-12)
+    assert(math.abs(q3.getDouble(6) - 1.0) < 1e-12)
+    val idcg3 = 1.0 + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)        // ideal capped at k=3 of 4 rels
+    assert(math.abs(q3.getDouble(7) - 1.0 / idcg3) < 1e-5)
+  }
 }

@@ -284,4 +284,26 @@ class SimilaritySpec extends AnyFunSuite {
         s"batched mmrSelect ran ${jobs.get()} jobs for k=50")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("rrfFuse: hand-computed fusion — both-list id outranks single-list, scores exact") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val sem = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, sem), "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // id 2: 1/62 + 1/61; id 1: 1/61; id 4: 1/62; id 3: 1/63 (cut by k=3)
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (2L, 2L, rd(1.0 / 62 + 1.0 / 61)),
+      (1L, 1L, rd(1.0 / 61)),
+      (4L, 1L, rd(1.0 / 62))))
+  }
+
+  test("rrfFuse: equal fused score ties break on id, c shifts the score") {
+    val a = Seq((5L, 1)).toDF("id", "rank")
+    val b = Seq((3L, 1)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", k = 2, c = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((3L, rd(1.0 / 11)), (5L, rd(1.0 / 11))))
+  }
 }
