@@ -5152,6 +5152,30 @@ object Queries {
              WHERE doc_id % 20 <> 0 AND gh IN (SELECT gh FROM ev)
              ORDER BY doc_id"""))
 
+  /** Semantic decontamination: corpus vectors with cosine ≥ 0.4 to any
+    * vector of the synthetic "benchmark" slice (vec_id % 20 == 0) — the
+    * paraphrase-robust complement of q_decontaminate's n-gram check.
+    * Eval vectors broadcast; the corpus side is ONE map pass through a
+    * broadcast nested-loop semi join (first bank hit short-circuits the
+    * row). Ids-only output, so the compare rides the bit-identical
+    * sequential-fold cosine — no rounding surface at all.
+    */
+  val qSemanticDecontaminate = QDef(
+    (s, d) => {
+      val emb = wideT(s, d, "embeddings")
+      Similarity.semanticContaminatedIds(
+          emb.filter(col("vec_id") % 20 =!= 0),
+          emb.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", tau = 0.4)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             e AS (SELECT ev AS bv FROM v WHERE vec_id % 20 = 0),
+             c AS (SELECT vec_id, ev FROM v WHERE vec_id % 20 <> 0)
+             SELECT DISTINCT vec_id
+             FROM c JOIN e ON ${cosineSql("ev", "bv")} >= 0.4
+             ORDER BY vec_id"""))
+
   /** Z-order (Morton) key over two synthetic 16-bit grid coordinates —
     * the clustering key behind `Tables.writeZOrdered`'s multi-dim
     * layout. Pure shift/mask column math; the oracle replicates the
@@ -6588,6 +6612,7 @@ object Queries {
     "q_random_project" -> qRandomProject,
     "q_quantized_topk" -> qQuantizedTopK,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_semantic_decontaminate" -> qSemanticDecontaminate,
     "q_zorder_key" -> qZorderKey,
     "q_leakage_split" -> qLeakageSplit,
     "q_hard_negatives" -> qHardNegatives,

@@ -285,6 +285,38 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("semanticContaminatedIds: known near-copy flagged, orthogonal row clean; parity with naive max-cosine") {
+    // hand fixture: eval bank = {(1,0)}; corpus has a near-copy (cos≈1),
+    // a same-direction-ish vector (cos≈0.707), and an orthogonal one
+    val eval = Seq(Tuple1(Seq(1.0, 0.0))).toDF("embedding")
+    val corpus = Seq(
+      (100L, Seq(0.9, 0.05)),  // near-copy → contaminated
+      (101L, Seq(1.0, 1.0)),   // cos ≈ 0.707 ≥ 0.7 → contaminated
+      (102L, Seq(0.0, 2.0))    // orthogonal → clean
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContaminatedIds(corpus, eval,
+        "vec_id", "embedding", tau = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L, 101L))
+
+    // real-fixture parity: semi-join path == naive crossJoin + max filter
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corp = emb.filter(col("vec_id") % 20 =!= 0)
+    val bank = emb.filter(col("vec_id") % 20 === 0)
+    val fast = Similarity.semanticContaminatedIds(corp, bank,
+        "vec_id", "embedding", tau = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val cv = corp.select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+    val bv = bank.select(col("embedding").cast("array<double>").as("b"))
+    val naive = cv.crossJoin(bv)
+      .withColumn("c", Similarity.cosine(col("a"), col("b")))
+      .groupBy("vec_id").agg(max(col("c")).as("mx"))
+      .filter(col("mx") >= 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty, "fixture should contain at least one semantic contaminant")
+  }
+
   test("rrfFuse: hand-computed fusion — both-list id outranks single-list, scores exact") {
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val sem = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
