@@ -37,6 +37,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_semantic_decontaminate: broadcast bank semi-probe, zero corpus shuffle") {
+    val p = plan("q_semantic_decontaminate")
+    // the eval bank broadcasts into a nested-loop LEFT SEMI — the
+    // map-only shape; a hash Exchange here would mean the corpus
+    // started shuffling for the bank probe
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftSemi"),
+      "bank probe must be a broadcast semi join:\n" + p.take(800))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0,
+      s"corpus must not shuffle for the bank probe ($hashExchanges hash exchanges):\n" + p.take(800))
+  }
+
+  test("q_hybrid_rrf: fused top-k moves through TakeOrdered, never a corpus-wide sort") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "fused top-k must be TakeOrdered:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q_seasonal_forecast: aggregates only — no Window operator anywhere in the plan") {
     // The forecaster's 100 TB claim is that the trend is a grouped
     // aggregate over hour buckets, NOT a regression over a sorted
