@@ -648,7 +648,10 @@ object Metrics {
     * `(2^rel − 1)/log₂(rank+1)`; ideal DCG ranks the query's judgments
     * by rel desc, doc asc). Output rows are the queries PRESENT IN
     * `results`; a query with no relevant judgment gets null
-    * recall/ndcg (0/0) and rr = 0.
+    * recall/ndcg (0/0) and rr = 0. Duplicate judgments for one
+    * (query, doc) pair collapse to the MAX rel before anything is
+    * counted — merged judgment files must not fan the result join out
+    * (which would double-count n_ret/DCG and push precision past 1).
     *
     * Scale shape: one (query, doc)-keyed left join of the rank-k-capped
     * results against the positive judgments, then ONE per-query
@@ -669,6 +672,8 @@ object Metrics {
     val rel = qrels.filter(col(relCol) > 0)
       .select(col(queryCol).as("__q"), col(docCol).as("__d"),
         col(relCol).cast("double").as("__rel"))
+      .groupBy(col("__q"), col("__d"))
+      .agg(max(col("__rel")).as("__rel"))
     val perQ = res.join(rel, Seq("__q", "__d"), "left")
       .groupBy(col("__q"))
       .agg(count(lit(1)).as("n_ret"),

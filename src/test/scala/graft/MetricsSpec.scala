@@ -379,5 +379,18 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(q3.getDouble(6) - 1.0) < 1e-12)
     val idcg3 = 1.0 + 1.0 / lg2(3.0) + 1.0 / lg2(4.0)        // ideal capped at k=3 of 4 rels
     assert(math.abs(q3.getDouble(7) - 1.0 / idcg3) < 1e-5)
+
+    // duplicate judgments for one (query, doc) collapse to max rel —
+    // the result join must NOT fan out (n_ret stays k, precision ≤ 1)
+    val dupQrels = qrels.union(
+      Seq((1L, 13L, 1.0), (1L, 12L, 1.0)).toDF("query_id", "doc_id", "rel"))
+    val md = graft.metrics.Metrics
+      .retrievalMetrics(results, dupQrels, "query_id", "doc_id", "rank", "rel", k = 3)
+      .orderBy("query_id").collect()
+    val d1 = md(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((3L, 3L, 2L)),
+      "duplicate qrels must not change counts")
+    assert(math.abs(d1.getDouble(7) - q1.getDouble(7)) < 1e-12,
+      "max-rel collapse keeps 13's grade 2 → identical ndcg")
   }
 }

@@ -49,10 +49,15 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must not shuffle for the bank probe ($hashExchanges hash exchanges):\n" + p.take(800))
   }
 
-  test("q_hybrid_rrf: fused top-k moves through TakeOrdered, never a corpus-wide sort") {
+  test("q_hybrid_rrf: union+pivot fuse — no sort-merge join, fused top-k through TakeOrdered") {
     val p = plan("q_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"),
       "fused top-k must be TakeOrdered:\n" + p.take(800))
+    // the fuse is union + ONE id-keyed aggregate; a SortMergeJoin here
+    // would mean the full-outer form crept back (it cannot broadcast
+    // and shuffles every list per join)
+    assert(!p.contains("SortMergeJoin"),
+      "fuse must not be a sort-merge full outer:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
