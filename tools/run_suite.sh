@@ -36,12 +36,21 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_BENCH_OUT="$BENCH_OUT" \
   sbt -batch "runMain graft.Bench" | grep '"metric"' || true
 
+# resolve a duckdb-capable python: the first python3 on PATH may be a
+# conda one without duckdb (the driver installs it under pyenv)
+PY=python3
+if ! "$PY" -c 'import duckdb' >/dev/null 2>&1; then
+  PY=/root/.pyenv/shims/python3
+fi
+"$PY" -c 'import duckdb' >/dev/null 2>&1 || {
+  echo "[suite] no python with duckdb found" >&2; exit 1; }
+
 echo "[suite] 3/4 DuckDB pair -> $DUCK_OUT (same window, same sf)"
-python3 tools/time_duckdb.py "$SF_DIR" /tmp/suite_oracle/oracle_sql.json \
+"$PY" tools/time_duckdb.py "$SF_DIR" /tmp/suite_oracle/oracle_sql.json \
   "$REPS" > "$DUCK_OUT"
 
 echo "[suite] 4/4 matched-window ratio -> $RATIO_OUT"
-python3 - "$BENCH_OUT" "$DUCK_OUT" "$RATIO_OUT" <<'EOF'
+"$PY" - "$BENCH_OUT" "$DUCK_OUT" "$RATIO_OUT" <<'EOF'
 import json, sys
 bench = json.load(open(sys.argv[1]))
 duck = json.load(open(sys.argv[2]))
