@@ -1182,6 +1182,52 @@ object Queries {
             LEFT JOIN sw ON sw.k = ff.k AND sw.wd = isodow(ff.h) - 1
             ORDER BY event_type, forecast_hour"""))
 
+  /** M8, multiplicative mode (VERDICT r17, Next round #6): the
+    * reference configures Prophet with
+    * `seasonality_mode='multiplicative'`
+    * (backend/NYC_Traffic_Congestion.py:84) — seasonal swing scaling
+    * with the level. Same decomposition as q_seasonal_forecast run in
+    * LOG space and exponentiated back
+    * (see [[Temporal.seasonalForecast]]); the oracle replays it with
+    * DuckDB's regr_* over ln(count) and exp() at the end. yhat rounded
+    * AFTER exp, so both engines round the same final quantity.
+    */
+  val qSeasonalForecastMult = QDef(
+    (s, d) => Temporal.seasonalForecast(t(s, d, "events"), col("event_type"),
+        col("ts"), horizonHours = 24, multiplicative = true)
+      .select(col("key").as("event_type"), col("forecast_hour"),
+        round(col("yhat"), 6).as("yhat"))
+      .orderBy("event_type", "forecast_hour"),
+    Some("""WITH hourly AS (
+              SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                     ln(CAST(count(*) AS DOUBLE)) AS y
+              FROM events GROUP BY 1, 2),
+            hi AS (SELECT k, h, y,
+                          CAST(epoch(h) AS BIGINT) // 3600 AS t
+                   FROM hourly),
+            tr AS (SELECT k,
+                          coalesce(regr_slope(y, CAST(t AS DOUBLE)), 0) AS b,
+                          avg(y) - coalesce(regr_slope(y, CAST(t AS DOUBLE)), 0)
+                            * avg(CAST(t AS DOUBLE)) AS a,
+                          max(t) AS tmax
+                   FROM hi GROUP BY 1),
+            r AS (SELECT hi.k, hi.y - (a + b * hi.t) AS resid,
+                         hour(hi.h) AS hod, isodow(hi.h) - 1 AS wd
+                  FROM hi JOIN tr USING (k)),
+            sh AS (SELECT k, hod, avg(resid) AS s_hod FROM r GROUP BY 1, 2),
+            sw AS (SELECT k, wd, avg(resid) AS s_wd FROM r GROUP BY 1, 2),
+            f AS (SELECT tr.k, tr.a, tr.b, tr.tmax + gs.i AS t
+                  FROM tr, generate_series(1, 24) gs(i)),
+            ff AS (SELECT k, a, b, t,
+                          make_timestamp(t * 3600000000) AS h
+                   FROM f)
+            SELECT ff.k AS event_type, ff.h AS forecast_hour,
+                   round(exp(a + b * t + coalesce(s_hod, 0) + coalesce(s_wd, 0)), 6) + 0.0 AS yhat
+            FROM ff
+            LEFT JOIN sh ON sh.k = ff.k AND sh.hod = hour(ff.h)
+            LEFT JOIN sw ON sw.k = ff.k AND sw.wd = isodow(ff.h) - 1
+            ORDER BY event_type, forecast_hour"""))
+
   /** Week-over-week growth of value volume per event type — one
     * aggregate + one lag window on the dimension-sized period table
     * (see [[Temporal.periodGrowth]]).
@@ -3902,6 +3948,67 @@ object Queries {
           GROUP BY t.doc_id ORDER BY t.doc_id"""
     })
 
+  /** Shared CTE chain for the variable-length span queries: duplicated
+    * 8-window coverage (the qDedupSpans rule) merged into maximal
+    * islands via the position − row_number() run key.
+    */
+  private def spanIslandsSql(n: Int): String = {
+    val sh = shingleHashesSql("hts", n)
+    s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+        ht AS (SELECT doc_id, toks, list_transform(toks, t -> ${h60sql("t")}) AS hts FROM d),
+        shl AS (SELECT doc_id, $sh AS sh FROM ht),
+        spans AS (SELECT doc_id, unnest(range(0, len(sh))) AS pos,
+                         unnest(sh) AS h FROM shl),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+                  FROM spans) WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + $n)) AS ti FROM dup),
+        runs AS (SELECT doc_id, ti,
+                        ti - row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS run
+                 FROM cov)"""
+  }
+
+  /** Variable-length ExactSubstr span REPORT (VERDICT r17 #7, the
+    * suffix-array-faithful refinement of Lee et al. 2021): one row per
+    * MAXIMAL duplicated token run ≥ 8, with its true data-determined
+    * length — a 60-token duplicated passage is ONE (start, 60) row
+    * here, not 53 fixed-window artifacts
+    * (see [[TextOps.duplicateSpanRanges]]). The oracle replays
+    * coverage + island merge relationally.
+    */
+  val qDuplicateSpans = QDef(
+    (s, d) => TextOps.duplicateSpanRanges(wideT(s, d, "documents"),
+      "doc_id", col("text"), minLen = 8),
+    Some(s"""${spanIslandsSql(8)}
+             SELECT doc_id, CAST(min(ti) AS BIGINT) AS span_start,
+                    CAST(count(*) AS BIGINT) AS span_len
+             FROM runs GROUP BY doc_id, run
+             ORDER BY doc_id, span_start"""))
+
+  /** Removal twin of q_duplicate_spans: strip every maximal duplicated
+    * run ≥ 8 whole, with SPAN-granularity accounting — clean_text and
+    * n_removed coincide with q_dedup_spans by the coverage-union
+    * equivalence (both oracles prove it end-to-end); n_spans is what
+    * the fixed-window form cannot report
+    * (see [[TextOps.dedupSpansVariable]]).
+    */
+  val qDedupSpansVariable = QDef(
+    (s, d) => TextOps.dedupSpansVariable(wideT(s, d, "documents"),
+        "doc_id", col("text"), minLen = 8)
+      .orderBy("doc_id"),
+    Some(s"""${spanIslandsSql(8)},
+             tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS ti,
+                            unnest(toks) AS tok FROM d)
+             SELECT t.doc_id,
+                    coalesce(string_agg(CASE WHEN r.ti IS NULL THEN t.tok END, ' '
+                        ORDER BY t.ti), '') AS clean_text,
+                    CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN r.ti IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                    CAST(count(DISTINCT r.run) AS BIGINT) AS n_spans
+             FROM tok t LEFT JOIN runs r ON t.doc_id = r.doc_id AND t.ti = r.ti
+             GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   /** Per-document bigram surprisal under the corpus's own add-0.5-
     * smoothed bigram LM — the word-order-sensitive refinement of the
     * CCNet perplexity signal. The oracle replays the full chain:
@@ -5173,7 +5280,9 @@ object Queries {
              e AS (SELECT ev AS bv FROM v WHERE vec_id % 20 = 0),
              c AS (SELECT vec_id, ev FROM v WHERE vec_id % 20 <> 0)
              SELECT DISTINCT vec_id
-             FROM c JOIN e ON ${cosineSql("ev", "bv")} >= 0.4
+             FROM c JOIN e ON list_dot_product(ev, ev) > 0
+                          AND list_dot_product(bv, bv) > 0
+                          AND ${cosineSql("ev", "bv")} >= 0.4
              ORDER BY vec_id"""))
 
   /** Z-order (Morton) key over two synthetic 16-bit grid coordinates —
@@ -6111,14 +6220,7 @@ object Queries {
     (s, d) => {
       val emb = wideT(s, d, "embeddings")
       val qset = emb.filter(col("vec_id") < 10)
-      val src = new java.io.File(d, "embeddings.parquet")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(
-          s"$d:${src.lastModified}:c16m16k64").toLong & 0xffffffffL)
-      val idx = s"/tmp/graft_ann_index_$key"
-      if (!new java.io.File(s"$idx/meta").exists())
-        Similarity.buildAnnIndex(emb, "vec_id", "embedding", idx,
-          nCells = 16, m = 16, ksub = 64)
+      val idx = AnnIndexes.ensurePersisted(s, d)
       val approx = Similarity.searchAnnIndex(s, idx, emb, qset,
         "vec_id", "embedding", 5, nProbe = 14, refine = 20)
       val exact = Similarity.bruteTopK(emb, qset, "vec_id", "embedding", 5)
@@ -6144,18 +6246,66 @@ object Queries {
     (s, d) => {
       val emb = wideT(s, d, "embeddings")
       val qset = emb.filter(col("vec_id") < 10)
+      val idx = AnnIndexes.ensureAppend(s, d)
+      val approx = Similarity.searchAnnIndex(s, idx, emb, qset,
+        "vec_id", "embedding", 5, nProbe = 14, refine = 20)
+      val exact = Similarity.bruteTopK(emb, qset, "vec_id", "embedding", 5)
+      Similarity.recallAtK(approx, exact, 0.9)
+    },
+    Some(annRecallSql("0.9")))
+
+  /** Idempotent builders for the persisted-ANN certification lanes'
+    * index artifacts, factored OUT of the query lambdas' bodies so a
+    * bench harness can pay them before its timed region (VERDICT r17,
+    * What's wrong #1 / Next round #2: the conditional in-region build
+    * made q_ann_ivfpq_append read 1.82 s in one window and 8.73 s in
+    * the next on identical code — a fresh-/tmp artifact, not a search
+    * cost). The QDef lambdas above still call these, so Verify and any
+    * cold caller remain self-contained; `Bench.main` calls them once,
+    * untimed, and times the unconditional build as its own
+    * `ann_index_build` row instead.
+    *
+    * Path key = (sf dir, source mtime, quantizer config): regenerated
+    * testdata rebuilds instead of serving a stale index, and the seeded
+    * fit makes any rebuild bit-identical, so recall certification stays
+    * deterministic either way.
+    */
+  object AnnIndexes {
+    private def key(d: String, tag: String): String = {
       val src = new java.io.File(d, "embeddings.parquet")
-      val key = java.lang.Long.toHexString(
+      java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(
-          s"$d:${src.lastModified}:append:c16m16k64").toLong & 0xffffffffL)
-      val idx = s"/tmp/graft_ann_index_$key"
-      // the skip check keys on a marker written AFTER the append —
-      // buildAnnIndex's meta lands before appendAnnIndex runs, so an
-      // interruption between the two would leave meta present and every
-      // later run silently serving the half-corpus index (recall ~0.5):
-      // the same torn-composite class the meta-last build fix closed
+          s"$d:${src.lastModified}:${tag}c16m16k64").toLong & 0xffffffffL)
+    }
+
+    /** Build-once full-corpus index for q_ann_ivfpq_persisted; returns
+      * the index path. Existence keys on meta — buildAnnIndex writes it
+      * LAST, so an interrupted build re-runs instead of serving a
+      * partially-committed codes table.
+      */
+    def ensurePersisted(s: SparkSession, d: String): String = {
+      val idx = s"/tmp/graft_ann_index_${key(d, "")}"
+      if (!new java.io.File(s"$idx/meta").exists()) {
+        val emb = wideT(s, d, "embeddings")
+        Similarity.buildAnnIndex(emb, "vec_id", "embedding", idx,
+          nCells = 16, m = 16, ksub = 64)
+      }
+      idx
+    }
+
+    /** Build-half + append-half index for q_ann_ivfpq_append; returns
+      * the index path. The skip check keys on a marker written AFTER
+      * the append — buildAnnIndex's meta lands before appendAnnIndex
+      * runs, so an interruption between the two would leave meta
+      * present and every later run silently serving the half-corpus
+      * index (recall ~0.5): the same torn-composite class the meta-last
+      * build fix closed.
+      */
+    def ensureAppend(s: SparkSession, d: String): String = {
+      val idx = s"/tmp/graft_ann_index_${key(d, "append:")}"
       val done = new java.io.File(s"$idx/append_complete")
       if (!done.exists()) {
+        val emb = wideT(s, d, "embeddings")
         val cut = emb.agg(expr("percentile_approx(vec_id, 0.5, 10000)"))
           .head().getLong(0)
         Similarity.buildAnnIndex(emb.filter(col("vec_id") < cut),
@@ -6164,12 +6314,9 @@ object Queries {
           emb.filter(col("vec_id") >= cut), "vec_id", "embedding")
         done.createNewFile()
       }
-      val approx = Similarity.searchAnnIndex(s, idx, emb, qset,
-        "vec_id", "embedding", 5, nProbe = 14, refine = 20)
-      val exact = Similarity.bruteTopK(emb, qset, "vec_id", "embedding", 5)
-      Similarity.recallAtK(approx, exact, 0.9)
-    },
-    Some(annRecallSql("0.9")))
+      idx
+    }
+  }
 
   /** Count-min sketch certification — and unlike the HLL/MG rows this
     * one is a FULL value-level replay, not a guarantee boolean: the
@@ -6513,6 +6660,7 @@ object Queries {
     "q_kfold" -> qKfold,
     "q_cusum" -> qCusum,
     "q_seasonal_forecast" -> qSeasonalForecast,
+    "q_seasonal_forecast_mult" -> qSeasonalForecastMult,
     "q_target_encode" -> qTargetEncode,
     "q_rfm" -> qRfm,
     "q_point_in_polygon" -> qPointInPolygon,
@@ -6606,6 +6754,8 @@ object Queries {
     "q_bigram_surprisal" -> qBigramSurprisal,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_multi" -> qDedupSpansMulti,
+    "q_dedup_spans_variable" -> qDedupSpansVariable,
+    "q_duplicate_spans" -> qDuplicateSpans,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_pagerank" -> qPagerank,
     "q_embedding_quantize" -> qEmbeddingQuantize,

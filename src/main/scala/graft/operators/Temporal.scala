@@ -632,13 +632,27 @@ object Temporal {
     * missing data, not zeros) — the same convention as fitting on the
     * raw event stream; densify with [[resampleFill]] first if
     * zero-filled semantics are wanted.
+    *
+    * `multiplicative = true` is the reference's
+    * `seasonality_mode='multiplicative'` (NYC_Traffic_Congestion.py:84):
+    * seasonal swing that SCALES with the level —
+    *   yhat(t) = trend(t) · m_hod(hour) · m_wd(weekday)
+    * — fitted as the SAME additive decomposition in log space (trend OLS
+    * on ln y, seasonal components the mean log-residual per phase) and
+    * exponentiated back, so the two modes share every aggregate below.
+    * ln is total here: __y is an observed-bucket event COUNT, hence ≥ 1
+    * (absent hours are absent rows, not zeros — see above). Callers
+    * feeding a densified/zero-valued series must stay additive or
+    * pre-shift, the same domain restriction Prophet's multiplicative
+    * mode carries.
     */
   def seasonalForecast(df: DataFrame, keyCol: Column, tsCol: Column,
-      horizonHours: Int = 24): DataFrame = {
+      horizonHours: Int = 24, multiplicative: Boolean = false): DataFrame = {
     require(horizonHours >= 1, "horizonHours must be >= 1")
+    val rawY = count(lit(1)).cast("double")
     val hourly = df
       .groupBy(keyCol.as("__k"), date_trunc("hour", tsCol).as("__h"))
-      .agg(count(lit(1)).cast("double").as("__y"))
+      .agg((if (multiplicative) log(rawY) else rawY).as("__y"))
       // hour index: __h is truncated to the hour, so /3600 is exact
       .withColumn("__t", (unix_timestamp(col("__h")) / 3600).cast("long"))
     val slope = covar_samp(col("__t").cast("double"), col("__y")) /
@@ -668,10 +682,12 @@ object Temporal {
       .withColumn("__wd", graft.functions.DateTimeKit.weekdayMon0(col("__h")))
       .join(sHod, col("__k") === col("__kh") && col("__hod") === col("__ph"), "left")
       .join(sWd, col("__k") === col("__kw") && col("__wd") === col("__pw"), "left")
-      .select(col("__k").as("key"), col("__h").as("forecast_hour"),
-        (col("__a") + col("__b") * col("__t") +
+      .select(col("__k").as("key"), col("__h").as("forecast_hour"), {
+        val fit = col("__a") + col("__b") * col("__t") +
           coalesce(col("__s_hod"), lit(0.0)) +
-          coalesce(col("__s_wd"), lit(0.0))).as("yhat"))
+          coalesce(col("__s_wd"), lit(0.0))
+        (if (multiplicative) exp(fit) else fit).as("yhat")
+      })
   }
 
   def transitionMatrix(df: DataFrame, keys: Seq[Column], order: Seq[Column],

@@ -908,18 +908,7 @@ object TextOps {
     val hts = toksD
       .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
     val covered = tiers.map { case (n, minOcc) =>
-      val spans = hts.select(col(idCol),
-        posexplode(shingleHashesFromTokenHashes(col("__hts"), n))
-          .as(Seq("__pos", "__h")))
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-      spans
-        .withColumn("__rn", row_number().over(wOrd))
-        .withColumn("__occ", count(lit(1)).over(wAll))
-        .filter(col("__rn") > 1 && col("__occ") >= minOcc)
-        .select(col(idCol),
-          explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__ti"))
+      spanCoveredPositions(hts, idCol, n, minOcc)
     }.reduce(_ unionByName _)
       .distinct()
       .withColumn("__cov", lit(true))
@@ -933,6 +922,116 @@ object TextOps {
           s => s.getField("__tok"))).as("clean_text"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Covered token positions of the (n, minOcc) exact-substring rule —
+    * the shared core of [[dedupSpansMulti]] and the variable-length
+    * form: (id, __ti) rows for every token inside a non-first-occurrence
+    * n-span whose hash occurs ≥ minOcc times corpus-wide.
+    */
+  private def spanCoveredPositions(hts: DataFrame, idCol: String,
+      n: Int, minOcc: Int): DataFrame = {
+    val spans = hts.select(col(idCol),
+      posexplode(shingleHashesFromTokenHashes(col("__hts"), n))
+        .as(Seq("__pos", "__h")))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    spans
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__occ", count(lit(1)).over(wAll))
+      .filter(col("__rn") > 1 && col("__occ") >= minOcc)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__ti"))
+  }
+
+  /** VARIABLE-LENGTH exact-substring duplicate spans (VERDICT r17 #7 —
+    * the suffix-array-faithful form of Lee et al. 2021's ExactSubstr):
+    * one row per MAXIMAL duplicated token run of length ≥ `minLen`,
+    * with its true data-determined length — a 60-token verbatim
+    * passage is ONE (start, len=60) span here, where the fixed-window
+    * forms see only its n-token window artifacts and the tier form
+    * quantizes removal to whatever tier fires.
+    *
+    * Equivalence that makes this exact without a suffix array: a
+    * duplicated run of length L ≥ minLen contains a duplicated
+    * minLen-window at EVERY offset (L − minLen + 1 of them), and every
+    * covered position lies inside such a window — so the union of
+    * duplicated fixed-minLen windows equals the union of maximal
+    * duplicated runs, and merging adjacent covered positions
+    * (the islands window below) recovers each maximal run as one
+    * interval. What the window form alone cannot do is REPORT that
+    * interval; what the tier form cannot do is remove a run whose
+    * length falls between its tiers (DedupSpansVariableSpec pins the
+    * fragment case). Runs separated by zero uncovered tokens merge —
+    * two abutting duplicated passages read as one span, the same
+    * answer a suffix array's maximal-match merge gives.
+    *
+    * Output: (id, span_start, span_len), span_start 0-based in token
+    * positions, ordered (id, span_start).
+    *
+    * Scale shape: the one span-hash shuffle of [[dedupSpans]] plus one
+    * doc-keyed window over COVERED positions only (duplicate-volume-
+    * sized, not corpus-sized): islands via the classic
+    * position − row_number() run key, then a (doc, run) aggregate.
+    * No driver state, no per-span jobs.
+    */
+  def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: Column,
+      minLen: Int, minOcc: Int = 2): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    require(minOcc >= 2, "minOcc >= 2 (1 would flag first occurrences)")
+    val hts = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        transform(col("__toks"), t => Hashing.h60(t)).as("__hts"))
+    val covered = spanCoveredPositions(hts, idCol, minLen, minOcc).distinct()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__ti"))
+    covered
+      .withColumn("__run", col("__ti") - row_number().over(wDoc))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("__ti")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+      .orderBy(col(idCol), col("span_start"))
+  }
+
+  /** Removal twin of [[duplicateSpanRanges]]: strip every maximal
+    * duplicated run ≥ `minLen` whole and account for it at SPAN
+    * granularity — (id, clean_text, n_tokens, n_removed, n_spans), one
+    * row per input document, n_spans the number of maximal runs
+    * removed (0 for untouched docs). clean_text/n_removed coincide
+    * with `dedupSpans(df, id, text, minLen)` by the coverage-union
+    * equivalence above (pinned in spec); n_spans is the signal the
+    * fixed-window form cannot produce.
+    */
+  def dedupSpansVariable(df: DataFrame, idCol: String, textCol: Column,
+      minLen: Int, minOcc: Int = 2): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    require(minOcc >= 2, "minOcc >= 2 (1 would flag first occurrences)")
+    val toksD = df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol), col("__toks"))
+      .graftCheckpoint()
+    val hts = toksD
+      .withColumn("__hts", transform(col("__toks"), t => Hashing.h60(t)))
+    val covered = spanCoveredPositions(hts, idCol, minLen, minOcc).distinct()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__ti"))
+    // span id per covered position: islands key — start-of-run positions
+    // (run key change) count as new spans within the doc aggregate
+    val cov = covered
+      .withColumn("__run", col("__ti") - row_number().over(wDoc))
+      .withColumn("__cov", lit(true))
+    toksD.select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
+      .join(cov, Seq(idCol, "__ti"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov").isNull,
+            struct(col("__ti"), col("__tok"))))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        count_distinct(col("__run")).as("n_spans"))
   }
 
   /** DSIR-style importance scores (hashed n-gram importance resampling,

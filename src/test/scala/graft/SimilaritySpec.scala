@@ -317,6 +317,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fast.nonEmpty, "fixture should contain at least one semantic contaminant")
   }
 
+  test("semanticContaminatedIds: zero vectors never match — no NaN >= tau flag-everything (ADVICE r17)") {
+    // An all-zero EVAL vector makes cosine 0/0 = NaN for every corpus
+    // row, and Spark orders NaN above all doubles, so without the norm
+    // guard `NaN >= tau` is true and the whole corpus reads contaminated.
+    val evalZ = Seq(Tuple1(Seq(0.0, 0.0))).toDF("embedding")
+    val corpus = Seq(
+      (200L, Seq(1.0, 0.0)),
+      (201L, Seq(0.0, 0.0)), // zero corpus vector: no direction, never flagged
+      (202L, Seq(0.3, 0.4))
+    ).toDF("vec_id", "embedding")
+    val gotZ = Similarity.semanticContaminatedIds(corpus, evalZ,
+        "vec_id", "embedding", tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotZ.isEmpty, s"zero eval vector flagged $gotZ")
+    // and a zero CORPUS vector stays clean against a real eval bank
+    val evalR = Seq(Tuple1(Seq(1.0, 0.0))).toDF("embedding")
+    val gotR = Similarity.semanticContaminatedIds(corpus, evalR,
+        "vec_id", "embedding", tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotR == Set(200L, 202L))
+  }
+
   test("rrfFuse: hand-computed fusion — both-list id outranks single-list, scores exact") {
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val sem = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
