@@ -282,7 +282,9 @@ object Bench {
     * unchanged.
     */
   private lazy val committedChaseFloorMs: Option[Long] =
-    sys.env.get("SPARK_GRAFT_CHASE_FLOOR_MS").map(_.trim.toLong).orElse {
+    sys.env.get("SPARK_GRAFT_CHASE_FLOOR_MS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .orElse {
       try {
         val p = java.nio.file.Paths.get("BENCH_CHASE_FLOOR.json")
         if (java.nio.file.Files.exists(p)) {
@@ -850,10 +852,18 @@ object Bench {
     // the build cost itself is the ann_index_build row above.
     def lanesSelected(names: String*) =
       names.exists(n => only.forall(_.contains(n)))
-    if (lanesSelected("q_ann_ivfpq_persisted"))
-      Queries.AnnIndexes.ensurePersisted(spark, sfDir): Unit
-    if (lanesSelected("q_ann_ivfpq_append"))
-      Queries.AnnIndexes.ensureAppend(spark, sfDir): Unit
+    // Contained: a pre-build failure (disk full, unreadable source) must
+    // degrade to the old in-lane build — where timeAdaptive's NonFatal
+    // catch records it as that lane's error — never abort the suite
+    // before 200+ other lanes have produced an artifact.
+    try {
+      if (lanesSelected("q_ann_ivfpq_persisted"))
+        Queries.AnnIndexes.ensurePersisted(spark, sfDir): Unit
+      if (lanesSelected("q_ann_ivfpq_append"))
+        Queries.AnnIndexes.ensureAppend(spark, sfDir): Unit
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] ANN pre-build failed (${e.getMessage}); lanes will build in-region")
+    }
     releasePersisted()
 
     // The oracle-checked suite, AFTER the flagships. Sub-second queries

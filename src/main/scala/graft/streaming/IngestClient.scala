@@ -39,11 +39,12 @@ object IngestClient {
     */
   final case class Request(id: String, url: String)
 
-  /** Proactive pacing budget: at most `maxRequests` successful fetches
-    * per rolling `windowMs` window (the reference's 4500/hour +
-    * 9500/day counters, enrich_weather.py:83-93). When the budget is
-    * spent the client sleeps out the window REMAINDER — it never lets
-    * the server refuse first.
+  /** Proactive pacing budget: at most `maxRequests` HTTP ATTEMPTS
+    * (retries included — the server's counter sees every one) per
+    * rolling `windowMs` window (the reference's 4500/hour + 9500/day
+    * counters, enrich_weather.py:83-93). When the budget is spent the
+    * client sleeps out the window REMAINDER — it never lets the server
+    * refuse first.
     */
   final case class RateLimit(maxRequests: Int, windowMs: Long) {
     require(maxRequests >= 1 && windowMs >= 1, s"bad rate limit $this")
@@ -134,25 +135,32 @@ object IngestClient {
     var fetched = 0
     var retries = 0
     var rlSleeps = 0
-    // rolling window state for proactive pacing
+    // Rolling window state for proactive pacing. The budget is consumed
+    // per ATTEMPT, not per successful request — a request that fails 4×
+    // before succeeding issued 5 real HTTP calls, and the server's
+    // counter (the reference's 4500/h, enrich_weather.py:83-93) counts
+    // every one of them. The window itself is time-based and rolls over
+    // on the clock like the reference's elapsed_hour reset, so a long
+    // server-mandated Retry-After sleep naturally lands the next attempt
+    // in a fresh window.
     var windowStart = nowMs()
     var windowCount = 0
+    val paceAttempt: () => Unit = () => rateLimit.foreach { rl =>
+      val now = nowMs()
+      if (now - windowStart >= rl.windowMs) {
+        windowStart = now; windowCount = 0
+      } else if (windowCount >= rl.maxRequests) {
+        sleep(rl.windowMs - (now - windowStart))
+        windowStart = nowMs(); windowCount = 0
+        rlSleeps += 1
+      }
+      windowCount += 1
+    }
 
     requests.foreach { req =>
       if (!done.contains(req.id)) {
-        rateLimit.foreach { rl =>
-          val now = nowMs()
-          if (now - windowStart >= rl.windowMs) {
-            windowStart = now; windowCount = 0
-          } else if (windowCount >= rl.maxRequests) {
-            sleep(rl.windowMs - (now - windowStart))
-            windowStart = nowMs(); windowCount = 0
-            rlSleeps += 1
-          }
-        }
         val body = fetchWithRetry(req, fetch, maxAttempts, initialBackoffMs,
-          sleep, onRetry = () => retries += 1)
-        windowCount += 1
+          sleep, onRetry = () => retries += 1, beforeAttempt = paceAttempt)
         // atomic stage: temp in the SAME directory (rename is only
         // atomic within a filesystem), then move over the final name —
         // replacing any half-completed earlier fetch of the same id
@@ -176,10 +184,11 @@ object IngestClient {
 
   private def fetchWithRetry(req: Request, fetch: String => Array[Byte],
       maxAttempts: Int, initialBackoffMs: Long, sleep: Long => Unit,
-      onRetry: () => Unit): Array[Byte] = {
+      onRetry: () => Unit, beforeAttempt: () => Unit = () => ()): Array[Byte] = {
     var attempt = 1
     while (true) {
       try {
+        beforeAttempt()
         return fetch(req.url)
       } catch {
         case e: FatalFetchException => throw e

@@ -129,6 +129,39 @@ class IngestClientSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(3600000L - 20, 3600000L - 20), s"sleeps were $sleeps")
   }
 
+  test("S13 client: retry ATTEMPTS consume the rate-limit budget — the server's counter sees every request") {
+    // budget 1 attempt/window; one request that fails twice then
+    // succeeds = 3 real HTTP calls. If only successes counted, the
+    // retries would burst past the server's budget (the code-review
+    // finding this pins): each extra attempt must first pace out the
+    // window remainder.
+    var clock = 5000000L
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var attempts = 0
+    val staging = Files.createTempDirectory("graft-pace2-staging").toString
+    val log = Files.createTempDirectory("graft-pace2-log").resolve("p.log").toString
+    val report = IngestClient.fetchAll(
+      Seq(Request("flaky", "fake://flaky")),
+      staging, log,
+      fetch = { _ =>
+        attempts += 1; clock += 10
+        if (attempts < 3) throw new IOException("503")
+        else "x\n".getBytes(StandardCharsets.UTF_8)
+      },
+      maxAttempts = 5, initialBackoffMs = 7L,
+      rateLimit = Some(RateLimit(maxRequests = 1, windowMs = 60000L)),
+      sleep = { ms => sleeps += ms; clock += ms },
+      nowMs = () => clock)
+    assert(report.fetched == 1 && report.retries == 2 && report.rateLimitSleeps == 2)
+    assert(attempts == 3)
+    // interleaving: attempt 1 (budget 1/1 spent) → 503 → backoff 7 →
+    // pace out the window remainder before attempt 2 (the first window
+    // saw 10 ms of fetch + 7 ms of backoff elapse) → 503 → backoff 14
+    // (exponential) → pace again (24 ms elapsed: 10 fetch + 14 backoff)
+    // before attempt 3 → 200.
+    assert(sleeps.toSeq == Seq(7L, 60000L - 17, 14L, 60000L - 24), s"sleeps were $sleeps")
+  }
+
   test("S13 client: a request failing all 5 attempts aborts the run but keeps completed work checkpointed") {
     val staging = Files.createTempDirectory("graft-fail-staging").toString
     val log = Files.createTempDirectory("graft-fail-log").resolve("p.log").toString

@@ -64,16 +64,21 @@ def main() -> None:
             continue
         data = max(0.0, s - f)
         base01 = sf01.get(q)
-        decade = s / base01 if base01 and base01 > 0 else None
+        decade = s / base01 if base01 is not None and base01 > 0 else None
         if data <= max(2 * d, 0.25):
             cls = "floor"
-        elif decade is not None and decade <= 13.0:
+        elif decade is None:
+            # no positive sf0.1 baseline for this lane: a SUPERLINEAR
+            # verdict needs decade EVIDENCE -- flag the gap, don't invent
+            # a measured pathology
+            cls = "no-decade-datapoint"
+        elif decade <= 13.0:
             cls = "linear"
         else:
             cls = "SUPERLINEAR"
         rows.append((q, s, d, s / d, f, data, decade, cls))
 
-    order = {"SUPERLINEAR": 0, "linear": 1, "floor": 2}
+    order = {"SUPERLINEAR": 0, "no-decade-datapoint": 1, "linear": 2, "floor": 3}
     rows.sort(key=lambda r: (order[r[7]], -r[5]))
     n_super = sum(1 for r in rows if r[7] == "SUPERLINEAR")
     n_lin = sum(1 for r in rows if r[7] == "linear")
