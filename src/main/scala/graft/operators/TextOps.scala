@@ -983,14 +983,24 @@ object TextOps {
     val hts = df.withColumn("__toks", tokens(textCol))
       .select(col(idCol),
         transform(col("__toks"), t => Hashing.h60(t)).as("__hts"))
-    val covered = spanCoveredPositions(hts, idCol, minLen, minOcc).distinct()
+    // No distinct() before the islands window: overlapping duplicated
+    // windows emit the same (id, __ti) many times, and dedup-by-shuffle
+    // would cost a full (id, ti) exchange of the dup-volume rows just to
+    // feed the id-keyed window an exchange later. dense_rank makes the
+    // run key duplicate-TOLERANT instead — repeated positions share a
+    // rank, consecutive distinct positions get consecutive ranks, so
+    // `ti − dense_rank` is constant across a maximal run with or without
+    // duplicates — and the span length is the distinct-position count.
+    // One exchange (id) total; the aggregate reuses it (grouping on a
+    // superset of the partitioning keys needs no re-shuffle).
+    val covered = spanCoveredPositions(hts, idCol, minLen, minOcc)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__ti"))
     covered
-      .withColumn("__run", col("__ti") - row_number().over(wDoc))
+      .withColumn("__run", col("__ti") - dense_rank().over(wDoc))
       .groupBy(col(idCol), col("__run"))
       .agg(min(col("__ti")).cast("long").as("span_start"),
-        count(lit(1)).as("span_len"))
+        count_distinct(col("__ti")).as("span_len"))
       .select(col(idCol), col("span_start"), col("span_len"))
       .orderBy(col(idCol), col("span_start"))
   }
