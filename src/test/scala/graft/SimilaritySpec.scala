@@ -317,6 +317,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fast.nonEmpty, "fixture should contain at least one semantic contaminant")
   }
 
+  test("AnnIndexes.ensurePersisted/ensureAppend: second call serves the existing index, no rebuild (VERDICT r17 #2)") {
+    // the skip path is what lets Bench pre-pay the build outside every
+    // timed region — if ensure rebuilt on each call, the certification
+    // lanes would still time a build on their first rep
+    val d = "/root/testdata/sf0.001"
+    val idx = Queries.AnnIndexes.ensurePersisted(spark, d)
+    val meta = new java.io.File(s"$idx/meta")
+    assert(meta.exists, "build must leave the meta marker")
+    val t1 = meta.lastModified
+    assert(Queries.AnnIndexes.ensurePersisted(spark, d) == idx)
+    assert(meta.lastModified == t1, "second ensurePersisted must not rebuild")
+    val idxA = Queries.AnnIndexes.ensureAppend(spark, d)
+    val done = new java.io.File(s"$idxA/append_complete")
+    assert(done.exists, "append path must leave the append-complete marker")
+    val t2 = done.lastModified
+    assert(Queries.AnnIndexes.ensureAppend(spark, d) == idxA)
+    assert(done.lastModified == t2, "second ensureAppend must not rebuild")
+    assert(idx != idxA, "persisted and append lanes must not share an index dir")
+  }
+
   test("semanticContaminatedIds: zero vectors never match — no NaN >= tau flag-everything (ADVICE r17)") {
     // An all-zero EVAL vector makes cosine 0/0 = NaN for every corpus
     // row, and Spark orders NaN above all doubles, so without the norm
